@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001;
+``queries()`` / ``oracle_sql()`` expose every operator from SURVEY.md §2
+(keys match the §2 inventory tables) for the driver's DuckDB correctness
+gate at sf0.01.
 """
 
 from __future__ import annotations
@@ -15,24 +14,57 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 flavor) on /root/testdata/sf0.001."""
+    from blog_snapshotbackup_azuredatalake_spark.plans import analytics
+
+    return analytics.q1_pricing_summary(spark, "/root/testdata/sf0.001")
+
+
+def _registry() -> tuple[dict, dict]:
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracles: dict[str, str] = {}
+    import blog_snapshotbackup_azuredatalake_spark.plans.analytics as analytics
+
+    modules = [analytics]
+    try:  # modules land incrementally; keep the contract importable always
+        import blog_snapshotbackup_azuredatalake_spark.operators.snapshot as snapshot
+
+        modules.append(snapshot)
+    except ImportError:
+        pass
+    try:
+        import blog_snapshotbackup_azuredatalake_spark.operators.dedup as dedup
+
+        modules.append(dedup)
+    except ImportError:
+        pass
+    try:
+        import blog_snapshotbackup_azuredatalake_spark.operators.similarity as similarity
+
+        modules.append(similarity)
+    except ImportError:
+        pass
+    try:
+        import blog_snapshotbackup_azuredatalake_spark.operators.text as text
+
+        modules.append(text)
+    except ImportError:
+        pass
+    try:
+        import blog_snapshotbackup_azuredatalake_spark.operators.multimodal as multimodal
+
+        modules.append(multimodal)
+    except ImportError:
+        pass
+    for mod in modules:
+        queries.update(getattr(mod, "QUERIES", {}))
+        oracles.update(getattr(mod, "ORACLES", {}))
+    return queries, oracles
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registry()[0]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registry()[1]

@@ -1,0 +1,582 @@
+"""Analytics query suite (SURVEY.md §2B) — TPC-H-flavored plans adapted to
+the driver testdata schema, written DataFrame-first so Catalyst handles
+pushdown, pruning, join ordering, and AQE does runtime re-planning.
+
+Numeric-parity rules (SURVEY.md §4): money math runs in exact DECIMAL so
+sums are association-order independent (a shuffled 1000-executor cluster
+must produce the same bits as local[32] and as the DuckDB oracle); final
+outputs cast to DOUBLE. Event timestamps are emitted as epoch microseconds
+(bigint) to dodge ns/us parquet reader differences between engines.
+
+Each query has a DataFrame builder ``(spark, sf_dir) -> DataFrame`` in
+``QUERIES`` and an equivalent DuckDB oracle in ``ORACLES`` with identical
+output column names.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
+
+# Exact decimal views of the money columns. (12,2) quantity/price and
+# (6,4) rates keep every product within DECIMAL(38,*) in both Spark and
+# DuckDB — no precision-loss rounding on either side. (Functions, not
+# module constants: Column construction needs an active SparkContext.)
+def _qty():
+    return F.col("l_quantity").cast("decimal(12,2)")
+
+
+def _price():
+    return F.col("l_extendedprice").cast("decimal(12,2)")
+
+
+def _disc():
+    return F.col("l_discount").cast("decimal(6,4)")
+
+
+def _tax():
+    return F.col("l_tax").cast("decimal(6,4)")
+
+
+def _rev():
+    return _price() * (F.lit(1) - _disc())
+
+_SQL_REV = (
+    "cast(l_extendedprice as decimal(12,2))"
+    " * (1 - cast(l_discount as decimal(6,4)))"
+)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: pricing summary report.
+
+    Single scan → partial-agg (map-side combine) → final agg on the two
+    low-cardinality group keys; the shipdate filter pushes to the scan.
+    """
+    line = load_table(spark, sf_dir, "lineitem")
+    return (
+        line.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_qty()).cast("double").alias("sum_qty"),
+            F.sum(_price()).cast("double").alias("sum_base_price"),
+            F.round(F.sum(_rev()), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(_rev() * (F.lit(1) + _tax())), 2).cast("double").alias("sum_charge"),
+            (F.sum(_qty()).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_price()).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(ROUND(SUM({rev}), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM({rev} * (1 + CAST(l_tax AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+""".format(rev=_SQL_REV)
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: unshipped high-value orders. customer is tiny → broadcast
+    into orders, then the orders⋈lineitem join shuffles on orderkey only
+    after both filters have pruned at the scans."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    line = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        line.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(ROUND(SUM({_SQL_REV}), 2) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue by nation where supplier and customer share the
+    nation. region/nation/supplier/customer all broadcast; only
+    orders⋈lineitem shuffles."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    line = load_table(spark, sf_dir, "lineitem")
+    return (
+        line.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"))
+    )
+
+
+_Q5_SQL = f"""
+SELECT n_name, CAST(ROUND(SUM({_SQL_REV}), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: selective filter + single agg. All three predicates push
+    down to the parquet scan (visible as PushedFilters)."""
+    line = load_table(spark, sf_dir, "lineitem")
+    return (
+        line.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(_price() * _disc()), 2).cast("double").alias("revenue"))
+    )
+
+
+_Q6_SQL = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_discount AS DECIMAL(6,4))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: who returned the most revenue. Top-20 with a
+    deterministic c_custkey tiebreak so LIMIT picks identical rows on any
+    engine/partitioning."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    line = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        line.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(ROUND(SUM({_SQL_REV}), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue share per market segment: agg → unpartitioned window over 5
+    rows (post-agg, so the window is trivially cheap at any scale)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    line = load_table(spark, sf_dir, "lineitem")
+    seg_rev = (
+        line.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.sum(_rev()).alias("rev_dec"))
+    )
+    total = Window.partitionBy()
+    return seg_rev.select(
+        F.col("c_mktsegment"),
+        F.round("rev_dec", 2).cast("double").alias("revenue"),
+        (
+            F.round("rev_dec", 2).cast("double")
+            / F.round(F.sum("rev_dec").over(total), 2).cast("double")
+        ).alias("share"),
+    )
+
+
+_Q_MARKET_SHARE_SQL = f"""
+WITH seg AS (
+  SELECT c_mktsegment, SUM({_SQL_REV}) AS rev_dec
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment
+)
+SELECT c_mktsegment,
+       CAST(ROUND(rev_dec, 2) AS DOUBLE) AS revenue,
+       CAST(ROUND(rev_dec, 2) AS DOUBLE)
+         / CAST(ROUND(SUM(rev_dec) OVER (), 2) AS DOUBLE) AS share
+FROM seg
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by revenue within each brand — rank window with
+    p_partkey tiebreak. part broadcasts; one shuffle on (brand) for the
+    window after the partkey agg."""
+    part = load_table(spark, sf_dir, "part")
+    line = load_table(spark, sf_dir, "lineitem")
+    per_part = (
+        line.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_partkey", "p_name")
+        .agg(F.sum(_rev()).alias("rev_dec"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("rev_dec").desc(), F.col("p_partkey")
+    )
+    return (
+        per_part.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "p_brand",
+            "p_partkey",
+            "p_name",
+            F.round("rev_dec", 2).cast("double").alias("revenue"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+_Q_TOPK_SQL = f"""
+WITH per_part AS (
+  SELECT p_brand, p_partkey, p_name, SUM({_SQL_REV}) AS rev_dec
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, p_partkey, p_name
+)
+SELECT p_brand, p_partkey, p_name,
+       CAST(ROUND(rev_dec, 2) AS DOUBLE) AS revenue,
+       CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, RANK() OVER (PARTITION BY p_brand
+                         ORDER BY rev_dec DESC, p_partkey) AS rnk
+  FROM per_part
+)
+WHERE rnk <= 3
+"""
+
+
+def q_orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts by priority × status, pivoted. Explicit pivot values
+    keep the plan a single pass (no extra distinct-values job)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("f_cnt"),
+            F.coalesce("O", F.lit(0)).alias("o_cnt"),
+            F.coalesce("P", F.lit(0)).alias("p_cnt"),
+        )
+    )
+
+
+_Q_PIVOT_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+# ---------------------------------------------------------------------------
+# events suite: windows, sessionization, funnel, as-of
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running sum —
+    two windows over the same (user_id, ts) partitioning, one shuffle.
+    Timestamps handled as epoch micros; value summed in exact decimal."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        F.col("value").cast("decimal(18,6)").alias("val_dec"),
+    )
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = (
+        ev.withColumn("prev_us", F.lag("ts_us").over(order))
+        .withColumn(
+            "is_new",
+            (
+                F.col("prev_us").isNull()
+                | (F.col("ts_us") - F.col("prev_us") > SESSION_GAP_US)
+            ).cast("bigint"),
+        )
+        .withColumn("session_id", F.sum("is_new").over(run))
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        F.sum("val_dec").cast("double").alias("total_value"),
+    )
+
+
+_Q_SESSIONIZE_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, (epoch_ns(ts) // 1000) AS ts_us,
+         CAST(value AS DECIMAL(18,6)) AS val_dec
+  FROM events
+), lagged AS (
+  SELECT *, LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+            AS prev_us
+  FROM ev
+), marked AS (
+  SELECT *, CAST(prev_us IS NULL OR ts_us - prev_us > {SESSION_GAP_US}
+                 AS BIGINT) AS is_new
+  FROM lagged
+), sess AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MAX(ts_us) - MIN(ts_us) AS duration_us,
+       CAST(SUM(val_dec) AS DOUBLE) AS total_value
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+ROLLING_7D_US = 7 * 24 * 3600 * 1_000_000
+
+
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 7-day rolling sum/count of value — RANGE window over epoch
+    micros. Decimal accumulator: a sliding-frame optimizer may add/subtract
+    in a different order than a recompute, which is only safe exactly."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        F.col("value").cast("decimal(18,6)").alias("val_dec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-ROLLING_7D_US, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.sum("val_dec").over(w).cast("double").alias("rolling_7d_sum"),
+        F.count(F.lit(1)).over(w).alias("rolling_7d_cnt"),
+    )
+
+
+_Q_ROLLING_SQL = f"""
+SELECT user_id, event_id, (epoch_ns(ts) // 1000) AS ts_us,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         AS rolling_7d_sum,
+       COUNT(*) OVER w AS rolling_7d_cnt
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY (epoch_ns(ts) // 1000)
+             RANGE BETWEEN {ROLLING_7D_US} PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup → click → purchase funnel: stage timestamps built by
+    conditional aggregation per user (one shuffle), counts in one row."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+    )
+    signup = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts_us").alias("ts_signup")
+    )
+    click = (
+        ev.filter(F.col("event_type") == "click")
+        .join(signup, "user_id")
+        .filter(F.col("ts_us") > F.col("ts_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("ts_click"))
+    )
+    purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(click, "user_id")
+        .filter(F.col("ts_us") > F.col("ts_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("ts_purchase"))
+    )
+    return (
+        signup.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(click.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .crossJoin(purchase.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
+
+
+_Q_FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, (epoch_ns(ts) // 1000) AS ts_us
+  FROM events
+), su AS (
+  SELECT user_id, MIN(ts_us) AS ts_signup FROM ev
+  WHERE event_type = 'signup' GROUP BY user_id
+), cl AS (
+  SELECT e.user_id, MIN(e.ts_us) AS ts_click
+  FROM ev e JOIN su USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts_us > su.ts_signup
+  GROUP BY e.user_id
+), pu AS (
+  SELECT e.user_id, MIN(e.ts_us) AS ts_purchase
+  FROM ev e JOIN cl USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts_us > cl.ts_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM su) AS n_signup,
+       (SELECT COUNT(*) FROM cl) AS n_click_after,
+       (SELECT COUNT(*) FROM pu) AS n_purchase_after
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest prior click.
+
+    Spark has no ASOF JOIN; the scalable formulation is the union-window
+    trick — sort each user's event stream once and carry the last click
+    timestamp forward (last(..., ignorenulls) over ROWS UNBOUNDED
+    PRECEDING). One shuffle on user_id; no range join, no explosion.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.withColumn(
+        "click_ts",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("ts_us")), ignorenulls=True
+        ).over(w),
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts_us").alias("purchase_ts_us"),
+            F.col("click_ts").alias("asof_click_ts_us"),
+            (F.col("ts_us") - F.col("click_ts")).alias("gap_us"),
+        )
+    )
+
+
+_Q_ASOF_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         (epoch_ns(ts) // 1000) AS ts_us
+  FROM events
+), carried AS (
+  SELECT *,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN ts_us END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS click_ts
+  FROM ev
+)
+SELECT event_id, user_id, ts_us AS purchase_ts_us,
+       click_ts AS asof_click_ts_us,
+       ts_us - click_ts AS gap_us
+FROM carried
+WHERE event_type = 'purchase'
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier": q5_local_supplier,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
+    "q_market_share": q_market_share,
+    "q_topk_per_group": q_topk_per_group,
+    "q_orders_pivot": q_orders_pivot,
+    "q_events_sessionize": q_events_sessionize,
+    "q_events_rolling": q_events_rolling,
+    "q_events_funnel": q_events_funnel,
+    "q_asof_join": q_asof_join,
+}
+
+ORACLES = {
+    "q1_pricing_summary": _Q1_SQL,
+    "q3_shipping_priority": _Q3_SQL,
+    "q5_local_supplier": _Q5_SQL,
+    "q6_forecast_revenue": _Q6_SQL,
+    "q10_returned_items": _Q10_SQL,
+    "q_market_share": _Q_MARKET_SHARE_SQL,
+    "q_topk_per_group": _Q_TOPK_SQL,
+    "q_orders_pivot": _Q_PIVOT_SQL,
+    "q_events_sessionize": _Q_SESSIONIZE_SQL,
+    "q_events_rolling": _Q_ROLLING_SQL,
+    "q_events_funnel": _Q_FUNNEL_SQL,
+    "q_asof_join": _Q_ASOF_SQL,
+}

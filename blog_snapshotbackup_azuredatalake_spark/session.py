@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults target local[*] testing but every knob is chosen so the same
+plan shape survives a 1000-executor cluster: AQE on (runtime coalesce,
+skew-join splitting), auto broadcast for small dims, Arrow for the few
+Pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(
+    app_name: str = "snapshotbackup-spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Return (or create) the tuned SparkSession.
+
+    shuffle_partitions defaults to the local core count for tests; on a
+    real cluster leave AQE's coalescing to right-size post-shuffle
+    partitions from the initial number.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects; read as raw nanos bigint and convert explicitly.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if not SparkSession.getActiveSession():
+        builder = builder.master(
+            os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+        )
+    return builder.getOrCreate()

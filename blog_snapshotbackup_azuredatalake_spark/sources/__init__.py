@@ -1,0 +1,3 @@
+from blog_snapshotbackup_azuredatalake_spark.sources.catalog import TABLES, load_table, load_tables
+
+__all__ = ["TABLES", "load_table", "load_tables"]

@@ -1,0 +1,54 @@
+"""Table catalog: parquet loaders over a scale-factor directory.
+
+The reference copies a lake laid out as one directory per dataset; here a
+"lake" is a directory of parquet tables (the driver's testdata layout).
+Loaders go through ``spark.read.parquet`` so column pruning and predicate
+pushdown reach the scan for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Primary key per table — the identity used by snapshot manifests and
+# incremental sync to decide added/removed/changed.
+TABLE_KEYS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS,false) which Spark rejects
+        # outright; this legacy conf surfaces it as bigint nanoseconds.
+        # Set here (not only in the session factory) so the driver's own
+        # SparkSession works too. Downstream code uses epoch micros.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}

@@ -1,0 +1,13 @@
+"""§2B analytics suite vs DuckDB oracle at sf0.001 (exact match — the
+driver's hash gate tolerates zero drift, so the local gate does too)."""
+
+import pytest
+
+from blog_snapshotbackup_azuredatalake_spark.plans import analytics
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(analytics.QUERIES))
+def test_analytics_matches_oracle(spark, ddb, name):
+    df = analytics.QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(df, ddb, analytics.ORACLES[name])

@@ -1,0 +1,383 @@
+"""Snapshot / backup / incremental-sync operators (SURVEY.md §2A).
+
+This is the reference's own domain re-expressed Spark-first: instead of
+storage-layer blob snapshots, state is captured as row-level content-hash
+manifests, and every backup operation (diff, incremental copy, verify,
+restore, retention) becomes a declarative plan over manifests — hash-joins
+and window functions that shuffle only (key, 16-byte hash) pairs, never
+full row payloads. That is what makes the design hold at 100 TB: the diff
+of two 100 TB snapshots moves a few hundred GB of hashes, and AQE handles
+whatever skew the key distribution has.
+
+Manifest hashes are md5-derived (SURVEY.md §4) so any engine — including
+the DuckDB oracle and a future non-Spark consumer — can recompute and
+audit them. Doubles are encoded via DECIMAL(12,2) and timestamps via their
+canonical 'YYYY-MM-DD HH:MM:SS' rendering so the string encoding is
+engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from blog_snapshotbackup_azuredatalake_spark.functions.hashing import SEP, row_hash_int
+from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# portable row encodings for the `orders` table (the manifest example table)
+# ---------------------------------------------------------------------------
+
+_ORDERS_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "cast(cast(o_totalprice as decimal(12,2)) as string)",
+    "cast(o_orderdate as string)",
+    "o_orderpriority",
+]
+
+_ORDERS_COLS_SQL = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "cast(cast(o_totalprice as decimal(12,2)) as varchar)",
+    "cast(o_orderdate as varchar)",
+    "o_orderpriority",
+]
+
+
+def _orders_hash_expr() -> F.Column:
+    cols = [F.expr(c).cast("string") for c in _ORDERS_COLS]
+    return F.md5(F.concat_ws(SEP, *[F.coalesce(c, F.lit("")) for c in cols]))
+
+
+_ORDERS_HASH_SQL = (
+    "md5(concat_ws(chr(31), "
+    + ", ".join(f"coalesce(cast({c} as varchar), '')" for c in _ORDERS_COLS_SQL)
+    + "))"
+)
+
+
+def _hash60(col: F.Column) -> F.Column:
+    return F.conv(F.substring(col, 1, 15), 16, 10).cast("bigint")
+
+
+def _hash60_sql(expr: str) -> str:
+    return f"cast(concat('0x', substr({expr}, 1, 15)) as bigint)"
+
+
+# ---------------------------------------------------------------------------
+# §2A queries
+# ---------------------------------------------------------------------------
+
+
+def snap_row_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row manifest of `orders`: (key, content hash). The unit of
+    change detection — one narrow scan, no shuffle at all (manifest
+    writing is embarrassingly parallel)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey"), _orders_hash_expr().alias("row_md5")
+    )
+
+
+_SNAP_ROW_MANIFEST_SQL = f"""
+SELECT o_orderkey, {_ORDERS_HASH_SQL} AS row_md5 FROM orders
+"""
+
+
+def snap_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table verify for three tables in one result: row count plus
+    order-insensitive xor/min/max of the 60-bit row hashes. Source and
+    backup agree iff these four numbers agree — comparing 100 TB costs
+    one scan per side and shuffles four numbers."""
+
+    def one(name: str, key: str, cols: list[str]) -> DataFrame:
+        df = load_table(spark, sf_dir, name)
+        h = row_hash_int(*cols)
+        return df.select(F.lit(name).alias("table_name"), h.alias("h")).groupBy(
+            "table_name"
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("xor_checksum"),
+            F.min("h").alias("min_hash"),
+            F.max("h").alias("max_hash"),
+        )
+
+    cust = one("customer", "c_custkey", ["c_custkey", "c_name", "c_nationkey"])
+    sup = one("supplier", "s_suppkey", ["s_suppkey", "s_name", "s_nationkey"])
+    nat = one("nation", "n_nationkey", ["n_nationkey", "n_name", "n_regionkey"])
+    return cust.unionByName(sup).unionByName(nat)
+
+
+def _checksum_sql(name: str, cols: list[str]) -> str:
+    enc = ", ".join(f"coalesce(cast({c} as varchar), '')" for c in cols)
+    h = _hash60_sql(f"md5(concat_ws(chr(31), {enc}))")
+    return f"""
+SELECT '{name}' AS table_name, COUNT(*) AS n_rows,
+       BIT_XOR(h) AS xor_checksum, MIN(h) AS min_hash, MAX(h) AS max_hash
+FROM (SELECT {h} AS h FROM {name})
+"""
+
+
+_SNAP_TABLE_CHECKSUM_SQL = " UNION ALL ".join(
+    [
+        _checksum_sql("customer", ["c_custkey", "c_name", "c_nationkey"]),
+        _checksum_sql("supplier", ["s_suppkey", "s_name", "s_nationkey"]),
+        _checksum_sql("nation", ["n_nationkey", "n_name", "n_regionkey"]),
+    ]
+)
+
+# fixed watermark: mid-January of the events month
+WATERMARK_US = 1_705_276_800_000_000  # 2024-01-15 00:00:00 UTC in micros
+
+
+def snap_incr_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-based incremental selection: only events newer than the
+    last sync. The predicate pushes to the parquet scan, so a daily sync
+    over a date-partitioned 100 TB lake reads only new partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            "event_type",
+            "value",
+        )
+        .filter(F.col("ts_us") > WATERMARK_US)
+    )
+
+
+_SNAP_INCR_WATERMARK_SQL = f"""
+SELECT event_id, user_id, (epoch_ns(ts) // 1000) AS ts_us, event_type, value
+FROM events
+WHERE (epoch_ns(ts) // 1000) > {WATERMARK_US}
+"""
+
+
+def _perturbed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'next day' state of orders used by diff/sync demos:
+    every 97th key's totalprice changes, every 89th key (mod 3) is
+    deleted, and 50 synthetic new keys appear."""
+    orders = load_table(spark, sf_dir, "orders")
+    changed = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 10.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    kept = changed.filter(F.col("o_orderkey") % 89 != 3)
+    added = (
+        orders.filter(F.col("o_orderkey") % 101 == 7)
+        .orderBy("o_orderkey")  # limit without sort is not deterministic
+        .limit(50)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(100_000_000))
+    )
+    return kept.unionByName(added)
+
+
+_PERTURBED_SQL = """
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 89 <> 3
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM (SELECT * FROM orders WHERE o_orderkey % 101 = 7
+        ORDER BY o_orderkey LIMIT 50)
+"""
+
+
+def snap_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff A→B: classify every key as added / removed / changed
+    by full-outer-joining the two manifests and comparing row hashes.
+    Only (key, hash) pairs shuffle — the payload never moves."""
+    a = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"), _orders_hash_expr().alias("hash_a")
+    )
+    b = _perturbed_orders(spark, sf_dir).select(
+        F.col("o_orderkey").alias("key"), _orders_hash_expr().alias("hash_b")
+    )
+    joined = a.join(b, "key", "full_outer")
+    return (
+        joined.withColumn(
+            "change_type",
+            F.when(F.col("hash_a").isNull(), F.lit("added"))
+            .when(F.col("hash_b").isNull(), F.lit("removed"))
+            .when(F.col("hash_a") != F.col("hash_b"), F.lit("changed")),
+        )
+        .filter(F.col("change_type").isNotNull())
+        .select(F.col("key").alias("o_orderkey"), "change_type")
+    )
+
+
+_PERTURBED_HASH_SQL = _ORDERS_HASH_SQL  # same column list applies
+
+_SNAP_DIFF_SQL = f"""
+WITH b_rows AS ({_PERTURBED_SQL}),
+a_man AS (SELECT o_orderkey AS key, {_ORDERS_HASH_SQL} AS hash_a FROM orders),
+b_man AS (SELECT o_orderkey AS key, {_PERTURBED_HASH_SQL} AS hash_b FROM b_rows)
+SELECT key AS o_orderkey,
+       CASE WHEN hash_a IS NULL THEN 'added'
+            WHEN hash_b IS NULL THEN 'removed'
+            WHEN hash_a <> hash_b THEN 'changed' END AS change_type
+FROM a_man FULL OUTER JOIN b_man USING (key)
+WHERE (hash_a IS NULL OR hash_b IS NULL OR hash_a <> hash_b)
+"""
+
+
+def snap_incr_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent incremental copy: rows of the new state whose (key,
+    hash) is not yet in the backup — a left-anti hash join on manifests.
+    Re-running after a partial failure re-selects only what's missing."""
+    backup = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"), _orders_hash_expr().alias("h")
+    )
+    source = _perturbed_orders(spark, sf_dir).select(
+        F.col("o_orderkey").alias("key"), _orders_hash_expr().alias("h")
+    )
+    pending = source.join(backup, ["key", "h"], "left_anti")
+    return pending.select(F.col("key").alias("o_orderkey"))
+
+
+_SNAP_INCR_ANTIJOIN_SQL = f"""
+WITH b_rows AS ({_PERTURBED_SQL}),
+backup AS (SELECT o_orderkey AS key, {_ORDERS_HASH_SQL} AS h FROM orders),
+source AS (SELECT o_orderkey AS key, {_PERTURBED_HASH_SQL} AS h FROM b_rows)
+SELECT key AS o_orderkey FROM source
+WHERE NOT EXISTS (SELECT 1 FROM backup
+                  WHERE backup.key = source.key AND backup.h = source.h)
+"""
+
+RETENTION_KEEP = 12
+
+
+def snap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention policy over a snapshot catalog (one snapshot per order
+    month): keep the newest N, purge the rest. The catalog is metadata —
+    thousands of rows regardless of lake size — so the window is free."""
+    orders = load_table(spark, sf_dir, "orders")
+    catalog = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("snapshot_month")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.orderBy(F.col("snapshot_month").desc())
+    return catalog.withColumn("rn", F.row_number().over(w)).select(
+        "snapshot_month",
+        "n_rows",
+        F.col("rn").cast("int").alias("rn"),
+        F.when(F.col("rn") <= RETENTION_KEEP, F.lit("keep"))
+        .otherwise(F.lit("purge"))
+        .alias("action"),
+    )
+
+
+_SNAP_RETENTION_SQL = f"""
+WITH catalog AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS snapshot_month,
+         COUNT(*) AS n_rows
+  FROM orders GROUP BY 1
+)
+SELECT snapshot_month, n_rows, CAST(rn AS INT) AS rn,
+       CASE WHEN rn <= {RETENTION_KEEP} THEN 'keep' ELSE 'purge' END AS action
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY snapshot_month DESC) AS rn
+      FROM catalog)
+"""
+
+RESTORE_ASOF_US = 1_705_881_600_000_000  # 2024-01-22 00:00:00 UTC
+
+
+def snap_restore_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time restore: the latest event per user as of T — the
+    row_number-over-key pattern that reconstructs entity state from a
+    change log. Shuffles once on user_id."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_type",
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.filter(F.col("ts_us") <= RESTORE_ASOF_US)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts_us", "event_type", "value")
+    )
+
+
+_SNAP_RESTORE_ASOF_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, (epoch_ns(ts) // 1000) AS ts_us, event_type, value
+  FROM events
+)
+SELECT user_id, event_id, ts_us, event_type, value
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts_us DESC, event_id DESC) AS rn
+      FROM ev WHERE ts_us <= {RESTORE_ASOF_US})
+WHERE rn = 1
+"""
+
+
+def snap_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition (ship month) row counts + checksums on lineitem:
+    the unit of partial verify and partition-pruned re-copy. On a
+    date-partitioned lake each output row certifies one partition."""
+    line = load_table(spark, sf_dir, "lineitem")
+    h = row_hash_int("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    return (
+        line.select(
+            F.date_trunc("month", F.col("l_shipdate"))
+            .cast("date")
+            .alias("ship_month"),
+            h.alias("h"),
+        )
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("xor_checksum"),
+            F.min("h").alias("min_hash"),
+            F.max("h").alias("max_hash"),
+        )
+    )
+
+
+_SNAP_PARTITION_STATS_SQL = f"""
+WITH rows_h AS (
+  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+         {_hash60_sql("md5(concat_ws(chr(31), coalesce(cast(l_orderkey as varchar), ''), coalesce(cast(l_linenumber as varchar), ''), coalesce(cast(l_partkey as varchar), ''), coalesce(cast(l_suppkey as varchar), '')))")} AS h
+  FROM lineitem
+)
+SELECT ship_month, COUNT(*) AS n_rows, BIT_XOR(h) AS xor_checksum,
+       MIN(h) AS min_hash, MAX(h) AS max_hash
+FROM rows_h GROUP BY ship_month
+"""
+
+
+QUERIES = {
+    "snap_row_manifest": snap_row_manifest,
+    "snap_table_checksum": snap_table_checksum,
+    "snap_incr_watermark": snap_incr_watermark,
+    "snap_diff": snap_diff,
+    "snap_incr_antijoin": snap_incr_antijoin,
+    "snap_retention": snap_retention,
+    "snap_restore_asof": snap_restore_asof,
+    "snap_partition_stats": snap_partition_stats,
+}
+
+ORACLES = {
+    "snap_row_manifest": _SNAP_ROW_MANIFEST_SQL,
+    "snap_table_checksum": _SNAP_TABLE_CHECKSUM_SQL,
+    "snap_incr_watermark": _SNAP_INCR_WATERMARK_SQL,
+    "snap_diff": _SNAP_DIFF_SQL,
+    "snap_incr_antijoin": _SNAP_INCR_ANTIJOIN_SQL,
+    "snap_retention": _SNAP_RETENTION_SQL,
+    "snap_restore_asof": _SNAP_RESTORE_ASOF_SQL,
+    "snap_partition_stats": _SNAP_PARTITION_STATS_SQL,
+}

@@ -1,0 +1,18 @@
+"""§2A snapshot/backup suite vs DuckDB oracle at sf0.001."""
+
+import pytest
+
+from blog_snapshotbackup_azuredatalake_spark.operators import snapshot
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(snapshot.QUERIES))
+def test_snapshot_matches_oracle(spark, ddb, name):
+    df = snapshot.QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(df, ddb, snapshot.ORACLES[name])
+
+
+def test_snap_diff_classifies_all_three(spark):
+    df = snapshot.snap_diff(spark, SF_DIR)
+    kinds = {r["change_type"] for r in df.collect()}
+    assert kinds == {"added", "removed", "changed"}

@@ -1,0 +1,450 @@
+"""Deduplication operators for training-data curation (SURVEY.md §2C).
+
+Four strategies, all expressed so the scale path is a *blocked join*
+(inverted index / LSH band buckets / sign buckets) rather than an O(n²)
+crossJoin — candidate-pair cost is bounded by bucket sizes, which is what
+survives 100 TB. Exact verification (true Jaccard / Hamming / cosine)
+runs only on candidates.
+
+Shingles are token 5-grams: the driver corpus is a 31-word vocabulary, so
+unigrams saturate (every long doc shares most of the vocab) while 5-grams
+isolate the planted near-duplicates (25 pairs with J≥0.5 at sf0.01).
+All hashes are md5-derived (SURVEY.md §4) so the DuckDB oracle recomputes
+them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
+
+JACCARD_THRESHOLD = 0.5
+MINHASH_PERMS = 16  # 8 bands × 2 rows: P(candidate | J=0.5) ≈ 0.90
+MINHASH_BANDS = 8
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 4 bands of 8 bits ⇒ hamming ≤ 3 always shares a band
+HAMMING_THRESHOLD = 3
+EMB_COS_THRESHOLD = 0.3
+EMB_SIGN_DIMS = 8
+
+
+def _hash60(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+_SQL_HASH60 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _shingles() -> Column:
+    """Distinct token-5-gram strings of the `text` column."""
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 4),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+            F.element_at(toks, i + 4),
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+_SQL_SHINGLES = """list_distinct(list_transform(
+    range(1, len(string_split(text, ' ')) - 3),
+    i -> concat_ws(' ', string_split(text, ' ')[i],
+         string_split(text, ' ')[i+1], string_split(text, ' ')[i+2],
+         string_split(text, ' ')[i+3], string_split(text, ' ')[i+4])))"""
+
+
+def _jaccard(sa: Column, sb: Column) -> Column:
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    return inter / (F.size(sa) + F.size(sb) - F.size(F.array_intersect(sa, sb)))
+
+
+_SQL_JACCARD = (
+    "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+    " / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on content md5, canonical = min doc_id. One
+    shuffle on the 16-byte hash; at 100 TB the hash groupBy moves only
+    (hash, id) pairs and AQE splits any pathological hash skew."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select("doc_id", F.md5("text").alias("content_md5"))
+    canon = hashed.groupBy("content_md5").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return (
+        hashed.join(canon, "content_md5")
+        .select(
+            "doc_id",
+            "canonical_id",
+            "n_copies",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
+        )
+    )
+
+
+_DEDUP_EXACT_SQL = """
+WITH hashed AS (SELECT doc_id, md5(text) AS content_md5 FROM documents),
+canon AS (SELECT content_md5, MIN(doc_id) AS canonical_id,
+                 COUNT(*) AS n_copies
+          FROM hashed GROUP BY content_md5)
+SELECT doc_id, canonical_id, n_copies,
+       doc_id <> canonical_id AS is_dup
+FROM hashed JOIN canon USING (content_md5)
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram jaccard via inverted index
+# ---------------------------------------------------------------------------
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact shingle Jaccard, candidates from an
+    inverted shingle index (explode → self-join on shingle). Pair cost is
+    Σ posting_list², not n² — 5-gram postings are near-singletons."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _shingles().alias("sh")
+    )
+    postings = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    cand = (
+        postings.alias("x")
+        .join(postings.alias("y"), "shingle")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+_DEDUP_NGRAM_SQL = f"""
+WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents),
+postings AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM postings x JOIN postings y USING (shingle)
+         WHERE x.doc_id < y.doc_id)
+SELECT doc_a, doc_b, {_SQL_JACCARD} AS jaccard
+FROM cand
+JOIN sh a ON a.doc_id = doc_a
+JOIN sh b ON b.doc_id = doc_b
+WHERE {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def _minhash_col(j: int) -> Column:
+    return F.array_min(
+        F.transform(
+            F.col("sh"), lambda s: _hash60(F.concat(F.lit(f"{j}:"), s))
+        )
+    )
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) → 8 LSH bands of 2 → band-bucket self-join →
+    candidates verified with true Jaccard. The only shuffles are the
+    band-bucket join (keys are 16-byte band hashes) and the candidate
+    verify join; nothing is quadratic in corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _shingles().alias("sh")
+    )
+    mh = docs.select(
+        "doc_id",
+        "sh",
+        *[_minhash_col(j).alias(f"mh{j}") for j in range(MINHASH_PERMS)],
+    )
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                F.col(f"mh{2 * b}").cast("string"),
+                                F.col(f"mh{2 * b + 1}").cast("string"),
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band_id", "band_hash"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _minhash_sql() -> str:
+    h = _SQL_HASH60.format(x=f"concat('{{j}}:', s)")
+    mh_exprs = ",\n       ".join(
+        "list_min(list_transform(sh, s -> "
+        + _SQL_HASH60.format(x=f"concat('{j}:', s)")
+        + f")) AS mh{j}"
+        for j in range(MINHASH_PERMS)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"md5(concat_ws(',', CAST(mh{2 * b} AS VARCHAR), "
+        f"CAST(mh{2 * b + 1} AS VARCHAR))) AS band_hash FROM mh"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents),
+mh AS (SELECT doc_id,
+       {mh_exprs}
+       FROM sh),
+bands AS ({band_selects}),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y USING (band_id, band_hash)
+         WHERE x.doc_id < y.doc_id)
+SELECT doc_a, doc_b, {_SQL_JACCARD} AS jaccard
+FROM cand
+JOIN sh a ON a.doc_id = doc_a
+JOIN sh b ON b.doc_id = doc_b
+WHERE {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over shingle hashes; pairs at Hamming ≤ 3 found by
+    blocking on the 4 bytes (a pair within threshold must share ≥1 exact
+    byte — pigeonhole), then verified with bit_count(xor)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _shingles().alias("sh")
+    )
+    hashed = docs.select(
+        "doc_id",
+        F.transform(F.col("sh"), lambda s: _hash60(s)).alias("hs"),
+        F.size("sh").alias("n"),
+    )
+    def _bit_test(b: int):
+        # closure factory: a default-arg lambda would look 2-ary to
+        # F.filter and get the element index as its second argument
+        return lambda v: F.shiftright(v, b).bitwiseAND(F.lit(1)) == 1
+
+    simhash = F.lit(0).cast("bigint")
+    for b in range(SIMHASH_BITS):
+        bit_cnt = F.size(F.filter(F.col("hs"), _bit_test(b)))
+        simhash = simhash + F.when(
+            bit_cnt * 2 > F.col("n"), F.shiftleft(F.lit(1).cast("bigint"), b)
+        ).otherwise(F.lit(0).cast("bigint"))
+    sim = hashed.select("doc_id", simhash.alias("simhash"))
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_id"),
+                        F.shiftright(F.col("simhash"), 8 * k)
+                        .bitwiseAND(F.lit(255))
+                        .alias("band_val"),
+                    )
+                    for k in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band_id", "band_val"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sim_a"),
+            F.col("y.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        .cast("int")
+        .alias("hamming"),
+    ).filter(F.col("hamming") <= HAMMING_THRESHOLD)
+
+
+def _simhash_sql() -> str:
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {k} AS band_id,"
+        f" (simhash >> {8 * k}) & 255 AS band_val FROM sim"
+        for k in range(SIMHASH_BANDS)
+    )
+    bit_terms = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(hs, v -> (v >> {b}) & 1 = 1)) > n"
+        f" THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    h = _SQL_HASH60.format(x="s")
+    return f"""
+WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents),
+hashed AS (SELECT doc_id, list_transform(sh, s -> {h}) AS hs,
+                  len(sh) AS n FROM sh),
+sim AS (SELECT doc_id, {bit_terms} AS simhash FROM hashed),
+bands AS ({band_selects}),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                x.simhash AS sim_a, y.simhash AS sim_b
+         FROM bands x JOIN bands y USING (band_id, band_val)
+         WHERE x.doc_id < y.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {HAMMING_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (cosine + sign-LSH blocking)
+# ---------------------------------------------------------------------------
+
+
+def _sign_bucket(col: Column, dims: int) -> Column:
+    return F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at(col, i + 1) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for i in range(dims)
+        ],
+    )
+
+
+def _dot_cos(a: Column, b: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    return dot / (norm(a) * norm(b))
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: block on the sign pattern of the first 8
+    dims (256 buckets — near-identical vectors almost surely collide),
+    verify cosine within buckets. Join cost is Σ bucket², not n²."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        _sign_bucket(F.col("embedding"), EMB_SIGN_DIMS).alias("bucket"),
+    )
+    pairs = (
+        emb.alias("x")
+        .join(emb.alias("y"), "bucket")
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            _dot_cos(F.col("x.embedding"), F.col("y.embedding")).alias("cos"),
+        )
+    )
+    return pairs.filter(F.col("cos") >= EMB_COS_THRESHOLD)
+
+
+_SQL_COS = """(
+  list_reduce(list_transform(range(1, 1 + len(a.embedding)),
+    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+    (x, y) -> x + y)
+  / (sqrt(list_reduce(list_transform(a.embedding,
+       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+   * sqrt(list_reduce(list_transform(b.embedding,
+       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)))
+)"""
+
+_SQL_BUCKET = (
+    "list_aggregate(list_transform(embedding[1:"
+    + str(EMB_SIGN_DIMS)
+    + "], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '')"
+)
+
+_DEDUP_EMBEDDING_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_SQL_COS} AS cos
+FROM emb a JOIN emb b USING (bucket)
+WHERE a.vec_id < b.vec_id AND {_SQL_COS} >= {EMB_COS_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding": dedup_embedding,
+}
+
+ORACLES = {
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
+    "dedup_minhash": _minhash_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "dedup_embedding": _DEDUP_EMBEDDING_SQL,
+}

@@ -1,0 +1,293 @@
+"""Text-analysis operators for training-data curation (SURVEY.md §2C).
+
+All four operators run entirely in JVM built-ins (split / filter /
+aggregate / transform over the token array) — whole-stage codegen, no
+Python in the hot path, embarrassingly parallel over documents. Ratios
+are double divisions of exact integer counts so Spark and the DuckDB
+oracle agree bit-for-bit (SURVEY.md §4).
+
+The driver's synthetic corpus is lowercase `[a-z ]` text over a 31-word
+vocabulary, so tokenization is a literal space split and the language-ID
+"stopword" sets are disjoint slices of that vocabulary. With a real corpus
+you would swap `_STOP_SETS` for per-language function-word lists and the
+tokenizer for a unicode-aware regexp — the plans are unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
+
+# Deterministic per-language marker-word sets (disjoint vocab slices).
+_STOP_SETS = {
+    "de": ["order", "group", "window", "hash"],
+    "en": ["the", "a", "fast", "big"],
+    "es": ["table", "row", "line", "data"],
+    "fr": ["join", "merge", "sort", "filter"],
+    "zh": ["scan", "batch", "stream", "vector"],
+}
+
+_GENERIC_STOPWORDS = ["the", "a", "of", "and", "in"]
+
+
+def _tokens() -> F.Column:
+    return F.split(F.col("text"), " ")
+
+
+def _count_in(tokens: F.Column, words: list[str]) -> F.Column:
+    """Duplicate-inclusive count of tokens that appear in `words`."""
+    return F.size(
+        F.filter(tokens, lambda t: t.isin(words))
+    ).cast("bigint")
+
+
+def _sql_count_in(words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(toks, t -> list_contains([{lst}], t)))"
+
+
+def text_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics per source: whitespace tokens plus a
+    BPE-ish estimate (ceil(len/4) subword units per word)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    per_doc = docs.select(
+        "source",
+        F.size(toks).cast("bigint").alias("ws_tokens"),
+        F.aggregate(
+            toks,
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc
+            + F.ceil(F.length(t) / F.lit(4.0)).cast("bigint"),
+        ).alias("bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        (
+            F.sum("ws_tokens").cast("double") / F.count(F.lit(1))
+        ).alias("avg_tokens_per_doc"),
+    )
+
+
+_TOKENCOUNT_SQL = """
+WITH per_doc AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS ws_tokens,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+              t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT)
+           AS bpe_tokens,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(ws_tokens) AS total_ws_tokens,
+       SUM(bpe_tokens) AS total_bpe_tokens,
+       SUM(n_chars) AS total_chars,
+       CAST(SUM(ws_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc
+FROM per_doc GROUP BY source
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality score from length, lexical diversity, and
+    stopword density — the pre-training filter signal. Pure arithmetic
+    on counts; no logs or other non-correctly-rounded functions, so the
+    score is reproducible bit-for-bit on any engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        _count_in(toks, _GENERIC_STOPWORDS).alias("n_stop"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    n = F.col("n_tokens").cast("double")
+    distinct_ratio = F.col("n_distinct").cast("double") / n
+    stop_ratio = F.col("n_stop").cast("double") / n
+    mean_word_len = (
+        F.col("n_chars") - (F.col("n_tokens") - 1)
+    ).cast("double") / n
+    length_score = F.least(F.col("n_tokens"), F.lit(64)).cast("double") / 64.0
+    len_norm = F.least(mean_word_len, F.lit(8.0)) / 8.0
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        distinct_ratio.alias("distinct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_word_len.alias("mean_word_len"),
+        (
+            0.4 * distinct_ratio
+            - 0.2 * stop_ratio
+            + 0.3 * length_score
+            + 0.1 * len_norm
+        ).alias("quality_score"),
+    )
+
+
+_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         (SELECT {_sql_count_in(_GENERIC_STOPWORDS)}
+          FROM (SELECT string_split(text, ' ') AS toks)) AS n_stop,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+       CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+       CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_word_len,
+       0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+     - 0.2 * (CAST(n_stop AS DOUBLE) / n_tokens)
+     + 0.3 * (CAST(least(n_tokens, 64) AS DOUBLE) / 64.0)
+     + 0.1 * (least(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens, 8.0)
+              / 8.0)
+       AS quality_score
+FROM base
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word-ratio language ID: score each language's word set,
+    argmax with alphabetical tiebreak. One narrow projection, no
+    shuffle; the marker arrays live in the closure (broadcast-free)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("double").alias("n"),
+        *[
+            _count_in(toks, words).alias(f"c_{lang}")
+            for lang, words in sorted(_STOP_SETS.items())
+        ],
+    )
+    scores = {
+        lang: (F.col(f"c_{lang}") / F.col("n")) for lang in _STOP_SETS
+    }
+    langs = sorted(_STOP_SETS)
+    best = F.greatest(*[scores[lg] for lg in langs])
+    pred = F.coalesce(
+        *[F.when(scores[lg] == best, F.lit(lg)) for lg in langs]
+    )
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        best.alias("best_score"),
+        (
+            F.coalesce(
+                *[F.when(F.lit(lg) == F.col("lang"), scores[lg]) for lg in langs]
+            )
+        ).alias("labeled_score"),
+    )
+
+
+def _langid_sql() -> str:
+    langs = sorted(_STOP_SETS)
+    score_exprs = ",\n         ".join(
+        f"CAST({_sql_count_in(_STOP_SETS[lg])} AS DOUBLE) / len(toks) AS s_{lg}"
+        for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    pred = (
+        "CASE "
+        + " ".join(f"WHEN s_{lg} = best THEN '{lg}'" for lg in langs)
+        + " END"
+    )
+    labeled = (
+        "CASE "
+        + " ".join(f"WHEN lang = '{lg}' THEN s_{lg}" for lg in langs)
+        + " END"
+    )
+    return f"""
+WITH toked AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         {score_exprs}
+  FROM toked
+), best AS (
+  SELECT *, {best} AS best FROM scored
+)
+SELECT doc_id, lang AS labeled_lang, {pred} AS predicted_lang,
+       best AS best_score, {labeled} AS labeled_score
+FROM best
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact content md5 plus a winnowing-style
+    minimum over token-5-gram hashes (robust to local edits — two docs
+    sharing the min shingle hash are near-dup candidates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    with_toks = docs.select("doc_id", F.md5("text").alias("content_md5"), toks.alias("toks"))
+    n = F.size("toks")
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(0), n - 5),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at("toks", i + 1),
+                        F.element_at("toks", i + 2),
+                        F.element_at("toks", i + 3),
+                        F.element_at("toks", i + 4),
+                        F.element_at("toks", i + 5),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    return with_toks.select(
+        "doc_id",
+        "content_md5",
+        (n - 4).cast("bigint").alias("n_shingles"),
+        F.array_min(shingle_hashes).alias("winnow_min_hash"),
+    )
+
+
+_FINGERPRINT_SQL = """
+WITH toked AS (
+  SELECT doc_id, md5(text) AS content_md5,
+         string_split(text, ' ') AS toks
+  FROM documents
+)
+SELECT doc_id, content_md5,
+       CAST(len(toks) - 4 AS BIGINT) AS n_shingles,
+       list_min(list_transform(range(1, len(toks) - 3),
+         i -> CAST(concat('0x', substr(md5(
+                concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                          toks[i+3], toks[i+4])), 1, 15)) AS BIGINT)))
+         AS winnow_min_hash
+FROM toked
+"""
+
+
+QUERIES = {
+    "text_tokencount": text_tokencount,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLES = {
+    "text_tokencount": _TOKENCOUNT_SQL,
+    "text_quality": _QUALITY_SQL,
+    "text_langid": _langid_sql(),
+    "text_fingerprint": _FINGERPRINT_SQL,
+}

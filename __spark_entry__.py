@@ -56,6 +56,12 @@ def _registry() -> tuple[dict, dict]:
         modules.append(multimodal)
     except ImportError:
         pass
+    try:
+        import blog_snapshotbackup_azuredatalake_spark.streaming.entries as stream_entries
+
+        modules.append(stream_entries)
+    except ImportError:
+        pass
     for mod in modules:
         queries.update(getattr(mod, "QUERIES", {}))
         oracles.update(getattr(mod, "ORACLES", {}))

@@ -1,0 +1,200 @@
+"""SnapshotManager: the materialized backup lifecycle (SURVEY.md §2A).
+
+Where ``operators.snapshot`` exposes the *plans* (manifest/diff/verify as
+oracle-checkable queries), this class performs the actual storage
+operations the reference's backup scripts do — against any Hadoop-FS
+compatible URI (local path in tests, ``abfss://`` on ADLS in production;
+Spark's writers are storage-agnostic).
+
+Layout under ``backup_root``::
+
+    <table>/snap_<id>/data/      full rows (snapshot 0) or delta rows
+    <table>/snap_<id>/manifest/  (key, row_md5) parquet
+    <table>/snap_<id>/meta.json  {id, base, kind}
+
+Incremental snapshots are *differential*: each stores changed+added rows
+plus tombstones relative to the latest FULL snapshot, so restore is a
+single two-way merge (base + one delta, newest version per key winning
+via a row_number window) and retention can drop any intermediate delta
+without breaking later ones. All heavy operations are manifest
+hash-joins: row payloads move only when they actually changed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from blog_snapshotbackup_azuredatalake_spark.functions.hashing import row_hash
+
+
+class SnapshotManager:
+    def __init__(self, spark: SparkSession, backup_root: str):
+        self.spark = spark
+        self.root = backup_root
+
+    # -- paths ------------------------------------------------------------
+    def _dir(self, table: str, snap_id: int) -> str:
+        return f"{self.root}/{table}/snap_{snap_id:06d}"
+
+    def _meta_path(self, table: str, snap_id: int) -> str:
+        return f"{self._dir(table, snap_id)}/meta.json"
+
+    def snapshot_ids(self, table: str) -> list[int]:
+        base = f"{self.root}/{table}"
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            int(d.split("_")[1])
+            for d in os.listdir(base)
+            if d.startswith("snap_")
+        )
+
+    def _read_meta(self, table: str, snap_id: int) -> dict:
+        with open(self._meta_path(table, snap_id)) as f:
+            return json.load(f)
+
+    # -- manifest ---------------------------------------------------------
+    @staticmethod
+    def _manifest(df: DataFrame, key: str) -> DataFrame:
+        cols = sorted(df.columns)
+        return df.select(
+            F.col(key).alias("key"), row_hash(*cols).alias("row_md5")
+        )
+
+    # -- snapshot ---------------------------------------------------------
+    def snapshot(self, df: DataFrame, table: str, key: str) -> int:
+        """Write the next snapshot: full copy if none exists, else a
+        differential delta against the latest FULL snapshot's manifest."""
+        ids = self.snapshot_ids(table)
+        snap_id = (ids[-1] + 1) if ids else 0
+        d = self._dir(table, snap_id)
+        if not ids:
+            df.write.mode("errorifexists").parquet(f"{d}/data")
+            self._manifest(df, key).write.parquet(f"{d}/manifest")
+            meta = {"id": snap_id, "base": None, "kind": "full", "key": key}
+        else:
+            base_id = max(
+                i for i in ids if self._read_meta(table, i)["kind"] == "full"
+            )
+            prev = self.spark.read.parquet(
+                f"{self._dir(table, base_id)}/manifest"
+            )
+            cur = self._manifest(df, key).cache()
+            # changed+added rows: manifest anti-join, then semi-join the
+            # payload — only rows that differ are read out of the source
+            changed_keys = cur.join(prev, ["key", "row_md5"], "left_anti")
+            delta = df.join(
+                changed_keys.select("key").withColumnRenamed("key", key),
+                key,
+                "left_semi",
+            ).withColumn("_tombstone", F.lit(False))
+            removed = (
+                prev.join(cur, "key", "left_anti")
+                .select(F.col("key").alias(key))
+                .withColumn("_tombstone", F.lit(True))
+            )
+            # align schemas: tombstones carry only the key
+            for c in df.columns:
+                if c != key:
+                    removed = removed.withColumn(
+                        c, F.lit(None).cast(dict(df.dtypes)[c])
+                    )
+            delta.unionByName(removed.select(delta.columns)).write.parquet(
+                f"{d}/data"
+            )
+            cur.write.parquet(f"{d}/manifest")
+            cur.unpersist()
+            meta = {
+                "id": snap_id,
+                "base": base_id,
+                "kind": "incremental",
+                "key": key,
+            }
+        os.makedirs(d, exist_ok=True)
+        with open(self._meta_path(table, snap_id), "w") as f:
+            json.dump(meta, f)
+        return snap_id
+
+    # -- restore ----------------------------------------------------------
+    def restore(self, table: str, snap_id: int) -> DataFrame:
+        """Materialize the table state at `snap_id`: replay deltas onto
+        the base full snapshot, newest version per key winning."""
+        chain: list[dict] = []
+        cur: int | None = snap_id
+        while cur is not None:
+            meta = self._read_meta(table, cur)
+            chain.append(meta)
+            cur = meta["base"]
+        chain.reverse()  # base full snapshot first
+        key = chain[0]["key"]
+        parts = []
+        for depth, meta in enumerate(chain):
+            df = self.spark.read.parquet(f"{self._dir(table, meta['id'])}/data")
+            if "_tombstone" not in df.columns:
+                df = df.withColumn("_tombstone", F.lit(False))
+            parts.append(df.withColumn("_version", F.lit(depth)))
+        all_rows = parts[0]
+        for p in parts[1:]:
+            all_rows = all_rows.unionByName(p)
+        w = Window.partitionBy(key).orderBy(F.col("_version").desc())
+        return (
+            all_rows.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (~F.col("_tombstone")))
+            .drop("_rn", "_version", "_tombstone")
+        )
+
+    # -- verify -----------------------------------------------------------
+    def verify(self, df: DataFrame, table: str, snap_id: int) -> dict:
+        """Compare live data against a snapshot via manifests: returns
+        counts of matching / changed / missing / extra keys. Shuffles
+        only (key, hash) pairs."""
+        key = self._read_meta(table, snap_id)["key"]
+        snap = self.spark.read.parquet(f"{self._dir(table, snap_id)}/manifest")
+        live = self._manifest(df, key)
+        j = live.alias("l").join(
+            snap.alias("s"), F.col("l.key") == F.col("s.key"), "full_outer"
+        )
+        agg = j.agg(
+            F.sum(
+                (F.col("l.row_md5") == F.col("s.row_md5")).cast("long")
+            ).alias("matching"),
+            F.sum(
+                (
+                    F.col("l.row_md5").isNotNull()
+                    & F.col("s.row_md5").isNotNull()
+                    & (F.col("l.row_md5") != F.col("s.row_md5"))
+                ).cast("long")
+            ).alias("changed"),
+            F.sum(F.col("l.key").isNull().cast("long")).alias("missing_live"),
+            F.sum(F.col("s.key").isNull().cast("long")).alias("extra_live"),
+        ).collect()[0]
+        out = agg.asDict()
+        out["ok"] = (
+            (out["changed"] or 0) == 0
+            and (out["missing_live"] or 0) == 0
+            and (out["extra_live"] or 0) == 0
+        )
+        return out
+
+    # -- retention --------------------------------------------------------
+    def purge(self, table: str, keep_last: int) -> list[int]:
+        """Delete snapshots beyond the newest `keep_last`, never removing
+        a full snapshot an incremental still depends on."""
+        import shutil
+
+        ids = self.snapshot_ids(table)
+        keep = set(ids[-keep_last:]) if keep_last else set(ids)
+        # walk dependency chains of kept snapshots
+        for sid in list(keep):
+            cur = self._read_meta(table, sid)["base"]
+            while cur is not None:
+                keep.add(cur)
+                cur = self._read_meta(table, cur)["base"]
+        purged = [i for i in ids if i not in keep]
+        for sid in purged:
+            shutil.rmtree(self._dir(table, sid))
+        return purged

@@ -1,0 +1,93 @@
+"""Driver-facing wrappers for the streaming operators (SURVEY.md §2A/§2D).
+
+Streaming semantics can't be expressed as a single DuckDB SQL statement,
+so these are rows-only entries: each wrapper drives the real Structured
+Streaming query to completion with ``Trigger.AvailableNow`` against the
+sf-dir's ``events`` table, then returns the drained result as a bounded
+DataFrame whose content is deterministic for a given sf dir.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
+from blog_snapshotbackup_azuredatalake_spark.streaming.incremental import (
+    incremental_sync,
+    run_windowed_stream,
+)
+from blog_snapshotbackup_azuredatalake_spark.streaming.sessions import (
+    sessionize_stream,
+)
+
+
+def stream_incr_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once file-source incremental sync of `events` into a
+    scratch backup dir; returns the synced rows (count must equal the
+    source count — the rows-only invariant)."""
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="stream_incr_sync_")
+    src, dst, ckpt = f"{work}/landing", f"{work}/backup", f"{work}/ckpt"
+    events.write.parquet(src)
+    incremental_sync(spark, src, dst, ckpt, events.schema)
+    # idempotence: a second catch-up run appends nothing
+    incremental_sync(spark, src, dst, ckpt, events.schema)
+    return spark.read.parquet(dst)
+
+
+def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window event counts, driven as a real stream
+    into an in-memory sink."""
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="stream_windowed_")
+    src = f"{work}/events_src"
+    events.write.parquet(src)
+    name = f"wc_{uuid.uuid4().hex[:8]}"
+    return run_windowed_stream(
+        spark, src, f"{work}/ckpt", events.schema, name
+    )
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful sessionization via applyInPandasWithState; emits every
+    session closed within the drained stream (open sessions stay in
+    state — deterministic for a bounded input)."""
+    from blog_snapshotbackup_azuredatalake_spark.session import (
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers(spark)  # sessionizer UDF unpickles on workers
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    work = tempfile.mkdtemp(prefix="stream_sessionize_")
+    src = f"{work}/events_src"
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    # no availableNow: stateful timeouts keep scheduling batches under it
+    # and awaitTermination never returns; drain + stop instead.
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+QUERIES = {
+    "stream_incr_sync": stream_incr_sync,
+    "stream_windowed_agg": stream_windowed_agg,
+    "stream_sessionize": stream_sessionize,
+}
+
+ORACLES: dict[str, str] = {}  # rows-only: streaming is not SQL-expressible

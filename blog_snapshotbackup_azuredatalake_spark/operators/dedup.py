@@ -9,11 +9,23 @@ runs only on candidates.
 Shingles are token 5-grams: the driver corpus is a 31-word vocabulary, so
 unigrams saturate (every long doc shares most of the vocab) while 5-grams
 isolate the planted near-duplicates (25 pairs with J≥0.5 at sf0.01).
-All hashes are md5-derived (SURVEY.md §4) so the DuckDB oracle recomputes
-them exactly.
+
+Shingles are carried as NUMERIC rolling hashes, never as strings: one
+md5 per token (the only md5 in the whole pipeline — SURVEY.md §4's
+portable primitive), then 5-gram fingerprints by polynomial combination
+mod a 31-bit prime, minhash permutations as affine maps over those
+fingerprints, and band keys as packed bigints. Everything downstream of
+tokenization is integer arithmetic inside whole-stage codegen; the
+DuckDB oracle recomputes the identical integers. (An earlier revision
+built 5-gram *strings* and re-md5'd them 16× for minhash — 3× slower
+end-to-end.) 31-bit fingerprints keep every product below 2^62: Spark
+would wrap silently on bigint overflow while DuckDB throws, so staying
+overflow-free is what keeps the two engines bit-identical.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,6 +41,23 @@ HAMMING_THRESHOLD = 3
 EMB_COS_THRESHOLD = 0.3
 EMB_SIGN_DIMS = 8
 
+P31 = 2_147_483_647  # 2^31 - 1 (prime); all fingerprints live in [0, P31)
+K_POLY = 1_000_003  # rolling-hash base, < 2^31 so products stay < 2^62
+
+
+def _affine_consts(tag: str, n: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for affine hashes mod P31, derived
+    from md5 so Spark and the DuckDB oracle embed identical literals."""
+    out = []
+    for j in range(n):
+        h = hashlib.md5(f"{tag}{j}".encode()).hexdigest()
+        out.append((int(h[:8], 16) % (P31 - 1) + 1, int(h[8:16], 16) % P31))
+    return out
+
+
+_MINHASH_AB = _affine_consts("perm", MINHASH_PERMS)
+_SIMHASH_AB = _affine_consts("sim", 2)
+
 
 def _hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
@@ -37,28 +66,49 @@ def _hash60(col: Column) -> Column:
 _SQL_HASH60 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
 
 
-def _shingles() -> Column:
-    """Distinct token-5-gram strings of the `text` column."""
-    toks = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 4),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-            F.element_at(toks, i + 3),
-            F.element_at(toks, i + 4),
-        ),
+def _docs_with_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as (doc_id, sh: array<bigint>) — distinct token-5-gram
+    fingerprints in [0, P31): md5-hash each token once, then fold 5-token
+    windows with the rolling polynomial (acc * K + tok) mod P. No gram
+    strings are materialized.
+
+    Two separate projections on purpose: the token-hash array must be a
+    bound column before the gram lambda indexes into it five times —
+    inlined, Catalyst re-evaluates the whole split+md5 array per
+    element_at, turning O(n) token hashing into O(n²) per document
+    (measured 12× slower end-to-end at sf0.1)."""
+    toks = F.transform(
+        F.split(F.col("text"), " "), lambda t: _hash60(t) % P31
     )
-    return F.array_distinct(grams)
+    th = F.col("th")
+
+    def gram(i: Column) -> Column:
+        acc = F.element_at(th, i)
+        for off in range(1, 5):
+            acc = (acc * K_POLY + F.element_at(th, i + off)) % P31
+        return acc
+
+    grams = F.transform(F.sequence(F.lit(1), F.size(th) - 4), gram)
+    sh = F.when(F.size(th) >= 5, F.array_distinct(grams)).otherwise(
+        F.expr("CAST(array() AS array<bigint>)")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", toks.alias("th")).select(
+        "doc_id", sh.alias("sh")
+    )
 
 
-_SQL_SHINGLES = """list_distinct(list_transform(
-    range(1, len(string_split(text, ' ')) - 3),
-    i -> concat_ws(' ', string_split(text, ' ')[i],
-         string_split(text, ' ')[i+1], string_split(text, ' ')[i+2],
-         string_split(text, ' ')[i+3], string_split(text, ' ')[i+4])))"""
+_SQL_TOKH = "list_transform(string_split(text, ' '), t -> " + _SQL_HASH60.format(
+    x="t"
+) + " % 2147483647)"
+
+_SQL_GRAM_HASHES = f"""list_distinct(list_transform(
+    range(1, greatest(len(th) - 3, 1)),
+    i -> ((((((((th[i] * {K_POLY} + th[i+1]) % {P31}) * {K_POLY} + th[i+2])
+         % {P31}) * {K_POLY} + th[i+3]) % {P31}) * {K_POLY} + th[i+4]) % {P31})
+))"""
+# NB: range(1, x) is already empty for x < 2 in DuckDB; the greatest() only
+# guards the Spark side, where sequence(1, n) runs DESCENDING for n < 1.
 
 
 def _jaccard(sa: Column, sb: Column) -> Column:
@@ -70,6 +120,11 @@ _SQL_JACCARD = (
     "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
     " / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
 )
+
+_SQL_SH_CTE = f"""sh AS (
+  SELECT doc_id, {_SQL_GRAM_HASHES} AS sh
+  FROM (SELECT doc_id, {_SQL_TOKH} AS th FROM documents)
+)"""
 
 
 # ---------------------------------------------------------------------------
@@ -116,15 +171,20 @@ FROM hashed JOIN canon USING (content_md5)
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact shingle Jaccard, candidates from an
-    inverted shingle index (explode → self-join on shingle). Pair cost is
-    Σ posting_list², not n² — 5-gram postings are near-singletons."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", _shingles().alias("sh")
+    inverted shingle index (explode → self-join on the bigint gram
+    fingerprint). Pair cost is Σ posting_list², not n² — 5-gram postings
+    are near-singletons."""
+    docs = _docs_with_grams(spark, sf_dir)
+    # explode_OUTER + post-filter, not plain explode: explode makes
+    # Catalyst infer `size(sh) > 0` and push it below the projections
+    # with the whole gram expression inlined — re-evaluated per row in an
+    # interpreted Filter (measured 120s vs 2s for this scan at sf0.1).
+    postings = docs.select("doc_id", F.explode_outer("sh").alias("g")).filter(
+        F.col("g").isNotNull()
     )
-    postings = docs.select("doc_id", F.explode("sh").alias("shingle"))
     cand = (
         postings.alias("x")
-        .join(postings.alias("y"), "shingle")
+        .join(postings.alias("y"), "g")
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
@@ -146,10 +206,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEDUP_NGRAM_SQL = f"""
-WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents),
-postings AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+WITH {_SQL_SH_CTE},
+postings AS (SELECT doc_id, unnest(sh) AS g FROM sh),
 cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         FROM postings x JOIN postings y USING (shingle)
+         FROM postings x JOIN postings y USING (g)
          WHERE x.doc_id < y.doc_id)
 SELECT doc_a, doc_b, {_SQL_JACCARD} AS jaccard
 FROM cand
@@ -165,21 +225,17 @@ WHERE {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
 
 
 def _minhash_col(j: int) -> Column:
-    return F.array_min(
-        F.transform(
-            F.col("sh"), lambda s: _hash60(F.concat(F.lit(f"{j}:"), s))
-        )
-    )
+    a, b = _MINHASH_AB[j]
+    return F.array_min(F.transform(F.col("sh"), lambda v: (v * a + b) % P31))
 
 
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16) → 8 LSH bands of 2 → band-bucket self-join →
-    candidates verified with true Jaccard. The only shuffles are the
-    band-bucket join (keys are 16-byte band hashes) and the candidate
-    verify join; nothing is quadratic in corpus size."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", _shingles().alias("sh")
-    )
+    """MinHash(16 affine perms over gram fingerprints) → 8 LSH bands of
+    2 → band-bucket self-join → candidates verified with true Jaccard.
+    The only shuffles are the band-bucket join (keys are packed bigints)
+    and the candidate verify join; nothing is quadratic in corpus
+    size."""
+    docs = _docs_with_grams(spark, sf_dir)
     mh = docs.select(
         "doc_id",
         "sh",
@@ -187,17 +243,17 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bands = mh.select(
         "doc_id",
-        F.explode(
+        # explode_outer: the band array is constant-size 8, and plain
+        # explode would infer a size()>0 filter that re-inlines all 16
+        # minhash expressions below this projection (see postings above)
+        F.explode_outer(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                F.col(f"mh{2 * b}").cast("string"),
-                                F.col(f"mh{2 * b + 1}").cast("string"),
-                            )
+                        # both minhashes < 2^31: pack into one bigint key
+                        (
+                            F.col(f"mh{2 * b}") * P31 + F.col(f"mh{2 * b + 1}")
                         ).alias("band_hash"),
                     )
                     for b in range(MINHASH_BANDS)
@@ -229,21 +285,18 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql() -> str:
-    h = _SQL_HASH60.format(x=f"concat('{{j}}:', s)")
     mh_exprs = ",\n       ".join(
-        "list_min(list_transform(sh, s -> "
-        + _SQL_HASH60.format(x=f"concat('{j}:', s)")
-        + f")) AS mh{j}"
-        for j in range(MINHASH_PERMS)
+        f"list_min(list_transform(sh, v -> (v * {a} + {b}) % {P31}))"
+        f" AS mh{j}"
+        for j, (a, b) in enumerate(_MINHASH_AB)
     )
     band_selects = "\nUNION ALL\n".join(
         f"SELECT doc_id, {b} AS band_id, "
-        f"md5(concat_ws(',', CAST(mh{2 * b} AS VARCHAR), "
-        f"CAST(mh{2 * b + 1} AS VARCHAR))) AS band_hash FROM mh"
+        f"mh{2 * b} * {P31} + mh{2 * b + 1} AS band_hash FROM mh"
         for b in range(MINHASH_BANDS)
     )
     return f"""
-WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents),
+WITH {_SQL_SH_CTE},
 mh AS (SELECT doc_id,
        {mh_exprs}
        FROM sh),
@@ -264,34 +317,55 @@ WHERE {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
 # ---------------------------------------------------------------------------
 
 
+def _mix32(v: Column) -> Column:
+    """Spread a 31-bit gram fingerprint over 32 well-mixed bits: two
+    independent affine maps mod P31 supply 16 bits each."""
+    (a1, b1), (a2, b2) = _SIMHASH_AB
+    hi = ((v * a1 + b1) % P31).bitwiseAND(F.lit(65535))
+    lo = ((v * a2 + b2) % P31).bitwiseAND(F.lit(65535))
+    return hi * 65536 + lo
+
+
+_SQL_MIX32 = (
+    f"((v * {_SIMHASH_AB[0][0]} + {_SIMHASH_AB[0][1]}) % {P31} & 65535)"
+    f" * 65536 + ((v * {_SIMHASH_AB[1][0]} + {_SIMHASH_AB[1][1]})"
+    f" % {P31} & 65535)"
+)
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash over shingle hashes; pairs at Hamming ≤ 3 found by
-    blocking on the 4 bytes (a pair within threshold must share ≥1 exact
-    byte — pigeonhole), then verified with bit_count(xor)."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", _shingles().alias("sh")
-    )
+    """32-bit SimHash over gram fingerprints; pairs at Hamming ≤ 3 found
+    by blocking on the 4 bytes (a pair within threshold must share ≥1
+    exact byte — pigeonhole), then verified with bit_count(xor). Bit
+    majorities fold with `aggregate` — pure integer adds, no per-bit
+    array materialization."""
+    docs = _docs_with_grams(spark, sf_dir)
     hashed = docs.select(
         "doc_id",
-        F.transform(F.col("sh"), lambda s: _hash60(s)).alias("hs"),
+        F.transform(F.col("sh"), _mix32).alias("hs"),
         F.size("sh").alias("n"),
     )
-    def _bit_test(b: int):
-        # closure factory: a default-arg lambda would look 2-ary to
-        # F.filter and get the element index as its second argument
-        return lambda v: F.shiftright(v, b).bitwiseAND(F.lit(1)) == 1
+
+    def _bit_sum(b: int) -> Column:
+        return F.aggregate(
+            F.col("hs"),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + F.shiftright(v, b).bitwiseAND(F.lit(1)),
+        )
 
     simhash = F.lit(0).cast("bigint")
     for b in range(SIMHASH_BITS):
-        bit_cnt = F.size(F.filter(F.col("hs"), _bit_test(b)))
         simhash = simhash + F.when(
-            bit_cnt * 2 > F.col("n"), F.shiftleft(F.lit(1).cast("bigint"), b)
+            _bit_sum(b) * 2 > F.col("n"),
+            F.shiftleft(F.lit(1).cast("bigint"), b),
         ).otherwise(F.lit(0).cast("bigint"))
     sim = hashed.select("doc_id", simhash.alias("simhash"))
     bands = sim.select(
         "doc_id",
         "simhash",
-        F.explode(
+        # explode_outer: constant-size array; avoids the inferred
+        # size()>0 filter inlining the simhash fold below this project
+        F.explode_outer(
             F.array(
                 *[
                     F.struct(
@@ -337,10 +411,9 @@ def _simhash_sql() -> str:
         f" THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END"
         for b in range(SIMHASH_BITS)
     )
-    h = _SQL_HASH60.format(x="s")
     return f"""
-WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents),
-hashed AS (SELECT doc_id, list_transform(sh, s -> {h}) AS hs,
+WITH {_SQL_SH_CTE},
+hashed AS (SELECT doc_id, list_transform(sh, v -> {_SQL_MIX32}) AS hs,
                   len(sh) AS n FROM sh),
 sim AS (SELECT doc_id, {bit_terms} AS simhash FROM hashed),
 bands AS ({band_selects}),

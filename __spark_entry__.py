@@ -57,6 +57,12 @@ def _registry() -> tuple[dict, dict]:
     except ImportError:
         pass
     try:
+        import blog_snapshotbackup_azuredatalake_spark.operators.curation as curation
+
+        modules.append(curation)
+    except ImportError:
+        pass
+    try:
         import blog_snapshotbackup_azuredatalake_spark.streaming.entries as stream_entries
 
         modules.append(stream_entries)

@@ -1,0 +1,51 @@
+"""§2C curation suite vs DuckDB oracle at sf0.001, plus semantic checks."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from blog_snapshotbackup_azuredatalake_spark.operators import curation
+from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(curation.QUERIES))
+def test_curation_matches_oracle(spark, ddb, name):
+    df = curation.QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(df, ddb, curation.ORACLES[name])
+
+
+def test_split_covers_corpus(spark):
+    stats = curation.corpus_split(spark, SF_DIR).collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in stats) == n_docs
+    splits = {r["split"] for r in stats}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+
+
+def test_chunks_reconstruct_token_counts(spark):
+    """Each doc's chunks must cover all tokens: with overlap o and stride
+    s, sum(chunk_tokens) == n + (n_chunks - 1) * o for full coverage."""
+    chunks = curation.doc_chunk(spark, SF_DIR)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.sum("chunk_tokens").alias("tok_sum"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")
+    )
+    bad = (
+        per_doc.join(docs, "doc_id")
+        .filter(
+            F.col("tok_sum")
+            != F.col("n") + (F.col("n_chunks") - 1) * curation.CHUNK_OVERLAP
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_centroid_assignment_partitions_corpus(spark):
+    stats = curation.emb_centroid_assign(spark, SF_DIR).collect()
+    n_vecs = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n_members"] for r in stats) == n_vecs
+    assert all(0 <= r["centroid_id"] < curation.N_CENTROIDS for r in stats)

@@ -1,0 +1,83 @@
+"""Plan-shape guards: the explain-audit findings as regression tests.
+
+These assert optimizer-visible properties (pushdown reached the scan,
+dims broadcast, no inlined heavy exprs below a Generate) so a refactor
+that silently degrades the 100 TB story fails CI, not the benchmark.
+"""
+
+import io
+import contextlib
+
+import pyspark.sql.functions as F
+
+from blog_snapshotbackup_azuredatalake_spark.operators import dedup, snapshot
+from blog_snapshotbackup_azuredatalake_spark.plans import analytics
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_filter_pushdown_reaches_scan(spark):
+    plan = _plan(analytics.q6_forecast_revenue(spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    pushed = [
+        line for line in plan.splitlines() if "PushedFilters" in line
+    ]
+    assert any("l_shipdate" in line or "GreaterThan" in line for line in pushed)
+
+
+def test_q6_scan_prunes_columns(spark):
+    plan = _plan(analytics.q6_forecast_revenue(spark, SF_DIR))
+    read = [line for line in plan.splitlines() if "ReadSchema" in line][0]
+    # 16-column lineitem must reach the scan as just the 4 used columns
+    assert read.count(":") - 1 <= 4, read
+
+
+def test_q3_dims_broadcast(spark):
+    plan = _plan(analytics.q3_shipping_priority(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_no_sort_merge_of_dims(spark):
+    plan = _plan(analytics.q5_local_supplier(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_watermark_pushdown(spark):
+    plan = _plan(snapshot.snap_incr_watermark(spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+
+
+def test_no_heavy_expr_below_generate(spark):
+    """The inferred-filter explode trap (SURVEY.md §6): no md5 may appear
+    in a Filter node of the postings plan — gram hashing must stay in
+    the projections."""
+    docs = dedup._docs_with_grams(spark, SF_DIR)
+    postings = docs.select(
+        "doc_id", F.explode_outer("sh").alias("g")
+    ).filter(F.col("g").isNotNull())
+    plan = _plan(postings)
+    for block in plan.split("\n\n"):
+        if block.strip().startswith(("(3) Filter", "Condition")) or (
+            "Filter" in block.splitlines()[0] if block.splitlines() else False
+        ):
+            assert "md5" not in block, block[:500]
+
+
+def test_gram_projection_is_two_step(spark):
+    """Token-hash array must be bound as its own projection (th) before
+    the gram lambda indexes it — collapsed, md5 work goes quadratic."""
+    plan = _plan(dedup._docs_with_grams(spark, SF_DIR))
+    gram_projects = [
+        block
+        for block in plan.split("\n(")
+        if block.startswith(tuple("0123456789")) and "Project" in block
+    ]
+    # the projection computing sh must reference th#, not split(text
+    sh_blocks = [b for b in gram_projects if " AS sh#" in b]
+    assert sh_blocks and all("split(text" not in b for b in sh_blocks)

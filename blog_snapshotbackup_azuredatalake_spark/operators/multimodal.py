@@ -81,27 +81,42 @@ def _decode_payload(payload: bytes) -> tuple[str, int, int, bytes]:
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: decode → feature-extract → thumbnail-resize
-    (metadata math) → frame hash. One Arrow batch in, one out."""
+    (metadata math) → frame hash. One Arrow batch in, one out. Zipped
+    column iteration, not iterrows — iterrows boxes every value into a
+    per-row Series and was the batch's dominant cost."""
     for pdf in batches:
         out = []
-        for _, row in pdf.iterrows():
-            fmt, w, h, pixels = _decode_payload(bytes(row["payload"]))
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            fmt, w, h, pixels = _decode_payload(bytes(payload))
             mean_byte = sum(pixels) / len(pixels) if pixels else 0.0
             scale = max(w, h) / 32 or 1
             out.append(
-                {
-                    "doc_id": row["doc_id"],
-                    "fmt": fmt,
-                    "width": w,
-                    "height": h,
-                    "n_bytes": len(row["payload"]),
-                    "mean_byte": mean_byte,
-                    "thumb_width": int(w / scale),
-                    "thumb_height": int(h / scale),
-                    "frame_hash": hashlib.md5(pixels).hexdigest(),
-                }
+                (
+                    doc_id,
+                    fmt,
+                    w,
+                    h,
+                    len(payload),
+                    mean_byte,
+                    int(w / scale),
+                    int(h / scale),
+                    hashlib.md5(pixels).hexdigest(),
+                )
             )
-        yield pd.DataFrame(out)
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id",
+                "fmt",
+                "width",
+                "height",
+                "n_bytes",
+                "mean_byte",
+                "thumb_width",
+                "thumb_height",
+                "frame_hash",
+            ],
+        )
 
 
 def mm_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

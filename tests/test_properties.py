@@ -1,0 +1,149 @@
+"""Property tests (hypothesis) for the portable hash/vector helpers.
+
+These run the Spark expressions against a python/duckdb model over
+generated inputs — the helpers are the trust anchor for every manifest
+and oracle comparison, so they get adversarial inputs, not just the
+testdata distributions.
+"""
+
+import hashlib
+import math
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from blog_snapshotbackup_azuredatalake_spark.functions.hashing import (
+    SEP,
+    md5_int60,
+    row_hash,
+    sql_md5_int60,
+)
+from blog_snapshotbackup_azuredatalake_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+)
+
+# no control chars (SEP itself excluded by design contract), ASCII-ish
+_txt = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    max_size=20,
+)
+_SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(vals=st.lists(st.tuples(_txt, _txt), min_size=1, max_size=8))
+@_SLOW
+def test_row_hash_matches_python_model(spark, vals):
+    df = spark.createDataFrame(
+        vals,
+        StructType(
+            [StructField("a", StringType()), StructField("b", StringType())]
+        ),
+    )
+    got = [r["h"] for r in df.select(row_hash("a", "b").alias("h")).collect()]
+    want = [
+        hashlib.md5(f"{a}{SEP}{b}".encode()).hexdigest() for a, b in vals
+    ]
+    assert got == want
+
+
+@given(s=_txt)
+@_SLOW
+def test_md5_int60_matches_duckdb(spark, s):
+    df = spark.createDataFrame(
+        [(s,)], StructType([StructField("x", StringType())])
+    )
+    got = df.select(md5_int60("x").alias("h")).collect()[0]["h"]
+    want = duckdb.execute(
+        f"SELECT {sql_md5_int60('?')} AS h", [s]
+    ).fetchone()[0]
+    assert got == want
+    assert 0 <= got < 2**60
+
+
+def _nonzero(v):  # zero-norm → ANSI divide-by-zero; real embeddings aren't
+    return any(abs(x) > 0.01 for x in v)
+
+
+_vec = st.lists(
+    st.floats(
+        min_value=-10, max_value=10, allow_nan=False, width=32
+    ),
+    min_size=1,
+    max_size=8,
+).filter(_nonzero)
+
+
+@given(ab=st.tuples(_vec, _vec).filter(lambda t: len(t[0]) == len(t[1])))
+@_SLOW
+def test_dot_and_cosine_match_python(spark, ab):
+    a, b = ab
+    df = spark.createDataFrame(
+        [(a, b)],
+        StructType(
+            [
+                StructField("a", ArrayType(FloatType())),
+                StructField("b", ArrayType(FloatType())),
+            ]
+        ),
+    )
+    row = df.select(
+        dot_product("a", "b").alias("dot"),
+        cosine_similarity("a", "b").alias("cos"),
+    ).collect()[0]
+    # identical fold: left-to-right double accumulation over float32 values
+    import struct
+
+    f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]  # noqa: E731
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot += f32(x) * f32(y)
+    assert row["dot"] == dot
+    na = math.sqrt(sum(f32(x) * f32(x) for x in a))
+    nb = math.sqrt(sum(f32(y) * f32(y) for y in b))
+    if na * nb != 0.0:
+        assert row["cos"] == dot / (na * nb)
+
+
+def test_grams_of_short_docs_are_empty(spark):
+    """< 5 tokens ⇒ no 5-grams; the ANSI-mode element_at guard holds."""
+    from blog_snapshotbackup_azuredatalake_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [("a b c",), ("a b c d e f",), ("",)],
+        StructType([StructField("text", StringType())]),
+    )
+    # reuse the expression pipeline on an ad-hoc frame
+    toks = F.transform(
+        F.split(F.col("text"), " "), lambda t: dedup._hash60(t) % dedup.P31
+    )
+    staged = df.select(toks.alias("th"))
+    th = F.col("th")
+
+    def gram(i):
+        acc = F.element_at(th, i)
+        for off in range(1, 5):
+            acc = (acc * dedup.K_POLY + F.element_at(th, i + off)) % dedup.P31
+        return acc
+
+    grams = F.transform(F.sequence(F.lit(1), F.size(th) - 4), gram)
+    sh = F.when(F.size(th) >= 5, F.array_distinct(grams)).otherwise(
+        F.expr("CAST(array() AS array<bigint>)")
+    )
+    sizes = [r["n"] for r in staged.select(F.size(sh).alias("n")).collect()]
+    assert sizes == [0, 2, 0]

@@ -63,6 +63,12 @@ def _registry() -> tuple[dict, dict]:
     except ImportError:
         pass
     try:
+        import blog_snapshotbackup_azuredatalake_spark.operators.scale as scale
+
+        modules.append(scale)
+    except ImportError:
+        pass
+    try:
         import blog_snapshotbackup_azuredatalake_spark.streaming.entries as stream_entries
 
         modules.append(stream_entries)

@@ -1,0 +1,162 @@
+"""Scale-technique operators: skew salting and blocked range joins
+(SURVEY.md §2B extensions).
+
+Each query's RESULT is plain SQL (that's the oracle); what's special is
+the physical strategy, chosen so the plan survives pathological data:
+
+- ``q_salted_join`` / ``q_skew_two_phase`` — identical results to the
+  direct join/aggregation, but hot keys spread over n_salt reducers.
+- ``q_range_join`` — a bounded-interval join (purchases × clicks within
+  the preceding 30 minutes) executed as an equi-join on time buckets
+  plus a residual filter. Spark OSS would otherwise run a non-equi join
+  as a broadcast-nested-loop — quadratic per user and a non-starter at
+  100 TB; bucketing makes it a hash join whose cost is Σ bucket
+  occupancy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blog_snapshotbackup_azuredatalake_spark.functions.skew import (
+    salted_join,
+    two_phase_agg,
+)
+from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
+
+N_SALT = 16
+RANGE_WINDOW_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000").alias("ts_us"),
+        "value",
+    )
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events joined to a per-user signup-count dim via salted_join.
+    Result ≡ the plain join (the oracle runs the plain join); the salt
+    only changes shuffle distribution."""
+    ev = _events(spark, sf_dir)
+    dims = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_signups"))
+    )
+    joined = salted_join(
+        ev.select("event_id", "user_id", "event_type"),
+        dims,
+        "user_id",
+        n_salt=N_SALT,
+    )
+    return joined.select("event_id", "user_id", "event_type", "n_signups")
+
+
+_SALTED_JOIN_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, (epoch_ns(ts) // 1000) AS ts_us
+  FROM events
+), dims AS (
+  SELECT user_id, COUNT(*) AS n_signups FROM ev
+  WHERE event_type = 'signup' GROUP BY user_id
+)
+SELECT ev.event_id, ev.user_id, ev.event_type, dims.n_signups
+FROM ev JOIN dims USING (user_id)
+"""
+
+
+def q_skew_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type totals via salted two-phase aggregation. Values
+    pre-cast to decimal so the two-level sum is association-order-
+    independent and matches the oracle's single-level SUM exactly."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.col("value").cast("decimal(18,6)").alias("value")
+    )
+    out = two_phase_agg(ev, ["event_type"], ["value"], n_salt=N_SALT)
+    return out.select(
+        "event_type",
+        "n_rows",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+_SKEW_TWO_PHASE_SQL = """
+SELECT event_type, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the user's click count in the preceding 30
+    minutes — executed as a bucket equi-join: clicks replicate to their
+    bucket and the next (a window can span at most one boundary), then
+    the exact range predicate filters residuals. Left join keeps
+    zero-click purchases."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        (F.col("ts_us") / RANGE_WINDOW_US).cast("bigint").alias("bucket"),
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts_us").alias("c_ts"),
+            (F.col("ts_us") / RANGE_WINDOW_US).cast("bigint").alias("cb"),
+        )
+        .withColumn(
+            "bucket", F.explode(F.array(F.col("cb"), F.col("cb") + 1))
+        )
+        .drop("cb")
+    )
+    cond = (
+        (purchases.user_id == clicks.c_user)
+        & (purchases.bucket == clicks.bucket)
+        & (clicks.c_ts >= purchases.ts_us - RANGE_WINDOW_US)
+        & (clicks.c_ts < purchases.ts_us)
+    )
+    matched = purchases.join(clicks, cond, "left")
+    return matched.groupBy("event_id", "user_id", "ts_us").agg(
+        F.count(F.col("c_ts")).alias("n_recent_clicks")
+    )
+
+
+_RANGE_JOIN_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, (epoch_ns(ts) // 1000) AS ts_us
+  FROM events
+), purchases AS (
+  SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id AS c_user, ts_us AS c_ts FROM ev WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, p.ts_us,
+       COUNT(c.c_ts) AS n_recent_clicks
+FROM purchases p LEFT JOIN clicks c
+  ON c.c_user = p.user_id
+ AND c.c_ts >= p.ts_us - {RANGE_WINDOW_US}
+ AND c.c_ts < p.ts_us
+GROUP BY p.event_id, p.user_id, p.ts_us
+"""
+
+
+QUERIES = {
+    "q_salted_join": q_salted_join,
+    "q_skew_two_phase": q_skew_two_phase,
+    "q_range_join": q_range_join,
+}
+
+ORACLES = {
+    "q_salted_join": _SALTED_JOIN_SQL,
+    "q_skew_two_phase": _SKEW_TWO_PHASE_SQL,
+    "q_range_join": _RANGE_JOIN_SQL,
+}

@@ -69,9 +69,21 @@ def _registry() -> tuple[dict, dict]:
     except ImportError:
         pass
     try:
+        import blog_snapshotbackup_azuredatalake_spark.operators.clustering as clustering
+
+        modules.append(clustering)
+    except ImportError:
+        pass
+    try:
         import blog_snapshotbackup_azuredatalake_spark.streaming.entries as stream_entries
 
         modules.append(stream_entries)
+    except ImportError:
+        pass
+    try:
+        import blog_snapshotbackup_azuredatalake_spark.streaming.joins as stream_joins
+
+        modules.append(stream_joins)
     except ImportError:
         pass
     for mod in modules:

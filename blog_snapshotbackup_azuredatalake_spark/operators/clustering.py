@@ -1,0 +1,106 @@
+"""Iterative k-means over the embeddings table (SURVEY.md §2C).
+
+The canonical iterative algorithm expressed as a driver-side loop of
+DataFrame plans — each Lloyd iteration is one assign (corpus ⋈ broadcast
+centroids, no shuffle of the corpus) plus one recompute (posexplode →
+per-(cluster, dim) mean → regroup). The loop is driver-side CONTROL, not
+driver-side DATA: only the k×d centroid matrix ever reaches the driver,
+so iterations cost the same at 100 TB as the single assignment step.
+
+Deterministic: seeds are the first K embeddings, iteration count is
+fixed, and means use decimal-exact sums — reruns produce identical
+centroids. Rows-only correctness check (iterative loops aren't a single
+SQL statement; `curation.emb_centroid_assign` oracle-checks one
+assignment step).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
+
+K = 8
+ITERATIONS = 3
+
+
+def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest centroid by squared L2 (decimal-exact per-dim fold)."""
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("c_emb"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "embedding", "centroid_id", dist.alias("d2")
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max_by(
+            "centroid_id", F.struct(-F.col("d2"), -F.col("centroid_id"))
+        ).alias("centroid_id"),
+        F.min("d2").alias("d2"),
+        F.first("embedding").alias("embedding"),
+    )
+
+
+def _recompute(assigned: DataFrame) -> DataFrame:
+    """New centroid = per-dimension mean of the members, via posexplode
+    so the shuffle key is (centroid, dim) — k×d reduce cells regardless
+    of corpus size."""
+    dims = assigned.select(
+        "centroid_id", F.posexplode_outer("embedding").alias("dim", "val")
+    )
+    per_dim = dims.groupBy("centroid_id", "dim").agg(
+        (
+            F.sum(F.col("val").cast("decimal(28,10)"))
+            / F.count(F.lit(1))
+        )
+        .cast("double")
+        .alias("mean_val")
+    )
+    return per_dim.groupBy("centroid_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "mean_val"))
+        ).alias("pairs")
+    ).select(
+        "centroid_id",
+        F.transform(F.col("pairs"), lambda p: p["mean_val"]).alias("c_emb"),
+    )
+
+
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means(k=8, 3 iterations) summary: per-cluster size and
+    decimal-exact inertia (sum of squared distances)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    centroids = emb.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "c_emb"
+        ),
+    )
+    assigned = _assign(emb, centroids)
+    for _ in range(ITERATIONS - 1):
+        # only the k×d centroid matrix returns to the driver; rebuilding
+        # the next iteration's centroids as a literal frame keeps every
+        # iteration a single corpus scan (lazy chaining would recompute
+        # all prior iterations inside each new plan)
+        new_centroids = _recompute(assigned).collect()
+        centroids = spark.createDataFrame(new_centroids)
+        assigned = _assign(emb, centroids)
+    return assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("d2").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("inertia"),
+    )
+
+
+QUERIES = {"emb_kmeans": emb_kmeans}
+ORACLES: dict[str, str] = {}  # rows-only: iterative algorithm

@@ -1,0 +1,102 @@
+"""Watermarked stream-stream interval join (SURVEY.md §2D).
+
+The streaming counterpart of ``operators.scale.q_range_join``: purchases
+matched to the same user's clicks in the preceding 30 minutes, with BOTH
+sides unbounded. Watermarks bound the join state: Spark buffers each
+side only until the other side's watermark passes the interval, so state
+is O(events within the window horizon), not O(stream length) — the
+property that lets this run forever on a 100 TB/day event feed.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
+
+JOIN_WINDOW = "30 minutes"
+WATERMARK = "30 minutes"
+
+
+def clicks_before_purchases(
+    clicks: DataFrame, purchases: DataFrame
+) -> DataFrame:
+    """Inner interval join: each (purchase, click) pair of the same user
+    with click in [purchase - 30 min, purchase). Both inputs must carry
+    (user_id, event_id, event_time)."""
+    c = (
+        clicks.select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("event_time").alias("c_time"),
+        )
+        .withWatermark("c_time", WATERMARK)
+    )
+    p = (
+        purchases.select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("event_time").alias("p_time"),
+        )
+        .withWatermark("p_time", WATERMARK)
+    )
+    return p.join(
+        c,
+        F.expr(
+            f"""
+            c_user = p_user AND
+            c_time >= p_time - interval {JOIN_WINDOW} AND
+            c_time < p_time
+            """
+        ),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        F.unix_micros(F.col("p_time")).alias("purchase_ts_us"),
+        F.unix_micros(F.col("c_time")).alias("click_ts_us"),
+    )
+
+
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the interval join as a real two-stream query over the
+    events table (split by type into two file-source streams), drained
+    with availableNow into a memory sink. Bounded input ⇒ the result is
+    exactly the batch interval join (deterministic rows-only check)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+    )
+    work = tempfile.mkdtemp(prefix="stream_ivjoin_")
+    events.filter(F.col("event_type") == "click").drop(
+        "event_type"
+    ).write.parquet(f"{work}/clicks")
+    events.filter(F.col("event_type") == "purchase").drop(
+        "event_type"
+    ).write.parquet(f"{work}/purchases")
+    schema = events.drop("event_type").schema
+    clicks = spark.readStream.schema(schema).parquet(f"{work}/clicks")
+    purchases = spark.readStream.schema(schema).parquet(f"{work}/purchases")
+    name = f"ivj_{uuid.uuid4().hex[:8]}"
+    q = (
+        clicks_before_purchases(clicks, purchases)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+QUERIES = {"stream_interval_join": stream_interval_join}
+ORACLES: dict[str, str] = {}  # rows-only: streaming

@@ -52,3 +52,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+# formats the generic reader accepts and their Spark reader options; the
+# backup loop copies whatever lands in the lake, not just parquet
+_FORMAT_OPTS: dict[str, dict[str, str]] = {
+    "parquet": {},
+    "csv": {"header": "true", "inferSchema": "false"},
+    "json": {},
+    "text": {},
+    "binaryFile": {},
+    "orc": {},
+    "avro": {},
+}
+
+
+def load_path(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options: str,
+) -> DataFrame:
+    """Format-generic loader for non-catalog datasets (a landing area of
+    CSV exports, JSON event dumps, raw image files via binaryFile, …).
+    Explicit schemas are strongly preferred at scale: inference costs an
+    extra full pass and can flip types between daily runs."""
+    if fmt not in _FORMAT_OPTS:
+        raise KeyError(f"unknown format {fmt!r}; known: {sorted(_FORMAT_OPTS)}")
+    reader = spark.read.format(fmt)
+    for k, v in {**_FORMAT_OPTS[fmt], **options}.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

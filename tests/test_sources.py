@@ -1,0 +1,43 @@
+"""Format-generic loader: csv/json/text/binaryFile round trips."""
+
+import pytest
+
+from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
+    load_path,
+    load_table,
+)
+from tests.conftest import SF_DIR
+
+
+def test_csv_round_trip(spark, tmp_path):
+    nation = load_table(spark, SF_DIR, "nation")
+    p = str(tmp_path / "nation_csv")
+    nation.write.option("header", "true").csv(p)
+    back = load_path(spark, p, "csv", schema=nation.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, nation.collect())
+    )
+
+
+def test_json_round_trip(spark, tmp_path):
+    region = load_table(spark, SF_DIR, "region")
+    p = str(tmp_path / "region_json")
+    region.write.json(p)
+    back = load_path(spark, p, "json", schema=region.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, region.collect())
+    )
+
+
+def test_binary_file_source(spark, tmp_path):
+    f = tmp_path / "blob.bin"
+    f.write_bytes(b"\x00\x01payload")
+    df = load_path(spark, str(tmp_path), "binaryFile")
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 1
+    assert bytes(rows[0]["content"]) == b"\x00\x01payload"
+
+
+def test_unknown_format_rejected(spark):
+    with pytest.raises(KeyError):
+        load_path(spark, "/nowhere", "xml")

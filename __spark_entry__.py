@@ -75,6 +75,12 @@ def _registry() -> tuple[dict, dict]:
     except ImportError:
         pass
     try:
+        import blog_snapshotbackup_azuredatalake_spark.operators.pipeline as pipeline
+
+        modules.append(pipeline)
+    except ImportError:
+        pass
+    try:
         import blog_snapshotbackup_azuredatalake_spark.streaming.entries as stream_entries
 
         modules.append(stream_entries)

@@ -66,11 +66,11 @@ def _hash60(col: Column) -> Column:
 _SQL_HASH60 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
 
 
-def _docs_with_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents as (doc_id, sh: array<bigint>) — distinct token-5-gram
-    fingerprints in [0, P31): md5-hash each token once, then fold 5-token
-    windows with the rolling polynomial (acc * K + tok) mod P. No gram
-    strings are materialized.
+def grams_for(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, …) → (doc_id, sh: array<bigint>) — distinct
+    token-5-gram fingerprints in [0, P31): md5-hash each token once,
+    then fold 5-token windows with the rolling polynomial
+    (acc * K + tok) mod P. No gram strings are materialized.
 
     Two separate projections on purpose: the token-hash array must be a
     bound column before the gram lambda indexes into it five times —
@@ -92,10 +92,13 @@ def _docs_with_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = F.when(F.size(th) >= 5, F.array_distinct(grams)).otherwise(
         F.expr("CAST(array() AS array<bigint>)")
     )
-    docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", toks.alias("th")).select(
         "doc_id", sh.alias("sh")
     )
+
+
+def _docs_with_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return grams_for(load_table(spark, sf_dir, "documents"))
 
 
 _SQL_TOKH = "list_transform(string_split(text, ' '), t -> " + _SQL_HASH60.format(
@@ -121,9 +124,45 @@ _SQL_JACCARD = (
     " / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
 )
 
-_SQL_SH_CTE = f"""sh AS (
+def sql_sh_cte(src: str = "documents") -> str:
+    """The gram-fingerprint CTE over any (doc_id, text) relation."""
+    return f"""sh AS (
   SELECT doc_id, {_SQL_GRAM_HASHES} AS sh
-  FROM (SELECT doc_id, {_SQL_TOKH} AS th FROM documents)
+  FROM (SELECT doc_id, {_SQL_TOKH} AS th FROM {src})
+)"""
+
+
+_SQL_SH_CTE = sql_sh_cte()
+
+
+def sql_minhash_pair_ctes(src: str = "documents") -> str:
+    """CTE chain `sh, mh, bands, cand, pairs` computing verified
+    near-dup pairs over any (doc_id, text) relation — the SQL mirror of
+    ``minhash_pairs(grams_for(df))`` for composed oracles."""
+    mh_exprs = ",\n       ".join(
+        f"list_min(list_transform(sh, v -> (v * {a} + {b}) % {P31}))"
+        f" AS mh{j}"
+        for j, (a, b) in enumerate(_MINHASH_AB)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"mh{2 * b} * {P31} + mh{2 * b + 1} AS band_hash FROM mh"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""{sql_sh_cte(src)},
+mh AS (SELECT doc_id,
+       {mh_exprs}
+       FROM sh),
+bands AS ({band_selects}),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y USING (band_id, band_hash)
+         WHERE x.doc_id < y.doc_id),
+pairs AS (
+  SELECT doc_a, doc_b, {_SQL_JACCARD} AS jaccard
+  FROM cand
+  JOIN sh a ON a.doc_id = doc_a
+  JOIN sh b ON b.doc_id = doc_b
+  WHERE {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
 )"""
 
 
@@ -229,13 +268,13 @@ def _minhash_col(j: int) -> Column:
     return F.array_min(F.transform(F.col("sh"), lambda v: (v * a + b) % P31))
 
 
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16 affine perms over gram fingerprints) → 8 LSH bands of
+def minhash_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) → verified near-dup pairs (doc_a < doc_b, jaccard).
+    MinHash(16 affine perms over gram fingerprints) → 8 LSH bands of
     2 → band-bucket self-join → candidates verified with true Jaccard.
     The only shuffles are the band-bucket join (keys are packed bigints)
     and the candidate verify join; nothing is quadratic in corpus
     size."""
-    docs = _docs_with_grams(spark, sf_dir)
     mh = docs.select(
         "doc_id",
         "sh",
@@ -284,31 +323,15 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See minhash_pairs — this is it over the documents table."""
+    return minhash_pairs(_docs_with_grams(spark, sf_dir))
+
+
 def _minhash_sql() -> str:
-    mh_exprs = ",\n       ".join(
-        f"list_min(list_transform(sh, v -> (v * {a} + {b}) % {P31}))"
-        f" AS mh{j}"
-        for j, (a, b) in enumerate(_MINHASH_AB)
-    )
-    band_selects = "\nUNION ALL\n".join(
-        f"SELECT doc_id, {b} AS band_id, "
-        f"mh{2 * b} * {P31} + mh{2 * b + 1} AS band_hash FROM mh"
-        for b in range(MINHASH_BANDS)
-    )
     return f"""
-WITH {_SQL_SH_CTE},
-mh AS (SELECT doc_id,
-       {mh_exprs}
-       FROM sh),
-bands AS ({band_selects}),
-cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         FROM bands x JOIN bands y USING (band_id, band_hash)
-         WHERE x.doc_id < y.doc_id)
-SELECT doc_a, doc_b, {_SQL_JACCARD} AS jaccard
-FROM cand
-JOIN sh a ON a.doc_id = doc_a
-JOIN sh b ON b.doc_id = doc_b
-WHERE {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
+WITH {sql_minhash_pair_ctes()}
+SELECT doc_a, doc_b, jaccard FROM pairs
 """
 
 

@@ -94,30 +94,29 @@ FROM per_doc GROUP BY source
 """
 
 
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality score from length, lexical diversity, and
-    stopword density — the pre-training filter signal. Pure arithmetic
+def with_quality_stats(docs: DataFrame) -> DataFrame:
+    """Append (n_tokens, distinct_ratio, stopword_ratio, mean_word_len,
+    quality_score) to any relation with a `text` column. Pure arithmetic
     on counts; no logs or other non-correctly-rounded functions, so the
     score is reproducible bit-for-bit on any engine."""
-    docs = load_table(spark, sf_dir, "documents")
     toks = _tokens()
     base = docs.select(
-        "doc_id",
+        "*",
         F.size(toks).cast("bigint").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
-        _count_in(toks, _GENERIC_STOPWORDS).alias("n_stop"),
-        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("_nd"),
+        _count_in(toks, _GENERIC_STOPWORDS).alias("_ns"),
+        F.length("text").cast("bigint").alias("_nc"),
     )
     n = F.col("n_tokens").cast("double")
-    distinct_ratio = F.col("n_distinct").cast("double") / n
-    stop_ratio = F.col("n_stop").cast("double") / n
+    distinct_ratio = F.col("_nd").cast("double") / n
+    stop_ratio = F.col("_ns").cast("double") / n
     mean_word_len = (
-        F.col("n_chars") - (F.col("n_tokens") - 1)
+        F.col("_nc") - (F.col("n_tokens") - 1)
     ).cast("double") / n
     length_score = F.least(F.col("n_tokens"), F.lit(64)).cast("double") / 64.0
     len_norm = F.least(mean_word_len, F.lit(8.0)) / 8.0
     return base.select(
-        "doc_id",
+        *docs.columns,
         "n_tokens",
         distinct_ratio.alias("distinct_ratio"),
         stop_ratio.alias("stopword_ratio"),
@@ -128,6 +127,46 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.3 * length_score
             + 0.1 * len_norm
         ).alias("quality_score"),
+    )
+
+
+def sql_quality_ctes(src: str = "documents") -> str:
+    """CTE chain `qbase, qscored` mirroring with_quality_stats over any
+    relation with a `text` column (keeps the source's columns)."""
+    return f"""qbase AS (
+  SELECT *,
+         len(string_split(text, ' ')) AS _nt,
+         len(list_distinct(string_split(text, ' '))) AS _nd,
+         (SELECT {_sql_count_in(_GENERIC_STOPWORDS)}
+          FROM (SELECT string_split(text, ' ') AS toks)) AS _ns,
+         length(text) AS _nc
+  FROM {src}
+),
+qscored AS (
+  SELECT * EXCLUDE (_nt, _nd, _ns, _nc),
+         CAST(_nt AS BIGINT) AS n_tokens,
+         CAST(_nd AS DOUBLE) / _nt AS distinct_ratio,
+         CAST(_ns AS DOUBLE) / _nt AS stopword_ratio,
+         CAST(_nc - (_nt - 1) AS DOUBLE) / _nt AS mean_word_len,
+         0.4 * (CAST(_nd AS DOUBLE) / _nt)
+       - 0.2 * (CAST(_ns AS DOUBLE) / _nt)
+       + 0.3 * (CAST(least(_nt, 64) AS DOUBLE) / 64.0)
+       + 0.1 * (least(CAST(_nc - (_nt - 1) AS DOUBLE) / _nt, 8.0) / 8.0)
+         AS quality_score
+  FROM qbase
+)"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality score — see with_quality_stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_quality_stats(docs.select("doc_id", "text")).select(
+        "doc_id",
+        "n_tokens",
+        "distinct_ratio",
+        "stopword_ratio",
+        "mean_word_len",
+        "quality_score",
     )
 
 

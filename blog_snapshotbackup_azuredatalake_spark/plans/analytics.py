@@ -551,6 +551,184 @@ WHERE event_type = 'purchase'
 """
 
 
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 flavor: promo revenue share for one ship-year.
+    Conditional aggregation over lineitem ⋈ broadcast(part); the year
+    predicate pushes to the lineitem scan. Ratio of two decimal-exact
+    sums → bit-stable double."""
+    line = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = line.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", _rev()).otherwise(
+            F.lit(0).cast("decimal(12,2)")
+        )
+    )
+    total = F.sum(_rev())
+    return j.agg(
+        (
+            F.lit(100.0) * promo.cast("double") / total.cast("double")
+        ).alias("promo_revenue_pct"),
+        F.round(promo, 2).cast("double").alias("promo_revenue"),
+        F.round(total, 2).cast("double").alias("total_revenue"),
+    )
+
+
+_Q14_SQL = f"""
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_SQL_REV}
+                             ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(SUM({_SQL_REV}) AS DOUBLE) AS promo_revenue_pct,
+       CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN {_SQL_REV}
+                           ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE)
+         AS promo_revenue,
+       CAST(ROUND(SUM({_SQL_REV}), 2) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+"""
+
+LARGE_ORDER_QTY = 250
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 flavor: orders whose total quantity exceeds a
+    threshold, with customer attribution. Aggregate-then-having runs
+    BEFORE the joins, so only qualifying orderkeys (a tiny set) reach
+    the orders/customer join — the decorrelated form of the original
+    IN-subquery."""
+    line = load_table(spark, sf_dir, "lineitem")
+    big = (
+        line.groupBy("l_orderkey")
+        .agg(F.sum(_qty()).alias("total_qty"))
+        .filter(F.col("total_qty") > LARGE_ORDER_QTY)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.col("o_totalprice")
+            .cast("decimal(12,2)")
+            .cast("double")
+            .alias("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+_Q18_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > {LARGE_ORDER_QTY}
+)
+SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+       CAST(total_qty AS DOUBLE) AS total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 flavor: revenue from three disjoint (brand, size,
+    quantity-band) channels — the disjunctive-predicate stress test.
+    Catalyst extracts the common l_quantity bounds for scan pushdown and
+    evaluates the per-branch residual after the broadcast join."""
+    line = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = line.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    qty = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & (F.col("p_size") <= 10)
+            & qty.between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#21")
+            & (F.col("p_size") <= 25)
+            & qty.between(10, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#32")
+            & (F.col("p_size") <= 40)
+            & qty.between(20, 35)
+        )
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(_rev()), 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_Q19_SQL = f"""
+SELECT CAST(ROUND(SUM({_SQL_REV}), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#21' AND p_size <= 25 AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#32' AND p_size <= 40 AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
+def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 flavor: customers with above-average positive balances
+    and no orders since 1998, grouped by nation. The scalar subquery
+    (global avg) broadcasts as a 1-row cross join; the NOT EXISTS is a
+    left-anti join — both decorrelated, no per-row subquery execution."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", F.col("c_acctbal").cast("decimal(12,2)").alias("bal")
+    )
+    avg_bal = cust.filter(F.col("bal") > 0).agg(
+        (F.sum("bal").cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    wealthy = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("bal").cast("double") > F.col("avg_bal")
+    )
+    inactive = wealthy.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return inactive.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.sum("bal").cast("double").alias("total_bal"),
+    )
+
+
+_Q22_SQL = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+           AS avg_bal
+  FROM customer WHERE CAST(c_acctbal AS DECIMAL(12,2)) > 0
+)
+SELECT c_nationkey, COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM customer, avg_bal
+WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1998-01-01')
+GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -564,6 +742,10 @@ QUERIES = {
     "q_events_rolling": q_events_rolling,
     "q_events_funnel": q_events_funnel,
     "q_asof_join": q_asof_join,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q22_wealthy_inactive": q22_wealthy_inactive,
 }
 
 ORACLES = {
@@ -579,4 +761,8 @@ ORACLES = {
     "q_events_rolling": _Q_ROLLING_SQL,
     "q_events_funnel": _Q_FUNNEL_SQL,
     "q_asof_join": _Q_ASOF_SQL,
+    "q14_promo_revenue": _Q14_SQL,
+    "q18_large_orders": _Q18_SQL,
+    "q19_disjunctive_revenue": _Q19_SQL,
+    "q22_wealthy_inactive": _Q22_SQL,
 }

@@ -6,6 +6,7 @@ import pyspark.sql.functions as F
 
 from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
 from blog_snapshotbackup_azuredatalake_spark.sources.sinks import (
+    compact_files,
     copy_table,
     verify_copy,
 )
@@ -40,6 +41,18 @@ def test_copy_partitioned_with_manifest(spark, tmp_path):
     assert man.count() == orders.count()
     assert set(man.columns) == {"key", "row_md5"}
     assert verify_copy(spark, orders, target)
+
+
+def test_compaction_preserves_data_and_shrinks_file_count(spark, tmp_path):
+    orders = load_table(spark, SF_DIR, "orders")
+    p = str(tmp_path / "orders_many_files")
+    orders.repartition(24).write.parquet(p)  # simulate incremental appends
+    before = sorted(tuple(r) for r in spark.read.parquet(p).collect())
+    stats = compact_files(spark, p, target_rows_per_file=100_000)
+    assert stats["files_before"] == 24
+    assert stats["files_after"] < stats["files_before"]
+    after = sorted(tuple(r) for r in spark.read.parquet(p).collect())
+    assert after == before
 
 
 def test_verify_copy_detects_tamper(spark, tmp_path):

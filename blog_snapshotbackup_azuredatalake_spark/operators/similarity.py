@@ -1,15 +1,22 @@
 """Similarity search over embedding columns (SURVEY.md §2C).
 
-Two plans for top-k cosine neighbors:
+Three plans for top-k cosine neighbors:
 
 - ``ann_topk_bruteforce`` — the exact baseline: query-set × corpus join,
   rank window per query. The query side broadcasts, so the corpus is
   scanned once with no shuffle of the big side; cost is |Q|·|corpus|,
   fine for small query batches at any corpus size.
-- ``ann_topk_lsh`` — the scale path: sign-pattern buckets (random-
-  hyperplane LSH degenerate form) restrict candidates to the query's
-  bucket, making cost Σ bucket² — linear-ish in corpus size. Recall is
-  traded for that, as usual with ANN.
+- ``ann_topk_lsh`` — sign-pattern buckets (random-hyperplane LSH
+  degenerate form) restrict candidates to the query's bucket, making
+  cost Σ bucket² — linear-ish in corpus size. Recall is traded for
+  that, as usual with ANN.
+- ``ann_topk_ivf`` — IVF coarse+fine: assign every corpus vector to its
+  nearest of NLIST coarse centroids (one broadcast join + map-side
+  min_by, no corpus shuffle), then each query probes its NPROBE nearest
+  lists and re-ranks exactly within them. Candidate cost is
+  |Q|·NPROBE/NLIST of the corpus — the standard inverted-file ANN
+  trade, and unlike the sign-LSH it degrades gracefully (more probes →
+  more recall) without re-bucketing.
 
 Dot products run as zip_with/aggregate double folds inside codegen —
 bit-identical to the DuckDB oracle's list_reduce fold (verified).
@@ -31,6 +38,8 @@ from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
 N_QUERIES = 20
 TOP_K = 5
 LSH_DIMS = 6
+IVF_NLIST = 16
+IVF_NPROBE = 4
 
 
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,12 +131,135 @@ WHERE rnk <= {TOP_K}
 """
 
 
+def _l2sq(a, b):
+    """Σ (aᵢ-bᵢ)² as a double fold — same association order as the
+    oracle's list_reduce, so assignments are bit-identical."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: NLIST deterministic coarse centroids (the first NLIST
+    corpus vectors), corpus assigned to its nearest list via a broadcast
+    join + map-side min_by (the corpus never shuffles), queries probe
+    their IVF_NPROBE nearest lists and re-rank exactly inside them."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = emb.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    # coarse assignment: 16 candidate rows per vector collapse map-side
+    # (partial min_by), so the only shuffle-sized object is the result
+    assigned = (
+        emb.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "embedding",
+            "centroid_id",
+            _l2sq(F.col("embedding"), F.col("c_emb")).alias("d2"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("centroid_id", F.struct("d2", "centroid_id")).alias(
+                "list_id"
+            ),
+            F.first("embedding").alias("embedding"),
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            "q_id",
+            "q_emb",
+            F.col("centroid_id").alias("list_id"),
+            _l2sq(F.col("q_emb"), F.col("c_emb")).alias("d2"),
+        )
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy("d2", "list_id")
+            ),
+        )
+        .filter(F.col("pr") <= IVF_NPROBE)
+        .select("q_id", "q_emb", "list_id")
+    )
+    pairs = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            _dot_cos(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "vec_id", "cos", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+_SQL_L2SQ = """list_reduce(list_transform(range(1, 1 + len({a})),
+  i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))
+     * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))),
+  (x, y) -> x + y)"""
+
+_ANN_IVF_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id < {IVF_NLIST}
+), assigned AS (
+  -- row_number over (d2, centroid_id) ≡ Spark's min_by(cid, struct(d2, cid))
+  SELECT vec_id, embedding, centroid_id AS list_id
+  FROM (SELECT e.vec_id, e.embedding, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SQL_L2SQ.format(a="e.embedding", b="c.c_emb")},
+                          c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cent c)
+  WHERE rn = 1
+), probes AS (
+  SELECT q_id, q_emb, list_id
+  FROM (SELECT q.vec_id AS q_id, q.embedding AS q_emb,
+               c.centroid_id AS list_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_SQL_L2SQ.format(a="q.embedding", b="c.c_emb")},
+                          c.centroid_id) AS pr
+        FROM embeddings q CROSS JOIN cent c
+        WHERE q.vec_id < {N_QUERIES})
+  WHERE pr <= {IVF_NPROBE}
+), pairs AS (
+  SELECT q_id, b.vec_id AS vec_id,
+         {_SQL_COS.replace("a.embedding", "q_emb").replace("b.embedding", "b.embedding")} AS cos
+  FROM probes JOIN assigned b USING (list_id)
+  WHERE b.vec_id <> q_id
+)
+SELECT q_id, vec_id, cos, CAST(rnk AS INT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY cos DESC, vec_id) AS rnk
+      FROM pairs)
+WHERE rnk <= {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
+    "ann_topk_ivf": ann_topk_ivf,
 }
 
 ORACLES = {
     "ann_topk_bruteforce": _ANN_BRUTE_SQL,
     "ann_topk_lsh": _ANN_LSH_SQL,
+    "ann_topk_ivf": _ANN_IVF_SQL,
 }

@@ -37,6 +37,20 @@ def test_minhash_recall_vs_exact(spark):
         assert len(mh) / len(exact) >= 0.5, (mh, exact)
 
 
+def test_ivf_recall_vs_exact(spark):
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in similarity.ann_topk_bruteforce(spark, SF_DIR).collect()
+    }
+    ivf = {
+        (r["q_id"], r["vec_id"])
+        for r in similarity.ann_topk_ivf(spark, SF_DIR).collect()
+    }
+    assert len(ivf & exact) / len(exact) >= 0.3, (
+        f"IVF recall collapsed: {len(ivf & exact)}/{len(exact)}"
+    )
+
+
 def test_brute_force_topk_shape(spark):
     rows = similarity.ann_topk_bruteforce(spark, SF_DIR).collect()
     per_q = {}

@@ -26,6 +26,12 @@ def _registry() -> tuple[dict, dict]:
     import blog_snapshotbackup_azuredatalake_spark.plans.analytics as analytics
 
     modules = [analytics]
+    try:
+        import blog_snapshotbackup_azuredatalake_spark.plans.analytics_ext as analytics_ext
+
+        modules.append(analytics_ext)
+    except ImportError:
+        pass
     try:  # modules land incrementally; keep the contract importable always
         import blog_snapshotbackup_azuredatalake_spark.operators.snapshot as snapshot
 
@@ -72,6 +78,12 @@ def _registry() -> tuple[dict, dict]:
         import blog_snapshotbackup_azuredatalake_spark.operators.clustering as clustering
 
         modules.append(clustering)
+    except ImportError:
+        pass
+    try:
+        import blog_snapshotbackup_azuredatalake_spark.operators.sketch as sketch
+
+        modules.append(sketch)
     except ImportError:
         pass
     try:

@@ -1,0 +1,150 @@
+"""Cardinality sketches (SURVEY.md §2C adjunct) — a fully deterministic
+HyperLogLog built from the portable md5 hash (SURVEY.md §4), so the SAME
+register values come out of Spark, DuckDB, or any engine with md5.
+
+Why not ``approx_count_distinct``: its HLL++ implementation (and its
+hash) is engine-private, so results can't be cross-checked — and a
+backup/verify engine needs its estimates to be *reproducible* across
+reruns and engines, not just approximately right. This one is exact
+arithmetic end-to-end: 52-bit md5-derived hash → 256 registers
+(bucket = low 8 bits, rho = leading-zero rank of the remaining 44
+bits), register sum kept as a power-of-two-scaled BIGINT (≤ 2^53, no
+float rounding), and one final double division for the estimate. No
+libm calls (no ln/pow), so there is no last-ulp drift anywhere.
+
+At scale the whole sketch is one partial-aggregable groupBy on a
+256-value key: every executor collapses its partitions to ≤256 rows
+before the shuffle, the same profile as the reference's checksum
+verify. The estimate lands within ~1.04/√256 ≈ 6.5 % of exact, which
+the test asserts against the exact distinct count computed alongside.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
+
+M_BUCKETS = 256  # 2^8 registers
+REST_BITS = 44  # 52-bit hash minus the 8 bucket bits
+_SCALE = 1 << (REST_BITS + 1)  # 2^45: makes Σ 2^-rho an exact BIGINT
+
+# Small-range (linear counting) correction needs ln(m/zeros). Runtime ln
+# would tie the result to each engine's libm (1-ulp drift breaks the
+# hash gate), so the 255 possible values are precomputed HERE and
+# embedded as identical double literals in both the Spark plan and the
+# SQL oracle. repr() round-trips doubles exactly in both parsers.
+_LN_TABLE = [math.log(M_BUCKETS / z) for z in range(1, M_BUCKETS)]
+
+# targets: (table, column) pairs whose distinct cardinality is sketched
+_TARGETS = [("orders", "o_custkey"), ("lineitem", "l_partkey"), ("events", "user_id")]
+
+
+def _hll_one(spark: SparkSession, sf_dir: str, table: str, col: str) -> DataFrame:
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    src = load_table(spark, sf_dir, table).select(
+        F.col(col).alias("v"), h.alias("h")
+    )
+    rest = F.shiftright(F.col("h"), 8)
+    rho = (
+        F.when(rest == 0, F.lit(REST_BITS + 1))
+        .otherwise(F.lit(REST_BITS + 1) - F.length(F.bin(rest)))
+        .cast("int")
+    )
+    regs = (
+        src.select(
+            F.col("h").bitwiseAND(F.lit(M_BUCKETS - 1)).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    reg_agg = regs.agg(
+        # python wrapper F.shiftleft only takes a literal shift; the SQL
+        # function itself accepts a column
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {REST_BITS + 1} - m)")
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    exact = src.agg(F.countDistinct("v").alias("n_exact"))
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+    denom = (
+        F.col("s_present")
+        + (F.lit(M_BUCKETS).cast("bigint") - F.col("nb")) * F.lit(_SCALE)
+    ).cast("double")
+    est_raw = (
+        alpha
+        * F.lit(float(M_BUCKETS * M_BUCKETS))
+        * F.lit(float(_SCALE))
+        / denom
+    )
+    zeros = (F.lit(M_BUCKETS) - F.col("nb")).cast("int")
+    est_linear = F.lit(float(M_BUCKETS)) * F.element_at(
+        F.array(*[F.lit(v) for v in _LN_TABLE]), zeros
+    )
+    est = F.when(
+        (est_raw <= F.lit(2.5 * M_BUCKETS)) & (zeros > 0), est_linear
+    ).otherwise(est_raw)
+    return exact.crossJoin(reg_agg).select(
+        F.lit(f"{table}.{col}").alias("col_name"),
+        "n_exact",
+        est.alias("n_hll"),
+    )
+
+
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per sketched column: exact distinct count next to the
+    engine-portable HLL estimate."""
+    out = None
+    for table, col in _TARGETS:
+        part = _hll_one(spark, sf_dir, table, col)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _hll_one_sql(table: str, col: str) -> str:
+    # 'e0' suffix forces DOUBLE literals in DuckDB — bare decimals parse
+    # as DECIMAL and the decimal→double re-round drifts a ulp
+    ln_list = ", ".join(
+        repr(v) if "e" in repr(v) else repr(v) + "e0" for v in _LN_TABLE
+    )
+    return f"""
+SELECT '{table}.{col}' AS col_name,
+       (SELECT COUNT(DISTINCT {col}) FROM {table}) AS n_exact,
+       CASE WHEN est_raw <= {2.5 * M_BUCKETS!r} AND (256 - nb) > 0
+            THEN CAST({float(M_BUCKETS)!r} AS DOUBLE)
+                   * list_extract([{ln_list}], 256 - nb)
+            ELSE est_raw END AS n_hll
+FROM (
+  SELECT nb,
+         (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+           * CAST(65536.0 AS DOUBLE) * CAST({float(_SCALE)!r} AS DOUBLE)
+           / CAST(s_present + (256 - nb) * {_SCALE} AS DOUBLE) AS est_raw
+  FROM (
+    SELECT SUM(1::BIGINT << ({REST_BITS + 1} - m)) AS s_present,
+           COUNT(*) AS nb
+    FROM (
+      SELECT h & {M_BUCKETS - 1} AS bucket,
+             MAX(CASE WHEN h >> 8 = 0 THEN {REST_BITS + 1}
+                      ELSE {REST_BITS + 1} - length(bin(h >> 8)) END) AS m
+      FROM (SELECT CAST(concat('0x', substr(md5(CAST({col} AS VARCHAR)), 1, 13))
+                     AS BIGINT) AS h
+            FROM {table})
+      GROUP BY bucket
+    )
+  )
+)
+"""
+
+
+_HLL_SQL = "\nUNION ALL\n".join(_hll_one_sql(t, c) for t, c in _TARGETS)
+
+
+QUERIES = {"sketch_hll_distinct": sketch_hll_distinct}
+ORACLES = {"sketch_hll_distinct": _HLL_SQL}

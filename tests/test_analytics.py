@@ -3,7 +3,7 @@ driver's hash gate tolerates zero drift, so the local gate does too)."""
 
 import pytest
 
-from blog_snapshotbackup_azuredatalake_spark.plans import analytics
+from blog_snapshotbackup_azuredatalake_spark.plans import analytics, analytics_ext
 from tests.conftest import SF_DIR, assert_matches_oracle
 
 
@@ -11,3 +11,9 @@ from tests.conftest import SF_DIR, assert_matches_oracle
 def test_analytics_matches_oracle(spark, ddb, name):
     df = analytics.QUERIES[name](spark, SF_DIR)
     assert_matches_oracle(df, ddb, analytics.ORACLES[name])
+
+
+@pytest.mark.parametrize("name", sorted(analytics_ext.QUERIES))
+def test_analytics_ext_matches_oracle(spark, ddb, name):
+    df = analytics_ext.QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(df, ddb, analytics_ext.ORACLES[name])

@@ -1,0 +1,18 @@
+"""Portable-HLL sketch vs DuckDB oracle at sf0.001, plus accuracy."""
+
+from blog_snapshotbackup_azuredatalake_spark.operators import sketch
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+def test_hll_matches_oracle(spark, ddb):
+    df = sketch.sketch_hll_distinct(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, sketch.ORACLES["sketch_hll_distinct"])
+
+
+def test_hll_estimate_accuracy(spark):
+    rows = sketch.sketch_hll_distinct(spark, SF_DIR).collect()
+    assert len(rows) == len(sketch._TARGETS)
+    for r in rows:
+        rel_err = abs(r["n_hll"] - r["n_exact"]) / r["n_exact"]
+        # 1.04/sqrt(256) ≈ 6.5% std error; allow 3 sigma
+        assert rel_err < 0.20, (r["col_name"], r["n_exact"], r["n_hll"])

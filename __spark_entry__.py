@@ -81,6 +81,12 @@ def _registry() -> tuple[dict, dict]:
     except ImportError:
         pass
     try:
+        import blog_snapshotbackup_azuredatalake_spark.operators.snapshot_manager as snapshot_manager
+
+        modules.append(snapshot_manager)
+    except ImportError:
+        pass
+    try:
         import blog_snapshotbackup_azuredatalake_spark.operators.sketch as sketch
 
         modules.append(sketch)

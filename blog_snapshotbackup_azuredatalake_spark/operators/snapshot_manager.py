@@ -29,12 +29,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from blog_snapshotbackup_azuredatalake_spark.functions.hashing import row_hash
+from blog_snapshotbackup_azuredatalake_spark.operators.txnlog import TransactionLog
 
 
 class SnapshotManager:
     def __init__(self, spark: SparkSession, backup_root: str):
         self.spark = spark
         self.root = backup_root
+        self.log = TransactionLog(backup_root)
 
     # -- paths ------------------------------------------------------------
     def _dir(self, table: str, snap_id: int) -> str:
@@ -66,13 +68,17 @@ class SnapshotManager:
         )
 
     # -- snapshot ---------------------------------------------------------
-    def snapshot(self, df: DataFrame, table: str, key: str) -> int:
-        """Write the next snapshot: full copy if none exists, else a
-        differential delta against the latest FULL snapshot's manifest."""
+    def snapshot(
+        self, df: DataFrame, table: str, key: str, force_full: bool = False
+    ) -> int:
+        """Write the next snapshot: full copy if none exists (or
+        ``force_full`` starts a fresh differential chain), else a delta
+        against the latest FULL snapshot's manifest. Each snapshot is
+        also recorded as one atomic commit in the transaction log."""
         ids = self.snapshot_ids(table)
         snap_id = (ids[-1] + 1) if ids else 0
         d = self._dir(table, snap_id)
-        if not ids:
+        if not ids or force_full:
             df.write.mode("errorifexists").parquet(f"{d}/data")
             self._manifest(df, key).write.parquet(f"{d}/manifest")
             meta = {"id": snap_id, "base": None, "kind": "full", "key": key}
@@ -117,6 +123,19 @@ class SnapshotManager:
         os.makedirs(d, exist_ok=True)
         with open(self._meta_path(table, snap_id), "w") as f:
             json.dump(meta, f)
+        self.log.commit(
+            "snapshot",
+            [
+                {
+                    "add": {
+                        "path": f"{table}/snap_{snap_id:06d}",
+                        "table": table,
+                        "snap_id": snap_id,
+                        "kind": meta["kind"],
+                    }
+                }
+            ],
+        )
         return snap_id
 
     # -- restore ----------------------------------------------------------
@@ -197,4 +216,81 @@ class SnapshotManager:
         purged = [i for i in ids if i not in keep]
         for sid in purged:
             shutil.rmtree(self._dir(table, sid))
+        if purged:
+            self.log.commit(
+                "purge",
+                [
+                    {
+                        "remove": {
+                            "path": f"{table}/snap_{sid:06d}",
+                            "table": table,
+                            "snap_id": sid,
+                        }
+                    }
+                    for sid in purged
+                ],
+            )
         return purged
+
+    # -- log-based time travel --------------------------------------------
+    def restore_at_log_version(self, table: str, version: int) -> DataFrame:
+        """Restore the newest snapshot of `table` that was live at
+        transaction-log `version` — point-in-time recovery keyed by the
+        commit history rather than by snapshot id."""
+        live = [
+            meta
+            for meta in self.log.state(as_of=version).values()
+            if meta["table"] == table
+        ]
+        if not live:
+            raise ValueError(f"no live snapshot of {table} at v{version}")
+        return self.restore(table, max(m["snap_id"] for m in live))
+
+
+def snap_txn_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the transactional backup lifecycle end-to-end in a scratch
+    store — full snapshot, perturbed incremental, forced full (new
+    chain), retention purge — and return the commit log joined with
+    liveness at HEAD. Deterministic for a given sf dir; rows-only (the
+    log is JSON files, not a SQL-visible table)."""
+    import tempfile
+
+    from blog_snapshotbackup_azuredatalake_spark.operators.snapshot import (
+        _perturbed_orders,
+    )
+    from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
+        load_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix="snap_txn_log_")
+    mgr = SnapshotManager(spark, work)
+    mgr.snapshot(orders, "orders", "o_orderkey")
+    mgr.snapshot(_perturbed_orders(spark, sf_dir), "orders", "o_orderkey")
+    mgr.snapshot(
+        _perturbed_orders(spark, sf_dir), "orders", "o_orderkey",
+        force_full=True,
+    )
+    mgr.purge("orders", keep_last=1)
+    live = set(mgr.log.state().keys())
+    rows = []
+    for h in mgr.log.history():
+        _, actions = mgr.log.read_commit(h["version"])
+        for a in actions:
+            act = "add" if "add" in a else "remove"
+            rows.append(
+                (
+                    h["version"],
+                    h["op"],
+                    act,
+                    a[act]["path"],
+                    a[act]["path"] in live,
+                )
+            )
+    return spark.createDataFrame(
+        rows, "version int, op string, action string, path string, live boolean"
+    )
+
+
+QUERIES = {"snap_txn_log": snap_txn_log}
+ORACLES: dict[str, str] = {}  # rows-only: the log is filesystem metadata

@@ -208,14 +208,132 @@ FROM best GROUP BY centroid_id
 )
 
 
+BENCH_MOD = 13  # doc_id % 13 == 0 plays the held-out benchmark set
+
+
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share ANY
+    token-5-gram fingerprint with the held-out set (doc_id % 13 == 0
+    stands in for the eval benchmark). The benchmark's distinct shingle
+    set is small at any corpus size — it broadcasts into a semi-join
+    against the exploded train shingles, so the train corpus never
+    shuffles for the overlap test; only the final per-source stats
+    group-by does. Reports contamination counts per source."""
+    from blog_snapshotbackup_azuredatalake_spark.operators.dedup import (
+        grams_for,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = grams_for(docs)  # (doc_id, sh: array<bigint>)
+    bench_g = (
+        grams.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.explode_outer("sh").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+    )
+    train_g = (
+        grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .select("doc_id", F.explode_outer("sh").alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    contaminated = (
+        train_g.join(F.broadcast(bench_g), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_cont", F.lit(True))
+    )
+    return (
+        docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .select("doc_id", "source")
+        .join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("is_cont").alias("n_contaminated"),
+        )
+    )
+
+
+_DECONTAMINATE_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, {{tokh}} AS th FROM documents
+), grams AS (
+  SELECT doc_id, {{gramh}} AS sh FROM toked
+), bench AS (
+  SELECT DISTINCT unnest(sh) AS g FROM grams WHERE doc_id % {BENCH_MOD} = 0
+), contaminated AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(sh) AS g FROM grams
+        WHERE doc_id % {BENCH_MOD} <> 0)
+  WHERE g IN (SELECT g FROM bench)
+)
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(CASE WHEN doc_id IN (SELECT doc_id FROM contaminated)
+             THEN 1 END) AS n_contaminated
+FROM documents
+WHERE doc_id % {BENCH_MOD} <> 0
+GROUP BY source
+"""
+
+from blog_snapshotbackup_azuredatalake_spark.operators.dedup import (  # noqa: E402
+    _SQL_GRAM_HASHES,
+    _SQL_TOKH,
+)
+
+_DECONTAMINATE_SQL = _DECONTAMINATE_SQL.format(
+    tokh=_SQL_TOKH, gramh=_SQL_GRAM_HASHES
+)
+
+
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: each source gets its own
+    keep-rate (a stable function of the source name), each document
+    keeps or drops by md5(doc_id) mod 100 — reproducible under reruns,
+    appends, and re-partitioning, unlike rand()-based sampling. Returns
+    per-source totals, kept counts, and the applied rate."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (_hash60(F.col("source")) % 60 + 20).cast("int")  # 20..79 pct
+    slot = _hash60(F.col("doc_id").cast("string")) % 100
+    return (
+        docs.select(
+            "source",
+            rate.alias("rate_pct"),
+            (slot < rate).cast("int").alias("kept"),
+        )
+        .groupBy("source", "rate_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+        )
+    )
+
+
+_H60 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+_SAMPLE_STRATIFIED_SQL = f"""
+SELECT source,
+       CAST({_H60.format(x="source")} % 60 + 20 AS INT) AS rate_pct,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN {_H60.format(x="CAST(doc_id AS VARCHAR)")} % 100
+                     < {_H60.format(x="source")} % 60 + 20
+                THEN 1 ELSE 0 END) AS n_kept
+FROM documents
+GROUP BY source
+"""
+
+
 QUERIES = {
     "corpus_split": corpus_split,
     "doc_chunk": doc_chunk,
     "emb_centroid_assign": emb_centroid_assign,
+    "corpus_decontaminate": corpus_decontaminate,
+    "corpus_sample_stratified": corpus_sample_stratified,
 }
 
 ORACLES = {
     "corpus_split": _CORPUS_SPLIT_SQL,
     "doc_chunk": _DOC_CHUNK_SQL,
     "emb_centroid_assign": _EMB_CENTROID_SQL,
+    "corpus_decontaminate": _DECONTAMINATE_SQL,
+    "corpus_sample_stratified": _SAMPLE_STRATIFIED_SQL,
 }

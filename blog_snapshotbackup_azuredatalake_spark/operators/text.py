@@ -317,11 +317,109 @@ FROM toked
 """
 
 
+# Portable regex subset: char classes, +, {n}, alternation — identical
+# semantics in Java regex (Spark) and RE2 (DuckDB). No lookarounds, no
+# \b (RE2 and Java disagree on unicode word chars at boundaries).
+_EMAIL_RE = "[A-Za-z0-9_.]+@[A-Za-z0-9.]+[A-Za-z0-9]"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents: redact emails and phone numbers,
+    report per-source match counts and an order-insensitive checksum of
+    the REDACTED text (proving both engines rewrote identical bytes).
+    The synthetic corpus has no PII, so a deterministic planting step
+    (doc_id-derived emails on every 7th doc, phones on every 11th)
+    stands in for the dirty input; the regex pipeline itself is what a
+    real corpus would run unchanged. Single scan, all JVM built-ins."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    staged = docs.select("doc_id", "source", planted.alias("ptext"))
+    n_emails = F.size(
+        F.regexp_extract_all(F.col("ptext"), F.lit(_EMAIL_RE), F.lit(0))
+    ).cast("bigint")
+    n_phones = F.size(
+        F.regexp_extract_all(F.col("ptext"), F.lit(_PHONE_RE), F.lit(0))
+    ).cast("bigint")
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("ptext"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    h60 = F.conv(F.substring(F.md5(redacted), 1, 15), 16, 10).cast("bigint")
+    per_doc = staged.select(
+        "source",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        h60.alias("h"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_emails") + F.col("n_phones") > 0).cast("bigint"))
+        .alias("n_docs_with_pii"),
+        F.sum("n_emails").alias("n_emails"),
+        F.sum("n_phones").alias("n_phones"),
+        F.expr("bit_xor(h)").alias("redacted_checksum"),
+    )
+
+
+_REDACT_SQL = f"""
+WITH staged AS (
+  SELECT doc_id, source,
+         concat(text,
+           CASE WHEN doc_id % 7 = 0
+                THEN concat(' contact user', CAST(doc_id AS VARCHAR),
+                            '@example.com') ELSE '' END,
+           CASE WHEN doc_id % 11 = 0
+                THEN concat(' call 555-',
+                            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+                ELSE '' END) AS ptext
+  FROM documents
+), per_doc AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(ptext, '{_EMAIL_RE}')) AS BIGINT)
+           AS n_emails,
+         CAST(len(regexp_extract_all(ptext, '{_PHONE_RE}')) AS BIGINT)
+           AS n_phones,
+         CAST(concat('0x', substr(md5(
+             regexp_replace(regexp_replace(ptext, '{_EMAIL_RE}', '<EMAIL>',
+                                           'g'),
+                            '{_PHONE_RE}', '<PHONE>', 'g')), 1, 15))
+           AS BIGINT) AS h
+  FROM staged
+)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(CAST(n_emails + n_phones > 0 AS BIGINT)) AS n_docs_with_pii,
+       SUM(n_emails) AS n_emails,
+       SUM(n_phones) AS n_phones,
+       bit_xor(h) AS redacted_checksum
+FROM per_doc GROUP BY source
+"""
+
+
 QUERIES = {
     "text_tokencount": text_tokencount,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
+    "text_redact_pii": text_redact_pii,
 }
 
 ORACLES = {
@@ -329,4 +427,5 @@ ORACLES = {
     "text_quality": _QUALITY_SQL,
     "text_langid": _langid_sql(),
     "text_fingerprint": _FINGERPRINT_SQL,
+    "text_redact_pii": _REDACT_SQL,
 }

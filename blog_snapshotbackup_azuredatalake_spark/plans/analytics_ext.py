@@ -243,6 +243,146 @@ WHERE l_quantity < 0.5 * avg_qty
 """
 
 
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with the maximum quarterly revenue.
+    The scalar max broadcasts as a 1-row cross join against the per-
+    supplier aggregate; the equality compares exact decimals, so ties
+    (all of them) surface identically on any engine."""
+    line = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = line.groupBy("l_suppkey").agg(
+        F.sum(_rev()).alias("total_rev")
+    )
+    mx = revenue.agg(F.max("total_rev").alias("mx"))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev"), 2).cast("double").alias("total_rev"),
+        )
+    )
+
+
+_Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey, SUM({_SQL_REV}) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(ROUND(total_rev, 2) AS DOUBLE) AS total_rev
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+"""
+
+
+def q16_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 flavor: how many distinct suppliers ship each
+    (brand, type, size) combination, excluding one brand, the SMALL
+    type, and suppliers with negative balances (the NOT IN runs as a
+    broadcast anti-join, not a per-row subquery)."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13") & (F.col("p_type") != "SMALL")
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_sup = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    line = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    return (
+        line.join(
+            F.broadcast(bad_sup),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13' AND p_type <> 'SMALL'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 flavor: suppliers who were the SOLE late shipper on
+    multi-supplier orders (late = shipped >90 days after the order
+    date). The original's EXISTS / NOT EXISTS pair decorrelates into
+    one per-order aggregate — distinct suppliers and distinct late
+    suppliers — joined back to the late lines; no correlated subquery
+    execution, two shuffles total on l_orderkey."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    line = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    flagged = line.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("late"),
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count_distinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supps"),
+    )
+    sole_late = (
+        flagged.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(
+            F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+_Q21_SQL = """
+WITH flagged AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supps,
+         COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supps
+  FROM flagged GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM flagged
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE late AND n_supps > 1 AND n_late_supps = 1
+GROUP BY s_name
+"""
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals in one pass: revenue by (returnflag, status),
     by returnflag, and grand total via ROLLUP — Spark computes all three
@@ -272,6 +412,9 @@ QUERIES = {
     "q9_product_profit": q9_product_profit,
     "q13_cust_order_distribution": q13_cust_order_distribution,
     "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_parts_suppliers": q16_parts_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "q_rollup_revenue": q_rollup_revenue,
 }
 
@@ -281,5 +424,8 @@ ORACLES = {
     "q9_product_profit": _Q9_SQL,
     "q13_cust_order_distribution": _Q13_SQL,
     "q17_small_qty_revenue": _Q17_SQL,
+    "q15_top_supplier": _Q15_SQL,
+    "q16_parts_suppliers": _Q16_SQL,
+    "q21_waiting_suppliers": _Q21_SQL,
     "q_rollup_revenue": _Q_ROLLUP_SQL,
 }

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
 from blog_snapshotbackup_azuredatalake_spark.streaming.incremental import (
+    dedup_events_stream,
     incremental_sync,
     run_windowed_stream,
 )
@@ -84,10 +85,35 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup: feed every event TWICE (an
+    at-least-once upstream), drain, and return the deduped rows — the
+    rows-only invariant is count == distinct event count."""
+    events = load_table(spark, sf_dir, "events")
+    doubled = events.unionAll(events)
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    src = f"{work}/events_src"
+    doubled.write.parquet(src)
+    stream = spark.readStream.schema(doubled.schema).parquet(src)
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_events_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
 QUERIES = {
     "stream_incr_sync": stream_incr_sync,
     "stream_windowed_agg": stream_windowed_agg,
     "stream_sessionize": stream_sessionize,
+    "stream_dedup": stream_dedup,
 }
 
 ORACLES: dict[str, str] = {}  # rows-only: streaming is not SQL-expressible

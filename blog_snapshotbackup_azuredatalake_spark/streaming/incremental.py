@@ -46,6 +46,61 @@ def incremental_sync(
     q.awaitTermination()
 
 
+def sync_daemon(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    interval: str = "1 second",
+    partition_by: str | None = None,
+):
+    """Continuous-sync daemon: the same exactly-once file sync as
+    ``incremental_sync`` but left running on a processing-time trigger,
+    appending each new landing file within `interval` of its arrival.
+    Returns the live StreamingQuery — callers own its lifecycle
+    (``processAllAvailable()`` to barrier in tests, ``stop()`` to end).
+    Same checkpoint contract, so a crashed daemon resumes exactly-once
+    and can be downgraded to cron-style ``incremental_sync`` runs and
+    back without re-copying."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(source_dir)
+    )
+    writer = (
+        stream.writeStream.format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=interval)
+    )
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    return writer.start()
+
+
+def dedup_events_stream(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup on event_id with BOUNDED state: duplicates
+    are only possible within the replay window (an at-least-once
+    upstream re-sends recent events, not year-old ones), so
+    ``dropDuplicatesWithinWatermark`` lets Spark evict ids older than
+    the 30-minute watermark instead of keeping every key ever seen —
+    the difference between O(window) and O(corpus) state at 100 TB."""
+    with_ts = events.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    return (
+        with_ts.withWatermark("event_time", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.expr("ts div 1000").alias("ts_us"),
+        )
+    )
+
+
 def windowed_event_counts(events: DataFrame) -> DataFrame:
     """Tumbling 10-minute event counts with a 30-minute watermark for
     late data — the streaming rollup a backup-audit dashboard reads.

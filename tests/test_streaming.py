@@ -9,6 +9,7 @@ from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
 from blog_snapshotbackup_azuredatalake_spark.streaming.incremental import (
     incremental_sync,
     run_windowed_stream,
+    sync_daemon,
     windowed_event_counts,
 )
 from blog_snapshotbackup_azuredatalake_spark.streaming.sessions import sessionize_stream
@@ -43,6 +44,39 @@ def test_incremental_sync_exactly_once(spark, tmp_path):
     second.write.parquet(str(src / "batch1"))
     incremental_sync(spark, f"{src}/*", dst, ckpt, schema)
     assert spark.read.parquet(dst).count() == events.count()
+
+
+def test_sync_daemon_follows_landing_dir(spark, tmp_path):
+    src = tmp_path / "landing"
+    dst = str(tmp_path / "backup")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    events = load_table(spark, SF_DIR, "events")
+    first = events.filter(F.col("event_id") % 2 == 0)
+    first.write.parquet(str(src / "batch0"))
+
+    q = sync_daemon(spark, f"{src}/*", dst, ckpt, events.schema)
+    try:
+        q.processAllAvailable()
+        assert spark.read.parquet(dst).count() == first.count()
+        # daemon stays up; a new landing file syncs without a restart
+        second = events.filter(F.col("event_id") % 2 == 1)
+        second.write.parquet(str(src / "batch1"))
+        q.processAllAvailable()
+        assert spark.read.parquet(dst).count() == events.count()
+    finally:
+        q.stop()
+
+
+def test_stream_dedup_drops_replayed_events(spark):
+    from blog_snapshotbackup_azuredatalake_spark.streaming.entries import (
+        stream_dedup,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    deduped = stream_dedup(spark, SF_DIR)
+    assert deduped.count() == events.count()  # each event fed twice
+    assert deduped.select("event_id").distinct().count() == events.count()
 
 
 def test_windowed_counts_stream_matches_batch(spark, tmp_path):

@@ -360,6 +360,136 @@ FROM rows_h GROUP BY ship_month
 """
 
 
+BLOOM_BITS = 65536  # 63-bit words (shift ≤ 62: DuckDB checks 1<<63) ≈ 8 KB broadcast
+
+
+def _bloom_pos(key: F.Column, tag: str) -> F.Column:
+    return (
+        _hash60(F.md5(F.concat(key.cast("string"), F.lit(tag))))
+        % BLOOM_BITS
+    )
+
+
+def snap_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter prefilter for incremental sync: build a 2-hash
+    bloom over the BACKUP's keys (1024 words, ~8 KB — broadcastable at
+    any backup size with proportional sizing), probe every SOURCE key,
+    and report how many rows the filter proves new (bloom-absent ⇒
+    definitely not backed up ⇒ copy without any join) versus how many
+    fall through to the exact anti-join. At 100 TB this is the
+    difference between shuffling the whole source for the anti-join and
+    shuffling only the bloom-positive sliver; the summary also measures
+    the false-positive rate against exact membership. md5-derived
+    positions keep the filter bit-identical across engines and reruns
+    (a rerun can even reuse a persisted filter)."""
+    backup = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key")
+    )
+    source = _perturbed_orders(spark, sf_dir).select(
+        F.col("o_orderkey").alias("key")
+    )
+    pos = backup.select(
+        F.explode_outer(
+            F.array(
+                _bloom_pos(F.col("key"), "#1"), _bloom_pos(F.col("key"), "#2")
+            )
+        ).alias("pos")
+    )
+    words = (
+        pos.select(
+            F.expr("pos div 63").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+    probed = (
+        source.select(
+            "key",
+            _bloom_pos(F.col("key"), "#1").alias("p1"),
+            _bloom_pos(F.col("key"), "#2").alias("p2"),
+        )
+        .join(
+            F.broadcast(
+                words.select(F.col("w").alias("w1"), F.col("bits").alias("b1"))
+            ),
+            F.expr("p1 div 63") == F.col("w1"),
+            "left",
+        )
+        .join(
+            F.broadcast(
+                words.select(F.col("w").alias("w2"), F.col("bits").alias("b2"))
+            ),
+            F.expr("p2 div 63") == F.col("w2"),
+            "left",
+        )
+    )
+    hit = F.expr(
+        "(coalesce(b1, CAST(0 AS BIGINT))"
+        " & shiftleft(CAST(1 AS BIGINT), CAST(p1 % 63 AS INT))) != 0"
+        " AND (coalesce(b2, CAST(0 AS BIGINT))"
+        " & shiftleft(CAST(1 AS BIGINT), CAST(p2 % 63 AS INT))) != 0"
+    )
+    flagged = probed.select("key", hit.alias("maybe"))
+    truth = flagged.join(
+        backup.withColumn("in_backup", F.lit(True)), "key", "left"
+    ).select(
+        "maybe", F.coalesce(F.col("in_backup"), F.lit(False)).alias("in_bk")
+    )
+    return truth.agg(
+        F.count(F.lit(1)).alias("n_source"),
+        F.sum((~F.col("maybe")).cast("bigint")).alias("n_definite_new"),
+        F.sum(F.col("maybe").cast("bigint")).alias("n_maybe"),
+        F.sum((~F.col("in_bk")).cast("bigint")).alias("n_truly_new"),
+        F.sum((F.col("maybe") & ~F.col("in_bk")).cast("bigint")).alias(
+            "n_false_positive"
+        ),
+    )
+
+
+_BLOOM_POS_SQL = (
+    lambda tag: _hash60_sql(f"md5(concat(CAST(key AS VARCHAR), '{tag}'))")
+    + f" % {BLOOM_BITS}"
+)
+
+_SNAP_BLOOM_SQL = f"""
+WITH backup AS (
+  SELECT o_orderkey AS key FROM orders
+), source AS (
+  SELECT o_orderkey AS key FROM ({_PERTURBED_SQL})
+), pos AS (
+  SELECT unnest([{_BLOOM_POS_SQL("#1")}, {_BLOOM_POS_SQL("#2")}]) AS pos
+  FROM backup
+), words AS (
+  SELECT pos // 63 AS w,
+         bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+  FROM pos GROUP BY w
+), probed AS (
+  SELECT s.key, s.p1, s.p2, w1.bits AS b1, w2.bits AS b2
+  FROM (SELECT key, {_BLOOM_POS_SQL("#1")} AS p1,
+               {_BLOOM_POS_SQL("#2")} AS p2 FROM source) s
+  LEFT JOIN words w1 ON s.p1 // 63 = w1.w
+  LEFT JOIN words w2 ON s.p2 // 63 = w2.w
+), flagged AS (
+  SELECT key,
+         (coalesce(b1, 0) & (1::BIGINT << CAST(p1 % 63 AS INT))) <> 0
+         AND (coalesce(b2, 0) & (1::BIGINT << CAST(p2 % 63 AS INT))) <> 0
+           AS maybe,
+         key IN (SELECT key FROM backup) AS in_bk
+  FROM probed
+)
+SELECT COUNT(*) AS n_source,
+       SUM(CASE WHEN NOT maybe THEN 1 ELSE 0 END) AS n_definite_new,
+       SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS n_maybe,
+       SUM(CASE WHEN NOT in_bk THEN 1 ELSE 0 END) AS n_truly_new,
+       SUM(CASE WHEN maybe AND NOT in_bk THEN 1 ELSE 0 END)
+         AS n_false_positive
+FROM flagged
+"""
+
+
 QUERIES = {
     "snap_row_manifest": snap_row_manifest,
     "snap_table_checksum": snap_table_checksum,
@@ -369,6 +499,7 @@ QUERIES = {
     "snap_retention": snap_retention,
     "snap_restore_asof": snap_restore_asof,
     "snap_partition_stats": snap_partition_stats,
+    "snap_bloom_prefilter": snap_bloom_prefilter,
 }
 
 ORACLES = {
@@ -380,4 +511,5 @@ ORACLES = {
     "snap_retention": _SNAP_RETENTION_SQL,
     "snap_restore_asof": _SNAP_RESTORE_ASOF_SQL,
     "snap_partition_stats": _SNAP_PARTITION_STATS_SQL,
+    "snap_bloom_prefilter": _SNAP_BLOOM_SQL,
 }

@@ -262,15 +262,16 @@ def snap_txn_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table,
     )
 
-    orders = load_table(spark, sf_dir, "orders")
+    # every-10th-key slice: the lifecycle (full → delta → forced full →
+    # purge) is what's demonstrated; writing the whole table 3× is not
+    keyed = F.col("o_orderkey") % 10 == 0
+    orders = load_table(spark, sf_dir, "orders").filter(keyed)
     work = tempfile.mkdtemp(prefix="snap_txn_log_")
     mgr = SnapshotManager(spark, work)
     mgr.snapshot(orders, "orders", "o_orderkey")
-    mgr.snapshot(_perturbed_orders(spark, sf_dir), "orders", "o_orderkey")
-    mgr.snapshot(
-        _perturbed_orders(spark, sf_dir), "orders", "o_orderkey",
-        force_full=True,
-    )
+    perturbed = _perturbed_orders(spark, sf_dir).filter(keyed)
+    mgr.snapshot(perturbed, "orders", "o_orderkey")
+    mgr.snapshot(perturbed, "orders", "o_orderkey", force_full=True)
     mgr.purge("orders", keep_last=1)
     live = set(mgr.log.state().keys())
     rows = []

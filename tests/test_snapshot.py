@@ -16,3 +16,18 @@ def test_snap_diff_classifies_all_three(spark):
     df = snapshot.snap_diff(spark, SF_DIR)
     kinds = {r["change_type"] for r in df.collect()}
     assert kinds == {"added", "removed", "changed"}
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    from blog_snapshotbackup_azuredatalake_spark.operators.snapshot import (
+        snap_bloom_prefilter,
+    )
+
+    row = snap_bloom_prefilter(spark, SF_DIR).collect()[0]
+    # bloom-absent must imply truly-new: definite_new ≤ truly_new, and
+    # every truly-new row is either definite-new or a false positive
+    assert row["n_definite_new"] <= row["n_truly_new"]
+    assert (
+        row["n_definite_new"] + row["n_false_positive"] == row["n_truly_new"]
+    )
+    assert row["n_definite_new"] + row["n_maybe"] == row["n_source"]

@@ -103,6 +103,40 @@ def compact_files(
             "files_after": count_parquet(path)}
 
 
+def copy_table_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 16,
+) -> dict:
+    """Copy `df` as a BUCKETED parquet table (hash-bucketed and sorted
+    by `key`). This is the layout that makes the recurring backup joins
+    — manifest diff, anti-join sync, verify — ZERO-shuffle: two tables
+    bucketed on the same key with the same bucket count sort-merge-join
+    without any Exchange, so a daily 100 TB diff reads both sides
+    bucket-by-bucket and never materializes a shuffle. The write itself
+    costs one clustering pass (same as the join's shuffle would), but
+    it's paid ONCE at copy time instead of on every downstream join.
+
+    Uses the session catalog (`saveAsTable`) because bucket metadata
+    lives in the table catalog, not in the files; pair with a database
+    whose LOCATION is the backup root."""
+    (
+        df.write.mode("errorifexists")
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
+    spark = df.sparkSession
+    return {
+        "table": table,
+        "n_rows": spark.table(table).count(),
+        "bucketed_by": key,
+        "n_buckets": n_buckets,
+    }
+
+
 def verify_copy(
     spark: SparkSession, source: DataFrame, target: str
 ) -> bool:

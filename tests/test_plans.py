@@ -81,3 +81,38 @@ def test_gram_projection_is_two_step(spark):
     # the projection computing sh must reference th#, not split(text
     sh_blocks = [b for b in gram_projects if " AS sh#" in b]
     assert sh_blocks and all("split(text" not in b for b in sh_blocks)
+
+
+def test_ivf_centroids_broadcast_corpus_never_shuffles_for_assign(spark):
+    from blog_snapshotbackup_azuredatalake_spark.operators import similarity
+
+    plan = _plan(similarity.ann_topk_ivf(spark, SF_DIR))
+    # the probe join must be a broadcast hash join, and the corpus must
+    # never sort-merge (the centroid crossJoin is a broadcast nested
+    # loop over 16 rows — that one is the intended plan)
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert "SortMergeJoin" not in plan, plan[:800]
+
+
+def test_q21_decorrelation_produced_no_nested_loop(spark):
+    from blog_snapshotbackup_azuredatalake_spark.plans import analytics_ext
+
+    plan = _plan(analytics_ext.q21_waiting_suppliers(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_words_broadcast(spark):
+    plan = _plan(snapshot.snap_bloom_prefilter(spark, SF_DIR))
+    # the ~8 KB word array must broadcast into both probe joins
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:800]
+
+
+def test_q9_part_filter_before_join(spark):
+    from blog_snapshotbackup_azuredatalake_spark.plans import analytics_ext
+
+    plan = _plan(analytics_ext.q9_product_profit(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # the widget LIKE filter must sit under a scan, not above a join
+    assert "PushedFilters: [IsNotNull(p_name)" in plan or (
+        "Contains(p_name" in plan
+    ), plan[:800]

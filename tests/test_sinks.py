@@ -67,3 +67,45 @@ def test_verify_copy_detects_tamper(spark, tmp_path):
         ),
     )
     assert not verify_copy(spark, tampered, target)
+
+
+def test_bucketed_copy_joins_without_shuffle(spark, tmp_path):
+    import contextlib
+    import io
+
+    from blog_snapshotbackup_azuredatalake_spark.sources.sinks import (
+        copy_table_bucketed,
+    )
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bktdb LOCATION '{tmp_path}/wh'"
+    )
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    stats = copy_table_bucketed(orders, "bktdb.orders_a", "o_orderkey", 8)
+    copy_table_bucketed(orders, "bktdb.orders_b", "o_orderkey", 8)
+    assert stats["n_rows"] == orders.count()
+
+    a = spark.table("bktdb.orders_a")
+    b = spark.table("bktdb.orders_b").withColumnRenamed(
+        "o_totalprice", "price_b"
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = a.join(b, "o_orderkey")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        # the whole point of the bucketed layout: a co-located
+        # sort-merge join with NO Exchange anywhere in the plan
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert j.count() == orders.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE bktdb.orders_a")
+        spark.sql("DROP TABLE bktdb.orders_b")
+        spark.sql("DROP DATABASE bktdb")

@@ -8,7 +8,7 @@ only as final casts of exact aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from blog_snapshotbackup_azuredatalake_spark.plans.analytics import (
@@ -406,6 +406,85 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def q_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer balance deciles: ntile(10) over a total order, per-decile
+    count and decimal-exact balance stats. The (c_acctbal, c_custkey)
+    sort key is unique, so tile boundaries are engine-independent. A
+    global ntile needs a single-partition sort — fine for dimension
+    tables; for a fact-sized quantile use approx percentiles instead."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("decimal(12,2)").alias("bal")
+    )
+    w = Window.orderBy("bal", "c_custkey")
+    return (
+        cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.min("bal").cast("double").alias("min_bal"),
+            F.max("bal").cast("double").alias("max_bal"),
+            (F.sum("bal").cast("double") / F.count(F.lit(1))).alias(
+                "avg_bal"
+            ),
+        )
+    )
+
+
+_Q_DECILES_SQL = """
+SELECT decile, COUNT(*) AS n_custs,
+       CAST(MIN(bal) AS DOUBLE) AS min_bal,
+       CAST(MAX(bal) AS DOUBLE) AS max_bal,
+       CAST(SUM(bal) AS DOUBLE) / COUNT(*) AS avg_bal
+FROM (SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+             NTILE(10) OVER (ORDER BY CAST(c_acctbal AS DECIMAL(12,2)),
+                             c_custkey) AS decile
+      FROM customer)
+GROUP BY decile
+"""
+
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    week, counted in each subsequent week they returned (offsets 0–8).
+    Weeks are integer epoch-week indices — pure int arithmetic, no
+    calendar functions, so every engine lands on identical cohorts.
+    Two shuffles: per-user min, then the (cohort, offset) count."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"(ts div 1000) div {_WEEK_US}").cast("bigint").alias("wk"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id", "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias(
+                "week_offset"
+            )
+        )
+        .filter(F.col("week_offset") <= 8)
+        .groupBy("cohort_wk", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+_Q_RETENTION_SQL = f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(epoch_ns(ts) // 1000 // {_WEEK_US} AS BIGINT) AS wk
+  FROM events
+), first AS (
+  SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id
+)
+SELECT cohort_wk, wk - cohort_wk AS week_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM ev JOIN first USING (user_id)
+WHERE wk - cohort_wk <= 8
+GROUP BY cohort_wk, week_offset
+"""
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q7_nation_volume": q7_nation_volume,
@@ -416,6 +495,8 @@ QUERIES = {
     "q16_parts_suppliers": q16_parts_suppliers,
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q_rollup_revenue": q_rollup_revenue,
+    "q_balance_deciles": q_balance_deciles,
+    "q_events_retention": q_events_retention,
 }
 
 ORACLES = {
@@ -428,4 +509,6 @@ ORACLES = {
     "q16_parts_suppliers": _Q16_SQL,
     "q21_waiting_suppliers": _Q21_SQL,
     "q_rollup_revenue": _Q_ROLLUP_SQL,
+    "q_balance_deciles": _Q_DECILES_SQL,
+    "q_events_retention": _Q_RETENTION_SQL,
 }

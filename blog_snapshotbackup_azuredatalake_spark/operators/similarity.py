@@ -82,16 +82,35 @@ WHERE rnk <= {TOP_K}
 
 
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k: candidates limited to the query's sign bucket."""
+    """ANN top-k via MULTI-PROBE sign-bucket LSH: each query probes its
+    own bucket plus the LSH_DIMS Hamming-1 neighbors (a near neighbor
+    that disagrees on one hyperplane sign lands one flip away —
+    single-bucket probing measured only 0.03–0.08 recall@5, multi-probe
+    recovers most of it for a 7× blowup of the TINY query side only;
+    the corpus is still touched once per matching bucket)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",
         _sign_bucket(F.col("embedding"), LSH_DIMS).alias("bucket"),
     )
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    base_q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         "bucket",
+    )
+    flip = F.expr(
+        "CASE WHEN i = 0 THEN bucket ELSE concat(substring(bucket, 1, i - 1),"
+        " CASE WHEN substring(bucket, i, 1) = '1' THEN '0' ELSE '1' END,"
+        f" substring(bucket, i + 1, {LSH_DIMS})) END"
+    )
+    queries = (
+        base_q.select(
+            "q_id",
+            "q_emb",
+            "bucket",
+            F.explode_outer(F.sequence(F.lit(0), F.lit(LSH_DIMS))).alias("i"),
+        )
+        .select("q_id", "q_emb", flip.alias("bucket"))
     )
     pairs = (
         emb.join(F.broadcast(queries), "bucket")
@@ -101,6 +120,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             _dot_cos(F.col("q_emb"), F.col("embedding")).alias("cos"),
         )
+        .distinct()  # a vector can match several probes of one query
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
@@ -115,11 +135,21 @@ _LSH_BUCKET = _SQL_BUCKET.replace(f"[1:{8}]", f"[1:{LSH_DIMS}]")
 _ANN_LSH_SQL = f"""
 WITH emb AS (
   SELECT vec_id, embedding, {_LSH_BUCKET} AS bucket FROM embeddings
-), queries AS (
+), base_q AS (
   SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM emb
   WHERE vec_id < {N_QUERIES}
+), queries AS (
+  -- multi-probe: own bucket + all {LSH_DIMS} Hamming-1 neighbors
+  SELECT q_id, q_emb,
+         CASE WHEN i = 0 THEN bucket
+              ELSE substr(bucket, 1, CAST(i - 1 AS INT))
+                   || (CASE WHEN substr(bucket, CAST(i AS INT), 1) = '1'
+                            THEN '0' ELSE '1' END)
+                   || substr(bucket, CAST(i + 1 AS INT), {LSH_DIMS})
+         END AS bucket
+  FROM base_q, range(0, {LSH_DIMS + 1}) t(i)
 ), pairs AS (
-  SELECT q_id, b.vec_id AS vec_id, {_SQL_COS.replace("a.embedding", "q_emb").replace("b.embedding", "b.embedding")} AS cos
+  SELECT DISTINCT q_id, b.vec_id AS vec_id, {_SQL_COS.replace("a.embedding", "q_emb").replace("b.embedding", "b.embedding")} AS cos
   FROM queries JOIN emb b USING (bucket)
   WHERE b.vec_id <> q_id
 )
@@ -252,14 +282,71 @@ WHERE rnk <= {TOP_K}
 """
 
 
+def ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput variant of ``ann_topk_bruteforce``: one numpy matmul
+    per Arrow batch scores every query against the batch (the ~3×
+    measured win from scripts/udf_bench.py), each batch emits only its
+    per-query top-k (bounded output: |Q|·k rows per batch, not |B|·|Q|),
+    and a final window takes the global top-k. The query matrix is tiny
+    by definition, so it rides into the closure like a broadcast var.
+    Rows-only entry: numpy's pairwise summation is not bit-identical to
+    the SQL fold, so near-tied ranks may differ in the last ulp — the
+    test asserts ≥95% pair overlap with the exact baseline instead."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrows = emb.filter(F.col("vec_id") < N_QUERIES).collect()  # small by design
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    k = TOP_K
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            arr = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            arr /= np.linalg.norm(arr, axis=1, keepdims=True)
+            cos = arr @ q_mat.T  # B × |Q|
+            parts = []
+            for j in range(len(q_ids)):
+                col = cos[:, j]
+                cand = np.nonzero(ids != q_ids[j])[0]
+                take = cand[np.argsort(-col[cand], kind="stable")[: k]]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": np.full(len(take), q_ids[j]),
+                            "vec_id": ids[take],
+                            "cos": col[take],
+                        }
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True)
+
+    scored = emb.mapInPandas(score, "q_id long, vec_id long, cos double")
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "vec_id", "cos", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
+    "ann_topk_arrow": ann_topk_arrow,
 }
 
 ORACLES = {
     "ann_topk_bruteforce": _ANN_BRUTE_SQL,
     "ann_topk_lsh": _ANN_LSH_SQL,
     "ann_topk_ivf": _ANN_IVF_SQL,
+    # ann_topk_arrow: rows-only — numpy fold order ≠ SQL fold order
 }

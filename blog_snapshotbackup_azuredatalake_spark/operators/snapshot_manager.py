@@ -232,6 +232,37 @@ class SnapshotManager:
             )
         return purged
 
+    # -- housekeeping ------------------------------------------------------
+    def compact(
+        self, table: str, snap_id: int, target_rows_per_file: int = 1_000_000
+    ) -> dict:
+        """Compact a snapshot's data files (checksummed rewrite + atomic
+        swap via sinks.compact_files) and record it as a 'compact'
+        commit — the log then explains why the file set changed without
+        any add/remove of snapshots."""
+        from blog_snapshotbackup_azuredatalake_spark.sources.sinks import (
+            compact_files,
+        )
+
+        stats = compact_files(
+            self.spark,
+            f"{self._dir(table, snap_id)}/data",
+            target_rows_per_file,
+        )
+        self.log.commit(
+            "compact",
+            [
+                {
+                    "compact": {
+                        "path": f"{table}/snap_{snap_id:06d}",
+                        "files_before": stats["files_before"],
+                        "files_after": stats["files_after"],
+                    }
+                }
+            ],
+        )
+        return stats
+
     # -- log-based time travel --------------------------------------------
     def restore_at_log_version(self, table: str, version: int) -> DataFrame:
         """Restore the newest snapshot of `table` that was live at

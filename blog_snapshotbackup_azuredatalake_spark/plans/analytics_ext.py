@@ -406,6 +406,79 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 flavor: NATION_3 suppliers' share of their region's
+    revenue, per order year. The share is a conditional aggregate
+    (CASE inside SUM) over one scan of the joined fact — no second
+    pass, no self-join; ratio computed from exact decimal sums."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "n_name", "r_name")
+    )
+    target_region = (
+        sup.filter(F.col("n_name") == "NATION_3")
+        .select("r_name")
+        .limit(1)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    line = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        line.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(target_region), "r_name", "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.round(
+            F.sum(F.when(F.col("n_name") == "NATION_3", _rev()).otherwise(
+                F.lit(0).cast("decimal(12,2)")
+            )),
+            2,
+        )
+        .cast("double")
+        .alias("nation_revenue"),
+        F.round(F.sum(_rev()), 2).cast("double").alias("region_revenue"),
+        (
+            F.sum(
+                F.when(F.col("n_name") == "NATION_3", _rev()).otherwise(
+                    F.lit(0).cast("decimal(12,2)")
+                )
+            ).cast("double")
+            / F.sum(_rev()).cast("double")
+        ).alias("mkt_share"),
+    )
+
+
+_Q8_SQL = f"""
+WITH sup AS (
+  SELECT s_suppkey, n_name, r_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+), target AS (
+  SELECT r_name FROM sup WHERE n_name = 'NATION_3' LIMIT 1
+)
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(ROUND(SUM(CASE WHEN n_name = 'NATION_3' THEN {_SQL_REV}
+                           ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE)
+         AS nation_revenue,
+       CAST(ROUND(SUM({_SQL_REV}), 2) AS DOUBLE) AS region_revenue,
+       CAST(SUM(CASE WHEN n_name = 'NATION_3' THEN {_SQL_REV}
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         / CAST(SUM({_SQL_REV}) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN sup ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE r_name IN (SELECT r_name FROM target)
+GROUP BY year(o_orderdate)
+"""
+
+
 def q_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer balance deciles: ntile(10) over a total order, per-decile
     count and decimal-exact balance stats. The (c_acctbal, c_custkey)
@@ -497,6 +570,7 @@ QUERIES = {
     "q_rollup_revenue": q_rollup_revenue,
     "q_balance_deciles": q_balance_deciles,
     "q_events_retention": q_events_retention,
+    "q8_nation_market_share": q8_nation_market_share,
 }
 
 ORACLES = {
@@ -511,4 +585,5 @@ ORACLES = {
     "q_rollup_revenue": _Q_ROLLUP_SQL,
     "q_balance_deciles": _Q_DECILES_SQL,
     "q_events_retention": _Q_RETENTION_SQL,
+    "q8_nation_market_share": _Q8_SQL,
 }

@@ -86,3 +86,16 @@ def test_snap_txn_log_entry(spark):
     assert len(rows) == 5
     live = {r["path"] for r in rows if r["live"]}
     assert live == {"orders/snap_000002"}
+
+
+def test_manager_compact_is_logged_and_lossless(spark, tmp_path):
+    orders = load_table(spark, SF_DIR, "orders").limit(300).repartition(16)
+    mgr = SnapshotManager(spark, str(tmp_path / "b"))
+    mgr.snapshot(orders, "orders", "o_orderkey")
+    stats = mgr.compact("orders", 0, target_rows_per_file=1000)
+    assert stats["files_after"] < stats["files_before"]
+    assert mgr.restore("orders", 0).count() == 300
+    hist = mgr.log.history()
+    assert [h["op"] for h in hist] == ["snapshot", "compact"]
+    # compact must not change which snapshots are live
+    assert set(mgr.log.state()) == {"orders/snap_000000"}

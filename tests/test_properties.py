@@ -147,3 +147,42 @@ def test_grams_of_short_docs_are_empty(spark):
     )
     sizes = [r["n"] for r in staged.select(F.size(sh).alias("n")).collect()]
     assert sizes == [0, 2, 0]
+
+
+# -- transaction log: fold(state) must equal a reference dict model -------
+
+_paths = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "e"]), min_size=1, max_size=12
+)
+
+
+@given(ops=_paths, removes=st.lists(st.booleans(), min_size=12, max_size=12))
+@settings(max_examples=25, deadline=None)
+def test_txnlog_state_fold_matches_model(tmp_path_factory, ops, removes):
+    from blog_snapshotbackup_azuredatalake_spark.operators.txnlog import (
+        TransactionLog,
+    )
+
+    root = tmp_path_factory.mktemp("txn")
+    log = TransactionLog(str(root))
+    model: dict[str, int] = {}
+    for i, (path, do_remove) in enumerate(zip(ops, removes)):
+        if do_remove and path in model:
+            v = log.commit("op", [{"remove": {"path": path}}])
+            model.pop(path)
+        else:
+            v = log.commit("op", [{"add": {"path": path}}])
+            model[path] = v
+        assert v == i  # versions are dense and ordered
+        got = log.state()
+        assert set(got) == set(model)
+        for p, meta in got.items():
+            assert meta["version"] == model[p]
+    # time travel at every prefix replays to the same fold
+    replay: dict[str, int] = {}
+    for i, (path, do_remove) in enumerate(zip(ops, removes)):
+        if do_remove and path in replay:
+            replay.pop(path)
+        else:
+            replay[path] = i
+        assert set(log.state(as_of=i)) == set(replay)

@@ -34,10 +34,15 @@ QUERIES = [
     "dedup_ngram_jaccard",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "ann_topk_arrow",
     "text_quality",
     "text_tokencount",
+    "text_redact_pii",
     "sketch_hll_distinct",
+    "snap_bloom_prefilter",
     "corpus_split",
+    "corpus_decontaminate",
+    "q_events_retention",
     "curate_corpus",
 ]
 

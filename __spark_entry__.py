@@ -81,6 +81,12 @@ def _registry() -> tuple[dict, dict]:
     except ImportError:
         pass
     try:
+        import blog_snapshotbackup_azuredatalake_spark.plans.diagnostics as diagnostics
+
+        modules.append(diagnostics)
+    except ImportError:
+        pass
+    try:
         import blog_snapshotbackup_azuredatalake_spark.operators.snapshot_manager as snapshot_manager
 
         modules.append(snapshot_manager)

@@ -1,0 +1,153 @@
+"""Operational diagnostics (SURVEY.md §2B adjunct): the two questions a
+pipeline operator asks before a big run — "is my join key skewed?" and
+"are these values sane?" — as oracle-checked plans.
+
+Both follow the engine's numeric rules (SURVEY.md §4): counts and sums
+aggregate exactly (bigint / decimal), doubles appear only as final casts
+of identical expressions on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
+
+TOP_HEAVY = 5
+
+
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report for lineitem.l_suppkey: per-key counts
+    reduced to the distribution facts that decide a salting/AQE
+    strategy — key cardinality, mean and max per-key count, and the
+    share held by the TOP_HEAVY heaviest keys. Two aggregations, the
+    second over one row per distinct key."""
+    line = load_table(spark, sf_dir, "lineitem")
+    per_key = line.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("l_suppkey"))
+    ranked = per_key.withColumn("rnk", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("avg_cnt"),
+        (
+            F.sum(F.when(F.col("rnk") <= TOP_HEAVY, F.col("cnt")).otherwise(
+                F.lit(0)
+            )).cast("double")
+            / F.sum("cnt").cast("double")
+        ).alias("top5_share"),
+        (
+            F.max("cnt").cast("double")
+            / (F.sum("cnt").cast("double") / F.count(F.lit(1)))
+        ).alias("skew_factor"),
+    )
+
+
+_DIAG_SKEW_SQL = f"""
+WITH per_key AS (
+  SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey
+), ranked AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, l_suppkey) AS rnk
+  FROM per_key
+)
+SELECT COUNT(*) AS n_keys,
+       SUM(cnt) AS n_rows,
+       MAX(cnt) AS max_cnt,
+       CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS avg_cnt,
+       CAST(SUM(CASE WHEN rnk <= {TOP_HEAVY} THEN cnt ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(cnt) AS DOUBLE) AS top5_share,
+       CAST(MAX(cnt) AS DOUBLE)
+         / (CAST(SUM(cnt) AS DOUBLE) / COUNT(*)) AS skew_factor
+FROM ranked
+"""
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 3-sigma outlier counts. Mean and variance derive
+    from EXACT decimal Σx and Σx² (shuffle-order independent), so the
+    double-precision mean/std — and therefore each row's outlier
+    verdict — are bit-identical on every engine and every cluster
+    layout. One scan for moments, one broadcast-back scan to flag."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    # scale 3, not 6: Σx² at scale 12 exceeds 2^53 unscaled by sf0.01 and
+    # DuckDB's decimal→double then double-rounds (1-ulp mismatch); at
+    # scale 6 the sum stays exactly double-representable through sf1+
+    xd = F.col("value").cast("decimal(18,3)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(xd).alias("sum_x"),
+        F.sum(xd * xd).alias("sum_x2"),
+    )
+    mean = F.col("sum_x").cast("double") / F.col("n_events")
+    var = F.greatest(
+        F.col("sum_x2").cast("double") / F.col("n_events") - mean * mean,
+        F.lit(0.0),
+    )
+    moments = stats.select(
+        "event_type",
+        "n_events",
+        mean.alias("mean_value"),
+        F.sqrt(var).alias("std_value"),
+    )
+    flagged = ev.join(F.broadcast(moments), "event_type").filter(
+        F.abs(F.col("value") - F.col("mean_value"))
+        > F.lit(3.0) * F.col("std_value")
+    )
+    anomalies = flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_anomalies")
+    )
+    return (
+        moments.join(anomalies, "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            "mean_value",
+            "std_value",
+            F.coalesce(F.col("n_anomalies"), F.lit(0).cast("bigint")).alias(
+                "n_anomalies"
+            ),
+        )
+    )
+
+
+_ANOMALY_SQL = """
+WITH stats AS (
+  SELECT event_type, COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,3))) AS sum_x,
+         SUM(CAST(value AS DECIMAL(18,3)) * CAST(value AS DECIMAL(18,3)))
+           AS sum_x2
+  FROM events GROUP BY event_type
+), moments AS (
+  SELECT event_type, n_events,
+         CAST(sum_x AS DOUBLE) / n_events AS mean_value,
+         sqrt(greatest(
+           CAST(sum_x2 AS DOUBLE) / n_events
+             - (CAST(sum_x AS DOUBLE) / n_events)
+               * (CAST(sum_x AS DOUBLE) / n_events),
+           0.0)) AS std_value
+  FROM stats
+), anomalies AS (
+  SELECT e.event_type, COUNT(*) AS n_anomalies
+  FROM events e JOIN moments m USING (event_type)
+  WHERE abs(e.value - m.mean_value) > 3.0 * m.std_value
+  GROUP BY e.event_type
+)
+SELECT event_type, n_events, mean_value, std_value,
+       CAST(coalesce(n_anomalies, 0) AS BIGINT) AS n_anomalies
+FROM moments LEFT JOIN anomalies USING (event_type)
+"""
+
+
+QUERIES = {
+    "diag_key_skew": diag_key_skew,
+    "q_events_anomaly": q_events_anomaly,
+}
+
+ORACLES = {
+    "diag_key_skew": _DIAG_SKEW_SQL,
+    "q_events_anomaly": _ANOMALY_SQL,
+}

@@ -105,6 +105,12 @@ def _registry() -> tuple[dict, dict]:
     except ImportError:
         pass
     try:
+        import blog_snapshotbackup_azuredatalake_spark.operators.graph as graph
+
+        modules.append(graph)
+    except ImportError:
+        pass
+    try:
         import blog_snapshotbackup_azuredatalake_spark.streaming.entries as stream_entries
 
         modules.append(stream_entries)

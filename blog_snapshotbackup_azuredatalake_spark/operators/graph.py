@@ -1,0 +1,127 @@
+"""Duplicate-cluster graph operators (SURVEY.md §2C adjunct).
+
+Pair-finding (minhash/simhash/ngram) emits EDGES; a curation pipeline
+needs CLUSTERS — "these 7 docs are all the same article, keep exactly
+one". That grouping is connected components over the near-dup pair
+graph, with the canonical doc = min doc_id per component.
+
+Spark-first shape: iterative min-label propagation entirely in
+DataFrame ops. Each round is one `groupBy(node).min(label)` over the
+symmetrized edge list joined to the current labels — a single shuffle
+keyed on node id. Convergence is checked with a driver-side count of
+changed labels (the same driver-control-loop pattern as
+``clustering.emb_kmeans``), and each round's result is
+``localCheckpoint``ed so lineage doesn't grow with iterations.
+
+Scale notes (100 TB): rounds needed = graph diameter. Near-dup
+clusters are dense (a duplicated article's copies all pair with each
+other), so diameter is 1-2 and the loop exits in ~3 rounds; the edge
+list — not the corpus — is the working set, carrying only (bigint,
+bigint) pairs. For adversarial long-chain graphs the known fix is
+alternating large-star/small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond"), which this loop structure
+accommodates without changing the data contract.
+
+Oracle: DuckDB recursive CTE computing the transitive closure of the
+same pair set, component = min reachable node — SQL-checkable because
+the driver corpus's pair graph is small at sf0.01 (closure is O(n·m)
+and would NOT be the scale path; it exists only to certify the Spark
+loop's output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blog_snapshotbackup_azuredatalake_spark.operators.dedup import (
+    grams_for,
+    minhash_pairs,
+    sql_minhash_pair_ctes,
+)
+from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
+
+MAX_CC_ITERS = 20
+
+
+def connected_components(pairs: DataFrame, max_iters: int = MAX_CC_ITERS) -> DataFrame:
+    """(doc_a, doc_b) undirected pairs → (doc_id, cluster_id) with
+    cluster_id = min doc_id reachable. Min-label propagation to a
+    fixpoint; one shuffle per round, lineage cut per round."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+        )
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        # label each edge endpoint with the source's current label, take
+        # the min arriving label per destination node
+        arriving = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("neighbor_min"))
+        )
+        updated = (
+            labels.join(arriving, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.col("neighbor_min")
+                ).alias("cluster_id"),
+                (F.col("neighbor_min") < F.col("cluster_id")).alias("chg"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = updated.filter(F.col("chg")).count()
+        labels = updated.drop("chg")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: minhash pairs → connected components →
+    (doc_id, cluster_id, cluster_size, is_canonical). The keep-list a
+    dedup pipeline actually applies is `is_canonical`."""
+    pairs = minhash_pairs(grams_for(load_table(spark, sf_dir, "documents")))
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+_CLUSTER_CC_SQL = f"""
+WITH RECURSIVE {sql_minhash_pair_ctes()},
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         FROM reach GROUP BY src),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+          FROM comp GROUP BY cluster_id)
+SELECT doc_id, cluster_id, cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM comp JOIN sizes USING (cluster_id)
+"""
+
+
+QUERIES = {"dedup_cluster_cc": dedup_cluster_cc}
+ORACLES = {"dedup_cluster_cc": _CLUSTER_CC_SQL}

@@ -1,0 +1,32 @@
+"""Connected-components duplicate clustering vs recursive-CTE oracle."""
+
+from pyspark.sql import functions as F
+
+from blog_snapshotbackup_azuredatalake_spark.operators import graph
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+def test_cluster_cc_matches_oracle(spark, ddb):
+    df = graph.dedup_cluster_cc(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, graph.ORACLES["dedup_cluster_cc"])
+
+
+def test_cc_merges_chain(spark):
+    # a-b, b-c, d-e: chain {1,2,3} and pair {8,9} — label propagation
+    # must cross the b hop even though a and c never pair directly
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (8, 9)], "doc_a bigint, doc_b bigint"
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in graph.connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (8, 8), (9, 8)}
+
+
+def test_cc_canonical_flag_counts(spark):
+    out = graph.dedup_cluster_cc(spark, SF_DIR)
+    n_clusters = out.select("cluster_id").distinct().count()
+    n_canon = out.filter(F.col("is_canonical")).count()
+    assert n_clusters == n_canon
+    assert out.filter(F.col("cluster_size") < 2).count() == 0

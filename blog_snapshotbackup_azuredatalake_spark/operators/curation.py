@@ -322,12 +322,207 @@ GROUP BY source
 """
 
 
+MIX_SCALE = 1000  # fixed-point scale for the sqrt weight
+MIX_SLOTS = 1_000_000  # hash-slot resolution for the keep rule
+
+
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-resampled source mix (alpha = 0.5): target share of
+    each source ∝ sqrt(its doc count), the standard flattening used to
+    up-weight small sources in multilingual/multi-domain training
+    mixes, with a half-corpus token budget. Document keep/drop is the
+    same stable md5-slot rule as ``corpus_sample_stratified`` — rerun-
+    and append-stable, no rand().
+
+    Numeric portability: sqrt is IEEE-754 correctly-rounded in every
+    engine, and it is immediately fixed-pointed (`floor(sqrt(n)·1000)`)
+    so all cross-source totals are exact BIGINT sums — no double
+    accumulation whose association order could differ between engines.
+    The only doubles are per-source ratios computed with an identical
+    operation sequence on both sides.
+
+    Scale shape: two tiny aggregations (per-source counts, then window
+    totals over ≤ thousands of sources) and one broadcast join of the
+    per-source thresholds back onto the corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = per_src.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * MIX_SCALE)
+        .cast("bigint")
+        .alias("weight"),
+    )
+    from pyspark.sql import Window
+
+    everything = Window.partitionBy()
+    tot = w.select(
+        "source",
+        "n_docs",
+        "weight",
+        F.sum("n_docs").over(everything).alias("n_total"),
+        F.sum("weight").over(everything).alias("w_total"),
+    )
+    budget = F.expr("n_total div 2").cast("double")
+    target = F.least(
+        F.col("n_docs"),
+        F.floor(
+            (F.col("weight").cast("double") / F.col("w_total").cast("double"))
+            * budget
+        ).cast("bigint"),
+    )
+    thr = tot.select(
+        "source",
+        "n_docs",
+        "weight",
+        target.alias("target_n"),
+    ).withColumn(
+        "thresh",
+        F.floor(
+            F.col("target_n").cast("double")
+            * float(MIX_SLOTS)
+            / F.col("n_docs").cast("double")
+        ).cast("bigint"),
+    )
+    slot = _hash60(F.col("doc_id").cast("string")) % MIX_SLOTS
+    return (
+        docs.select("doc_id", "source", slot.alias("slot"))
+        .join(F.broadcast(thr), "source")
+        .groupBy("source", "n_docs", "weight", "target_n")
+        .agg(
+            F.sum((F.col("slot") < F.col("thresh")).cast("bigint")).alias(
+                "n_kept"
+            )
+        )
+    )
+
+
+_MIX_TEMPERATURE_SQL = f"""
+WITH per_src AS (SELECT source, COUNT(*) AS n_docs FROM documents
+                 GROUP BY source),
+w AS (SELECT source, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * {MIX_SCALE}) AS BIGINT)
+               AS weight
+      FROM per_src),
+tot AS (SELECT source, n_docs, weight,
+               SUM(n_docs) OVER () AS n_total,
+               SUM(weight) OVER () AS w_total
+        FROM w),
+thr AS (SELECT source, n_docs, weight,
+               LEAST(n_docs,
+                     CAST(floor((CAST(weight AS DOUBLE)
+                                 / CAST(w_total AS DOUBLE))
+                                * CAST(n_total // 2 AS DOUBLE)) AS BIGINT))
+                 AS target_n
+        FROM tot),
+thr2 AS (SELECT *,
+                CAST(floor(CAST(target_n AS DOUBLE) * {float(MIX_SLOTS)!r}
+                           / CAST(n_docs AS DOUBLE)) AS BIGINT) AS thresh
+         FROM thr)
+SELECT t.source, t.n_docs, t.weight, t.target_n,
+       SUM(CASE WHEN {_H60.format(x="CAST(doc_id AS VARCHAR)")}
+                     % {MIX_SLOTS} < t.thresh
+                THEN 1 ELSE 0 END) AS n_kept
+FROM documents d JOIN thr2 t ON d.source = t.source
+GROUP BY t.source, t.n_docs, t.weight, t.target_n
+"""
+
+
+PACK_TOKENS = 128  # context-window length in tokens
+PACK_SHARDS = 16  # independent packing streams per source
+
+
+def doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing plan (concat-and-split): documents are laid
+    end-to-end in {PACK_TOKENS}-token context windows and the report
+    shows, per source, how many sequences come out and how many docs
+    straddle a window boundary (the cross-document-attention leakage a
+    packing-aware loss has to mask).
+
+    Docs pack within (source, shard) streams, shard = md5(doc_id) mod
+    {PACK_SHARDS}: the running-sum window then partitions by
+    (source, shard), so no single window partition ever holds a whole
+    source — the unbounded-preceding sum that would serialize a 100 TB
+    source onto one task is sharded into {PACK_SHARDS} independent
+    streams per source (raise the constant for real clusters; packing
+    order inside a stream is arbitrary anyway, so the semantics don't
+    change)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        (_hash60(F.col("doc_id").cast("string")) % PACK_SHARDS).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pos = toks.withColumn(
+        "start", F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("bigint"))
+    )
+    per_shard = pos.groupBy("source", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("shard_tokens"),
+        F.sum(
+            F.when(
+                F.expr(
+                    f"(start div {PACK_TOKENS}) !="
+                    f" ((start + n_tok - 1) div {PACK_TOKENS})"
+                ),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        ).alias("n_boundary_docs"),
+    )
+    return per_shard.groupBy("source").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("shard_tokens").alias("total_tokens"),
+        F.sum(
+            F.expr(f"(shard_tokens + {PACK_TOKENS - 1}) div {PACK_TOKENS}")
+        ).alias("n_seqs"),
+        F.sum("n_boundary_docs").alias("n_boundary_docs"),
+    )
+
+
+_DOC_PACK_SQL = f"""
+WITH toks AS (
+  SELECT source, doc_id,
+         {_H60.format(x="CAST(doc_id AS VARCHAR)")} % {PACK_SHARDS} AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), pos AS (
+  SELECT source, shard, n_tok,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start
+  FROM toks
+), per_shard AS (
+  SELECT source, shard, COUNT(*) AS n_docs, SUM(n_tok) AS shard_tokens,
+         SUM(CASE WHEN start // {PACK_TOKENS}
+                       <> (start + n_tok - 1) // {PACK_TOKENS}
+                  THEN 1 ELSE 0 END) AS n_boundary_docs
+  FROM pos GROUP BY source, shard
+)
+SELECT source, SUM(n_docs) AS n_docs, SUM(shard_tokens) AS total_tokens,
+       SUM((shard_tokens + {PACK_TOKENS - 1}) // {PACK_TOKENS}) AS n_seqs,
+       SUM(n_boundary_docs) AS n_boundary_docs
+FROM per_shard GROUP BY source
+"""
+
+
 QUERIES = {
     "corpus_split": corpus_split,
     "doc_chunk": doc_chunk,
     "emb_centroid_assign": emb_centroid_assign,
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_sample_stratified": corpus_sample_stratified,
+    "corpus_mix_temperature": corpus_mix_temperature,
+    "doc_pack": doc_pack,
 }
 
 ORACLES = {
@@ -336,4 +531,6 @@ ORACLES = {
     "emb_centroid_assign": _EMB_CENTROID_SQL,
     "corpus_decontaminate": _DECONTAMINATE_SQL,
     "corpus_sample_stratified": _SAMPLE_STRATIFIED_SQL,
+    "corpus_mix_temperature": _MIX_TEMPERATURE_SQL,
+    "doc_pack": _DOC_PACK_SQL,
 }

@@ -146,5 +146,140 @@ FROM (
 _HLL_SQL = "\nUNION ALL\n".join(_hll_one_sql(t, c) for t, c in _TARGETS)
 
 
-QUERIES = {"sketch_hll_distinct": sketch_hll_distinct}
-ORACLES = {"sketch_hll_distinct": _HLL_SQL}
+# ---------------------------------------------------------------------------
+# Count-Min heavy hitters
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4  # independent hash rows
+CMS_WIDTH = 256  # buckets per row — 4×256 bigint cells ≈ 8 KB total
+CMS_TOPK = 10
+
+
+def _cms_bucket(j: int, v) -> "F.Column":
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(str(j)), v)), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % CMS_WIDTH
+    )
+
+
+def sketch_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a deterministic Count-Min sketch (Cormode &
+    Muthukrishnan): depth-{CMS_DEPTH} md5-derived hash rows ×
+    {CMS_WIDTH} buckets, estimate = min over rows of the bucket sum,
+    reported for the top-{CMS_TOPK} users next to their exact counts
+    (CMS only ever over-counts; the test asserts that invariant).
+
+    Scale shape: the sketch build is one partial-aggregable groupBy on
+    (row, bucket) — every executor collapses to ≤{CMS_DEPTH}×{CMS_WIDTH}
+    cells before the shuffle, and the finished ~8 KB sketch broadcasts
+    back onto the (much smaller) distinct-key side for the estimate
+    join. Frequency estimation over 100 TB of events therefore moves
+    kilobytes, not rows — same engineering profile as
+    ``snap_bloom_prefilter``. Exact counts ride along here only because
+    the oracle certifies est ≥ exact; a production probe drops them."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("v"), "user_id"
+    )
+    cells = (
+        ev.select(
+            F.explode_outer(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            _cms_bucket(j, F.col("v")).alias("bucket"),
+                        )
+                        for j in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("c")
+        )
+        .groupBy(F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    keys = ev.groupBy("user_id", "v").agg(F.count(F.lit(1)).alias("n_exact"))
+    probes = keys.select(
+        "user_id",
+        "n_exact",
+        F.explode_outer(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(j, F.col("v")).alias("bucket"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("c"),
+    ).select("user_id", "n_exact", "c.j", "c.bucket")
+    est = (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("cnt").alias("n_cms"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_cms"), F.asc("user_id"))
+    return (
+        est.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= CMS_TOPK)
+        .select(
+            "rank",
+            "user_id",
+            "n_exact",
+            "n_cms",
+            (F.col("n_cms") - F.col("n_exact")).alias("overcount"),
+        )
+    )
+
+
+def _cms_sql() -> str:
+    def bucket(j: int, v: str) -> str:
+        return (
+            f"CAST(concat('0x', substr(md5(concat('{j}', ':', {v})), 1, 15))"
+            f" AS BIGINT) % {CMS_WIDTH}"
+        )
+
+    cell_selects = "\nUNION ALL\n".join(
+        f"SELECT {j} AS j, {bucket(j, 'v')} AS bucket FROM ev"
+        for j in range(CMS_DEPTH)
+    )
+    probe_selects = "\nUNION ALL\n".join(
+        f"SELECT user_id, n_exact, {j} AS j, {bucket(j, 'v')} AS bucket"
+        " FROM keys"
+        for j in range(CMS_DEPTH)
+    )
+    return f"""
+WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS v, user_id FROM events),
+cells AS (
+  SELECT j, bucket, COUNT(*) AS cnt
+  FROM ({cell_selects})
+  GROUP BY j, bucket
+),
+keys AS (SELECT user_id, v, COUNT(*) AS n_exact FROM ev GROUP BY user_id, v),
+probes AS ({probe_selects}),
+est AS (
+  SELECT user_id, n_exact, MIN(cnt) AS n_cms
+  FROM probes JOIN cells USING (j, bucket)
+  GROUP BY user_id, n_exact
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_cms DESC, user_id) AS INT) AS rank,
+       user_id, n_exact, n_cms, n_cms - n_exact AS overcount
+FROM est
+QUALIFY rank <= {CMS_TOPK}
+"""
+
+
+QUERIES = {
+    "sketch_hll_distinct": sketch_hll_distinct,
+    "sketch_cms_topk": sketch_cms_topk,
+}
+ORACLES = {
+    "sketch_hll_distinct": _HLL_SQL,
+    "sketch_cms_topk": _cms_sql(),
+}

@@ -9,6 +9,18 @@ def test_hll_matches_oracle(spark, ddb):
     assert_matches_oracle(df, ddb, sketch.ORACLES["sketch_hll_distinct"])
 
 
+def test_cms_matches_oracle(spark, ddb):
+    df = sketch.sketch_cms_topk(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, sketch.ORACLES["sketch_cms_topk"])
+
+
+def test_cms_never_undercounts(spark):
+    rows = sketch.sketch_cms_topk(spark, SF_DIR).collect()
+    assert len(rows) == sketch.CMS_TOPK
+    for r in rows:
+        assert r["n_cms"] >= r["n_exact"], (r["user_id"], r["n_exact"], r["n_cms"])
+
+
 def test_hll_estimate_accuracy(spark):
     rows = sketch.sketch_hll_distinct(spark, SF_DIR).collect()
     assert len(rows) == len(sketch._TARGETS)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -24,6 +25,32 @@ from blog_snapshotbackup_azuredatalake_spark.streaming.incremental import (
 from blog_snapshotbackup_azuredatalake_spark.streaming.sessions import (
     sessionize_stream,
 )
+
+
+DEMO_STATE_PARTITIONS = 8
+
+
+@contextmanager
+def demo_state_partitions(spark: SparkSession, n: int = DEMO_STATE_PARTITIONS):
+    """Scope a stateful demo stream to ≤ ``n`` state-store partitions.
+
+    A streaming state store spins up shuffle-partition-many state tasks
+    (each a checkpoint dir + an Arrow/Python round trip for
+    applyInPandasWithState) EVERY micro-batch, and the count is frozen
+    into the checkpoint at first start. For these bounded single-node
+    drains the per-partition fixed cost dominates (measured 11 s → 4 s
+    on sessionize at sf0.1 going 32 → 8); a real deployment sizes this
+    to its key cardinality ONCE at stream birth — it cannot be changed
+    later without a checkpoint migration, which is why it's a scoped
+    conf here and not a session-wide setting."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(int(old), n))
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def stream_incr_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,9 +75,10 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = f"{work}/events_src"
     events.write.parquet(src)
     name = f"wc_{uuid.uuid4().hex[:8]}"
-    return run_windowed_stream(
-        spark, src, f"{work}/ckpt", events.schema, name
-    )
+    with demo_state_partitions(spark):
+        return run_windowed_stream(
+            spark, src, f"{work}/ckpt", events.schema, name
+        )
 
 
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,16 +100,17 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"sess_{uuid.uuid4().hex[:8]}"
     # no availableNow: stateful timeouts keep scheduling batches under it
     # and awaitTermination never returns; drain + stop instead.
-    q = (
-        sessionize_stream(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", f"{work}/ckpt")
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with demo_state_partitions(spark):
+        q = (
+            sessionize_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name)
 
 
@@ -96,16 +125,17 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled.write.parquet(src)
     stream = spark.readStream.schema(doubled.schema).parquet(src)
     name = f"dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        dedup_events_stream(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", f"{work}/ckpt")
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with demo_state_partitions(spark):
+        q = (
+            dedup_events_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name)
 
 

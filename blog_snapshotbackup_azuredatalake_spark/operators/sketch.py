@@ -275,11 +275,130 @@ QUALIFY rank <= {CMS_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# histogram quantiles
+# ---------------------------------------------------------------------------
+
+HIST_BUCKETS = 256
+QUANTILES = [0.5, 0.9, 0.99]
+
+
+def sketch_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quantile estimation without a global sort: two cheap
+    passes — (min, max, count), then a {HIST_BUCKETS}-bucket equi-width
+    histogram — and the p50/p90/p99 of ``events.value`` read off the
+    cumulative histogram (estimate = bucket upper edge where the
+    running count first reaches ceil(q·n)). The exact rank-statistic
+    value rides alongside so the oracle certifies the bound
+    |est − exact| ≤ one bucket width.
+
+    Why not ``approx_percentile``: like approx_count_distinct, its
+    sketch is engine-private and irreproducible across engines. This
+    one is the same partial-aggregable profile (every executor
+    collapses to ≤{HIST_BUCKETS} cells pre-shuffle; the exact-rank
+    column exists only for certification — a production probe drops it
+    and with it the only sort)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("value").cast("double").alias("v")
+    )
+    stats = ev.agg(
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bucket = F.least(
+        F.floor(
+            ((F.col("v") - F.col("vmin")) / (F.col("vmax") - F.col("vmin")))
+            * F.lit(float(HIST_BUCKETS))
+        ).cast("bigint"),
+        F.lit(HIST_BUCKETS - 1).cast("bigint"),
+    )
+    hist = (
+        ev.crossJoin(F.broadcast(stats))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    cum = hist.select(
+        "bucket",
+        F.sum("cnt").over(Window.orderBy("bucket")).alias("c"),
+    )
+    targets = (
+        stats.select(
+            "vmin",
+            "vmax",
+            "n",
+            F.explode_outer(
+                F.array(*[F.lit(q) for q in QUANTILES])
+            ).alias("q"),
+        )
+        .withColumn("tgt", F.ceil(F.col("q") * F.col("n")).cast("bigint"))
+    )
+    est = (
+        targets.join(F.broadcast(cum), F.col("c") >= F.col("tgt"))
+        .groupBy("q", "tgt", "n", "vmin", "vmax")
+        .agg(F.min("bucket").alias("est_bucket"))
+    )
+    ranked = ev.select(
+        "v",
+        F.row_number()
+        .over(Window.orderBy("v", "event_id"))
+        .alias("rn"),
+    )
+    return (
+        est.join(ranked, F.col("rn") == F.col("tgt"))
+        .select(
+            "q",
+            "n",
+            F.col("v").alias("exact_value"),
+            (
+                F.col("vmin")
+                + (F.col("est_bucket") + 1).cast("double")
+                * ((F.col("vmax") - F.col("vmin")) / F.lit(float(HIST_BUCKETS)))
+            ).alias("est_value"),
+            F.col("est_bucket").cast("int").alias("est_bucket"),
+        )
+    )
+
+
+_HIST_QUANTILE_SQL = f"""
+WITH ev AS (SELECT event_id, CAST(value AS DOUBLE) AS v FROM events),
+stats AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax, COUNT(*) AS n FROM ev),
+hist AS (
+  SELECT LEAST(CAST(floor(((v - vmin) / (vmax - vmin))
+                          * {float(HIST_BUCKETS)!r}) AS BIGINT),
+               {HIST_BUCKETS - 1}) AS bucket,
+         COUNT(*) AS cnt
+  FROM ev, stats GROUP BY 1
+),
+cum AS (SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS c FROM hist),
+targets AS (
+  SELECT q, CAST(ceil(q * n) AS BIGINT) AS tgt, n, vmin, vmax
+  FROM stats, (SELECT UNNEST([{", ".join(f"CAST({q} AS DOUBLE)" for q in QUANTILES)}]) AS q)
+),
+est AS (
+  SELECT q, tgt, n, vmin, vmax, MIN(bucket) AS est_bucket
+  FROM targets JOIN cum ON c >= tgt
+  GROUP BY q, tgt, n, vmin, vmax
+),
+ranked AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, event_id) AS rn FROM ev)
+SELECT q, n, r.v AS exact_value,
+       vmin + CAST(est_bucket + 1 AS DOUBLE)
+              * ((vmax - vmin) / {float(HIST_BUCKETS)!r}) AS est_value,
+       CAST(est_bucket AS INT) AS est_bucket
+FROM est JOIN ranked r ON r.rn = est.tgt
+"""
+
+
 QUERIES = {
     "sketch_hll_distinct": sketch_hll_distinct,
     "sketch_cms_topk": sketch_cms_topk,
+    "sketch_hist_quantile": sketch_hist_quantile,
 }
 ORACLES = {
     "sketch_hll_distinct": _HLL_SQL,
     "sketch_cms_topk": _cms_sql(),
+    "sketch_hist_quantile": _HIST_QUANTILE_SQL,
 }

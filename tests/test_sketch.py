@@ -21,6 +21,24 @@ def test_cms_never_undercounts(spark):
         assert r["n_cms"] >= r["n_exact"], (r["user_id"], r["n_exact"], r["n_cms"])
 
 
+def test_hist_quantile_matches_oracle(spark, ddb):
+    df = sketch.sketch_hist_quantile(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, sketch.ORACLES["sketch_hist_quantile"])
+
+
+def test_hist_quantile_within_one_bucket(spark, ddb):
+    rows = sketch.sketch_hist_quantile(spark, SF_DIR).collect()
+    assert {r["q"] for r in rows} == set(sketch.QUANTILES)
+    vmin, vmax = ddb.execute(
+        "SELECT MIN(value), MAX(value) FROM events"
+    ).fetchone()
+    width = (vmax - vmin) / sketch.HIST_BUCKETS
+    for r in rows:
+        assert abs(r["est_value"] - r["exact_value"]) <= width + 1e-9, (
+            r["q"], r["exact_value"], r["est_value"], width,
+        )
+
+
 def test_hll_estimate_accuracy(spark):
     rows = sketch.sketch_hll_distinct(spark, SF_DIR).collect()
     assert len(rows) == len(sketch._TARGETS)

@@ -107,6 +107,51 @@ def test_bloom_words_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan[:800]
 
 
+def test_cms_sketch_broadcasts_onto_probe(spark):
+    from blog_snapshotbackup_azuredatalake_spark.operators import sketch
+
+    plan = _plan(sketch.sketch_cms_topk(spark, SF_DIR))
+    # the ≤1024-cell sketch must broadcast into the estimate join; the
+    # key side must never sort-merge against it
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert "SortMergeJoin" not in plan, plan[:800]
+
+
+def test_hist_quantile_has_no_corpus_sort(spark):
+    from blog_snapshotbackup_azuredatalake_spark.operators import sketch
+
+    plan = _plan(sketch.sketch_hist_quantile(spark, SF_DIR))
+    # stats + cumulative histogram broadcast; the only Sort allowed is
+    # the certification rank over `v` (windowed), never a join-driven
+    # corpus SortMergeJoin
+    assert "SortMergeJoin" not in plan, plan[:800]
+
+
+def test_mix_temperature_thresholds_broadcast(spark):
+    from blog_snapshotbackup_azuredatalake_spark.operators import curation
+
+    plan = _plan(curation.corpus_mix_temperature(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert "SortMergeJoin" not in plan, plan[:800]
+
+
+def test_doc_pack_windows_are_sharded(spark):
+    from blog_snapshotbackup_azuredatalake_spark.operators import curation
+
+    plan = _plan(curation.doc_pack(spark, SF_DIR))
+    # the running-sum window must partition by (source, shard), never by
+    # source alone — one partition per source doesn't survive 100 TB
+    win_blocks = [
+        b
+        for b in plan.split("\n(")
+        if b.splitlines() and b.splitlines()[0].endswith("Window")
+    ]
+    assert win_blocks, plan[:800]
+    for b in win_blocks:
+        spec = [line for line in b.splitlines() if "windowspecdefinition" in line]
+        assert spec and all("shard" in line for line in spec), b[:500]
+
+
 def test_q9_part_filter_before_join(spark):
     from blog_snapshotbackup_azuredatalake_spark.plans import analytics_ext
 

@@ -558,8 +558,49 @@ GROUP BY cohort_wk, week_offset
 """
 
 
+def q_events_json_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull the integer `k` out of the JSON
+    `props` column and aggregate it per event type — the
+    parse-JSON-then-aggregate shape every event pipeline runs.
+    `get_json_object` evaluates JVM-side inside codegen (no Python) and
+    is null-safe on malformed rows, so the scan stays a single pass;
+    only the tiny per-type aggregate shuffles. Sums stay BIGINT-exact;
+    the average is one double division of exact integers (SURVEY.md
+    §4)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        (
+            F.sum("k").cast("double") / F.count("k").cast("double")
+        ).alias("avg_k"),
+    )
+
+
+_Q_JSON_KV_SQL = """
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+              THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+         END AS k
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_events, COUNT(k) AS n_with_k,
+       SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+       CAST(SUM(k) AS DOUBLE) / CAST(COUNT(k) AS DOUBLE) AS avg_k
+FROM ev GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
+    "q_events_json_kv": q_events_json_kv,
     "q7_nation_volume": q7_nation_volume,
     "q9_product_profit": q9_product_profit,
     "q13_cust_order_distribution": q13_cust_order_distribution,
@@ -575,6 +616,7 @@ QUERIES = {
 
 ORACLES = {
     "q4_order_priority": _Q4_SQL,
+    "q_events_json_kv": _Q_JSON_KV_SQL,
     "q7_nation_volume": _Q7_SQL,
     "q9_product_profit": _Q9_SQL,
     "q13_cust_order_distribution": _Q13_SQL,

@@ -44,6 +44,11 @@ QUERIES = [
     "corpus_decontaminate",
     "q_events_retention",
     "curate_corpus",
+    "dedup_cluster_cc",
+    "sketch_cms_topk",
+    "sketch_hist_quantile",
+    "corpus_mix_temperature",
+    "doc_pack",
 ]
 
 
@@ -110,8 +115,17 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALING.md",
     )
+    # the appendix tables (udf_bench, ann_quality, tokenizer_bench) live
+    # after the first "## " heading — regenerating the curves must not
+    # destroy them
+    appendix = ""
+    if os.path.exists(md_path):
+        prev = open(md_path).read()
+        idx = prev.find("\n## ")
+        if idx != -1:
+            appendix = prev[idx:]
     with open(md_path, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + appendix)
     print(json.dumps({"sfs": sfs, "queries": out}))
 
 

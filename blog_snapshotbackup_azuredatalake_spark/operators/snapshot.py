@@ -490,8 +490,91 @@ FROM flagged
 """
 
 
+def snap_apply_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE: apply an incremental change batch to a snapshot and prove
+    the result IS the next state — the restore-chain primitive (full
+    snapshot + k incrementals → state at time k, the reference's
+    incremental-backup contract).
+
+    The change batch is derived, not given: upserts = target rows whose
+    (key, hash) isn't in the base manifest (covers added AND changed),
+    deletes = base keys absent from the target. Apply = one left-anti
+    join of the base against the touched-key set, union the upserts.
+    Self-certifying output: one row whose `state_match` says the merged
+    table's (count, xor-checksum) equals the target state's — at 100 TB
+    the joins move manifests (key, 16-byte hash) and only the upsert
+    payload rows; the certificate shuffles four numbers."""
+    base = load_table(spark, sf_dir, "orders")
+    tgt = _perturbed_orders(spark, sf_dir)
+    bm = base.select("o_orderkey", _orders_hash_expr().alias("h"))
+    tm = tgt.withColumn("h", _orders_hash_expr())
+    upserts = tm.join(bm, ["o_orderkey", "h"], "left_anti").drop("h")
+    deletes = bm.select("o_orderkey").join(
+        tgt.select("o_orderkey"), "o_orderkey", "left_anti"
+    )
+    touched = upserts.select("o_orderkey").unionByName(deletes)
+    merged = base.join(touched, "o_orderkey", "left_anti").unionByName(
+        upserts
+    )
+
+    def _summ(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(_hash60(_orders_hash_expr()).alias("h")).agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.expr("bit_xor(h)").alias(f"xor_{tag}"),
+        )
+
+    counts = (
+        upserts.agg(F.count(F.lit(1)).alias("n_upserts"))
+        .crossJoin(deletes.agg(F.count(F.lit(1)).alias("n_deletes")))
+        .crossJoin(_summ(merged, "merged"))
+        .crossJoin(_summ(tgt, "target"))
+    )
+    return counts.select(
+        "n_upserts",
+        "n_deletes",
+        "n_merged",
+        "n_target",
+        "xor_merged",
+        "xor_target",
+        (
+            (F.col("n_merged") == F.col("n_target"))
+            & (F.col("xor_merged") == F.col("xor_target"))
+        ).alias("state_match"),
+    )
+
+
+_H60_ROW_SQL = _hash60_sql(_ORDERS_HASH_SQL)
+
+_SNAP_APPLY_INCR_SQL = f"""
+WITH b_rows AS ({_PERTURBED_SQL}),
+bm AS (SELECT o_orderkey, {_ORDERS_HASH_SQL} AS h FROM orders),
+tm AS (SELECT *, {_PERTURBED_HASH_SQL} AS h FROM b_rows),
+upserts AS (SELECT * EXCLUDE (h) FROM tm
+            WHERE NOT EXISTS (SELECT 1 FROM bm
+                              WHERE bm.o_orderkey = tm.o_orderkey
+                                AND bm.h = tm.h)),
+deletes AS (SELECT o_orderkey FROM bm
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b_rows)),
+touched AS (SELECT o_orderkey FROM upserts
+            UNION ALL SELECT o_orderkey FROM deletes),
+merged AS (SELECT * FROM orders
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM touched)
+           UNION ALL SELECT * FROM upserts),
+ms AS (SELECT COUNT(*) AS n_merged, BIT_XOR({_H60_ROW_SQL}) AS xor_merged
+       FROM merged),
+ts AS (SELECT COUNT(*) AS n_target, BIT_XOR({_H60_ROW_SQL}) AS xor_target
+       FROM b_rows),
+us AS (SELECT COUNT(*) AS n_upserts FROM upserts),
+ds AS (SELECT COUNT(*) AS n_deletes FROM deletes)
+SELECT n_upserts, n_deletes, n_merged, n_target, xor_merged, xor_target,
+       (n_merged = n_target AND xor_merged = xor_target) AS state_match
+FROM us, ds, ms, ts
+"""
+
+
 QUERIES = {
     "snap_row_manifest": snap_row_manifest,
+    "snap_apply_incremental": snap_apply_incremental,
     "snap_table_checksum": snap_table_checksum,
     "snap_incr_watermark": snap_incr_watermark,
     "snap_diff": snap_diff,
@@ -504,6 +587,7 @@ QUERIES = {
 
 ORACLES = {
     "snap_row_manifest": _SNAP_ROW_MANIFEST_SQL,
+    "snap_apply_incremental": _SNAP_APPLY_INCR_SQL,
     "snap_table_checksum": _SNAP_TABLE_CHECKSUM_SQL,
     "snap_incr_watermark": _SNAP_INCR_WATERMARK_SQL,
     "snap_diff": _SNAP_DIFF_SQL,

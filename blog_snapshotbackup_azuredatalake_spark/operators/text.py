@@ -414,8 +414,55 @@ FROM per_doc GROUP BY source
 """
 
 
+VOCAB_TOPK = 20
+
+
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-{VOCAB_TOPK} tokens by term
+    frequency, with document frequency alongside — the
+    stopword-discovery / vocabulary-audit pass a tokenizer build starts
+    from. The token explode is the classic map-side-combine shape:
+    partial aggregation collapses each executor's tokens to its local
+    vocabulary before the shuffle, so the wire carries vocab-sized
+    partials, not one row per token occurrence; the final top-k window
+    runs over the aggregated vocabulary only."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode_outer(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    agg = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+    w = Window.orderBy(F.desc("tf"), F.asc("tok"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= VOCAB_TOPK)
+        .select("rank", "tok", "tf", "df")
+    )
+
+
+_VOCAB_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+), agg AS (
+  SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+  FROM toks WHERE tok <> '' GROUP BY tok
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, tok) AS INT) AS rank,
+       tok, tf, df
+FROM agg
+QUALIFY rank <= {VOCAB_TOPK}
+"""
+
+
 QUERIES = {
     "text_tokencount": text_tokencount,
+    "text_vocab_topk": text_vocab_topk,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -424,6 +471,7 @@ QUERIES = {
 
 ORACLES = {
     "text_tokencount": _TOKENCOUNT_SQL,
+    "text_vocab_topk": _VOCAB_TOPK_SQL,
     "text_quality": _QUALITY_SQL,
     "text_langid": _langid_sql(),
     "text_fingerprint": _FINGERPRINT_SQL,

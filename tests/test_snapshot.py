@@ -31,3 +31,12 @@ def test_bloom_prefilter_no_false_negatives(spark):
         row["n_definite_new"] + row["n_false_positive"] == row["n_truly_new"]
     )
     assert row["n_definite_new"] + row["n_maybe"] == row["n_source"]
+
+
+def test_apply_incremental_reaches_target_state(spark):
+    row = snapshot.snap_apply_incremental(spark, SF_DIR).collect()[0]
+    # the merge must provably reproduce the target snapshot, and the
+    # change batch must be non-trivial in both directions
+    assert row["state_match"] is True
+    assert row["n_upserts"] > 0 and row["n_deletes"] > 0
+    assert row["n_merged"] == row["n_target"]

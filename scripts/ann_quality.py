@@ -15,7 +15,12 @@ import json
 import os
 import sys
 
-METHODS = ["ann_topk_lsh", "ann_topk_ivf", "ann_topk_arrow"]
+METHODS = [
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "ann_topk_ivf_trained",
+    "ann_topk_arrow",
+]
 
 
 def main() -> None:

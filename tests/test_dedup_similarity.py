@@ -72,3 +72,19 @@ def test_brute_force_topk_shape(spark):
     for r in rows:
         per_q.setdefault(r["q_id"], []).append(r["rnk"])
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_ivf_trained_recall_and_shape(spark):
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in similarity.ann_topk_bruteforce(spark, SF_DIR).collect()
+    }
+    rows = similarity.ann_topk_ivf_trained(spark, SF_DIR).collect()
+    got = {(r["q_id"], r["vec_id"]) for r in rows}
+    # measured 0.83 at sf0.001; generous floor so data regen doesn't flake
+    assert len(got & exact) / len(exact) >= 0.6
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(r["rnk"])
+    for q, rnks in per_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)), (q, rnks)

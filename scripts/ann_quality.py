@@ -58,6 +58,17 @@ def main() -> None:
         "SCALING.md",
     )
     sfs = list(out)
+    # idempotent: drop any previous run's section before appending
+    heading = f"## ANN recall@{similarity.TOP_K} vs exact brute force"
+    if os.path.exists(md):
+        text = open(md).read()
+        idx = text.find(heading)
+        if idx != -1:
+            end = text.find("\n## ", idx)
+            text = text[:idx].rstrip("\n") + (
+                "\n" + text[end + 1:] if end != -1 else "\n"
+            )
+            open(md, "w").write(text)
     with open(md, "a") as f:
         f.write(
             f"\n## ANN recall@{similarity.TOP_K} vs exact brute force\n\n"

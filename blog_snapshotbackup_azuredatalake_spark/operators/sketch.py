@@ -146,6 +146,107 @@ FROM (
 _HLL_SQL = "\nUNION ALL\n".join(_hll_one_sql(t, c) for t, c in _TARGETS)
 
 
+def sketch_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HLL: distinct users per event type, one 256-register
+    sketch PER KEY — the per-key form every rollup dashboard needs
+    (distinct users per day/type/country) where a global sketch can't
+    answer. Registers key on (event_type, bucket): partial aggregation
+    collapses each executor to ≤ 256·|groups| rows pre-shuffle, so at
+    100 TB the wire carries sketch cells, not users. The exact count
+    rides alongside for the oracle's ±6.5 % certification (and because
+    groups are merge-able, rolling these sketches further up — type →
+    all — is a max over registers, never a rescan)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").alias("v")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("v").cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    src = ev.select("event_type", "v", h.alias("h"))
+    rest = F.shiftright(F.col("h"), 8)
+    rho = (
+        F.when(rest == 0, F.lit(REST_BITS + 1))
+        .otherwise(F.lit(REST_BITS + 1) - F.length(F.bin(rest)))
+        .cast("int")
+    )
+    regs = (
+        src.select(
+            "event_type",
+            F.col("h").bitwiseAND(F.lit(M_BUCKETS - 1)).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    reg_agg = regs.groupBy("event_type").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {REST_BITS + 1} - m)")
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    exact = src.groupBy("event_type").agg(
+        F.countDistinct("v").alias("n_exact")
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+    denom = (
+        F.col("s_present")
+        + (F.lit(M_BUCKETS).cast("bigint") - F.col("nb")) * F.lit(_SCALE)
+    ).cast("double")
+    est_raw = (
+        alpha
+        * F.lit(float(M_BUCKETS * M_BUCKETS))
+        * F.lit(float(_SCALE))
+        / denom
+    )
+    zeros = (F.lit(M_BUCKETS) - F.col("nb")).cast("int")
+    est_linear = F.lit(float(M_BUCKETS)) * F.element_at(
+        F.array(*[F.lit(v) for v in _LN_TABLE]), zeros
+    )
+    est = F.when(
+        (est_raw <= F.lit(2.5 * M_BUCKETS)) & (zeros > 0), est_linear
+    ).otherwise(est_raw)
+    return exact.join(F.broadcast(reg_agg), "event_type").select(
+        "event_type", "n_exact", est.alias("n_hll")
+    )
+
+
+def _hll_grouped_sql() -> str:
+    ln_list = ", ".join(
+        repr(v) if "e" in repr(v) else repr(v) + "e0" for v in _LN_TABLE
+    )
+    return f"""
+WITH src AS (
+  SELECT event_type, user_id AS v,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+              AS BIGINT) AS h
+  FROM events
+), regs AS (
+  SELECT event_type, h & {M_BUCKETS - 1} AS bucket,
+         MAX(CASE WHEN h >> 8 = 0 THEN {REST_BITS + 1}
+                  ELSE {REST_BITS + 1} - length(bin(h >> 8)) END) AS m
+  FROM src GROUP BY event_type, bucket
+), reg_agg AS (
+  SELECT event_type, SUM(1::BIGINT << ({REST_BITS + 1} - m)) AS s_present,
+         COUNT(*) AS nb
+  FROM regs GROUP BY event_type
+), exact AS (
+  SELECT event_type, COUNT(DISTINCT v) AS n_exact FROM src GROUP BY event_type
+), est AS (
+  SELECT event_type, nb,
+         (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+           * CAST(65536.0 AS DOUBLE) * CAST({float(_SCALE)!r} AS DOUBLE)
+           / CAST(s_present + (256 - nb) * {_SCALE} AS DOUBLE) AS est_raw
+  FROM reg_agg
+)
+SELECT exact.event_type, n_exact,
+       CASE WHEN est_raw <= {2.5 * M_BUCKETS!r} AND (256 - nb) > 0
+            THEN CAST({float(M_BUCKETS)!r} AS DOUBLE)
+                   * list_extract([{ln_list}], 256 - nb)
+            ELSE est_raw END AS n_hll
+FROM exact JOIN est USING (event_type)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Count-Min heavy hitters
 # ---------------------------------------------------------------------------
@@ -395,11 +496,13 @@ FROM est JOIN ranked r ON r.rn = est.tgt
 
 QUERIES = {
     "sketch_hll_distinct": sketch_hll_distinct,
+    "sketch_hll_grouped": sketch_hll_grouped,
     "sketch_cms_topk": sketch_cms_topk,
     "sketch_hist_quantile": sketch_hist_quantile,
 }
 ORACLES = {
     "sketch_hll_distinct": _HLL_SQL,
+    "sketch_hll_grouped": _hll_grouped_sql(),
     "sketch_cms_topk": _cms_sql(),
     "sketch_hist_quantile": _HIST_QUANTILE_SQL,
 }

@@ -460,8 +460,112 @@ QUALIFY rank <= {VOCAB_TOPK}
 """
 
 
+BM25_QUERY_TERMS = ["join", "vector", "the"]  # fixed demo query
+BM25_TOPK = 20
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-scored retrieval of the top-{BM25_TOPK} documents for a
+    fixed query term set — the relevance-ranking pass a corpus search /
+    quality-weighted sampling pipeline runs. One codegen scan computes
+    per-doc term frequencies and length; corpus stats (N, avg doc len,
+    per-term document frequencies) collapse to ONE broadcast row, so at
+    100 TB the only shuffle is the single-row stats aggregate and the
+    final top-k window over scored docs.
+
+    Numeric parity: idf is the rational (N - df + 0.5)/(df + 0.5) —
+    monotone in the classic log idf but free of `ln`, which is not
+    bit-portable between Spark and DuckDB (SURVEY.md §4). Every double
+    op is written in the same parenthesized order in both engines, so
+    IEEE-754 correctly-rounded +,-,*,/ make the scores bit-identical."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    # bind the token array once (two-step select, SURVEY.md §6 trap
+    # notes) so the split runs once per doc, not once per referencing
+    # expression
+    per_doc = docs.select("doc_id", _tokens().alias("toks")).select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        *[
+            _count_in(F.col("toks"), [t]).alias(f"tf_{i}")
+            for i, t in enumerate(BM25_QUERY_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(len(BM25_QUERY_TERMS))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    ratio = F.col("dl").cast("double") / (
+        F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    )
+    norm = F.lit(1.0) - F.lit(_BM25_B) + F.lit(_BM25_B) * ratio
+    score = F.lit(0.0)
+    for i in range(len(BM25_QUERY_TERMS)):
+        idf = (
+            (F.col("n_docs") - F.col(f"df_{i}")).cast("double") + F.lit(0.5)
+        ) / (F.col(f"df_{i}").cast("double") + F.lit(0.5))
+        tf = F.col(f"tf_{i}").cast("double")
+        score = score + idf * (
+            (tf * F.lit(_BM25_K1 + 1.0))
+            / (tf + F.lit(_BM25_K1) * norm)
+        )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.select("doc_id", score.alias("score"))
+        .filter(F.col("score") > 0.0)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("rank", "doc_id", "score")
+    )
+
+
+def _bm25_sql() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(string_split(text, ' '), t -> t = '{t}')) AS tf_{i}"
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CAST(tf_{i} > 0 AS BIGINT)) AS df_{i}"
+        for i in range(len(BM25_QUERY_TERMS))
+    )
+    score_terms = " + ".join(
+        f"(((CAST(n_docs - df_{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        f" * ((CAST(tf_{i} AS DOUBLE) * {_BM25_K1 + 1.0})"
+        f" / (CAST(tf_{i} AS DOUBLE) + {_BM25_K1}"
+        f" * (1.0 - {_BM25_B} + {_BM25_B}"
+        f" * (CAST(dl AS DOUBLE)"
+        f" / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))"
+        for i in range(len(BM25_QUERY_TERMS))
+    )
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl, {tf_cols}
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl, {df_cols} FROM per_doc
+), scored AS (
+  SELECT doc_id, 0.0 + {score_terms} AS score
+  FROM per_doc CROSS JOIN stats
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+       doc_id, score
+FROM scored WHERE score > 0.0
+QUALIFY rank <= {BM25_TOPK}
+"""
+
+
 QUERIES = {
     "text_tokencount": text_tokencount,
+    "text_bm25_search": text_bm25_search,
     "text_vocab_topk": text_vocab_topk,
     "text_quality": text_quality,
     "text_langid": text_langid,
@@ -471,6 +575,7 @@ QUERIES = {
 
 ORACLES = {
     "text_tokencount": _TOKENCOUNT_SQL,
+    "text_bm25_search": _bm25_sql(),
     "text_vocab_topk": _VOCAB_TOPK_SQL,
     "text_quality": _QUALITY_SQL,
     "text_langid": _langid_sql(),

@@ -598,8 +598,49 @@ FROM ev GROUP BY event_type
 """
 
 
+def q12_late_line_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 flavor (testdata has no shipmode/commitdate, so
+    returnflag stands in as the ship channel and lateness is shipping
+    >60 days after the order date): per channel, how many late lines
+    belong to critical-priority orders vs the rest. One shuffle join
+    lineitem⋈orders on orderkey — the date filter prunes the lineitem
+    scan first — then conditional sums in a tiny per-flag aggregate."""
+    line = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = line.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return late.groupBy("l_returnflag").agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+_Q12_SQL = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
+    "q12_late_line_priority": q12_late_line_priority,
     "q_events_json_kv": q_events_json_kv,
     "q7_nation_volume": q7_nation_volume,
     "q9_product_profit": q9_product_profit,
@@ -616,6 +657,7 @@ QUERIES = {
 
 ORACLES = {
     "q4_order_priority": _Q4_SQL,
+    "q12_late_line_priority": _Q12_SQL,
     "q_events_json_kv": _Q_JSON_KV_SQL,
     "q7_nation_volume": _Q7_SQL,
     "q9_product_profit": _Q9_SQL,

@@ -46,3 +46,19 @@ def test_hll_estimate_accuracy(spark):
         rel_err = abs(r["n_hll"] - r["n_exact"]) / r["n_exact"]
         # 1.04/sqrt(256) ≈ 6.5% std error; allow 3 sigma
         assert rel_err < 0.20, (r["col_name"], r["n_exact"], r["n_hll"])
+
+
+def test_hll_grouped_matches_oracle(spark, ddb):
+    df = sketch.sketch_hll_grouped(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, sketch.ORACLES["sketch_hll_grouped"])
+
+
+def test_hll_grouped_accuracy_and_coverage(spark, ddb):
+    rows = sketch.sketch_hll_grouped(spark, SF_DIR).collect()
+    n_types = ddb.execute(
+        "SELECT COUNT(DISTINCT event_type) FROM events"
+    ).fetchone()[0]
+    assert len(rows) == n_types
+    for r in rows:
+        rel_err = abs(r["n_hll"] - r["n_exact"]) / r["n_exact"]
+        assert rel_err < 0.20, (r["event_type"], r["n_exact"], r["n_hll"])

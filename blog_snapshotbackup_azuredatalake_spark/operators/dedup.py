@@ -268,19 +268,17 @@ def _minhash_col(j: int) -> Column:
     return F.array_min(F.transform(F.col("sh"), lambda v: (v * a + b) % P31))
 
 
-def minhash_pairs(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh) → verified near-dup pairs (doc_a < doc_b, jaccard).
-    MinHash(16 affine perms over gram fingerprints) → 8 LSH bands of
-    2 → band-bucket self-join → candidates verified with true Jaccard.
-    The only shuffles are the band-bucket join (keys are packed bigints)
-    and the candidate verify join; nothing is quadratic in corpus
-    size."""
+def mh_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) → the LSH band index (doc_id, band_id, band_hash):
+    MinHash(16 affine perms over gram fingerprints) packed into 8 bands
+    of 2. This is the thing a production pipeline PERSISTS — incremental
+    dedup probes it instead of re-banding the corpus."""
     mh = docs.select(
         "doc_id",
         "sh",
         *[_minhash_col(j).alias(f"mh{j}") for j in range(MINHASH_PERMS)],
     )
-    bands = mh.select(
+    return mh.select(
         "doc_id",
         # explode_outer: the band array is constant-size 8, and plain
         # explode would infer a size()>0 filter that re-inlines all 16
@@ -300,6 +298,15 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
+
+
+def minhash_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) → verified near-dup pairs (doc_a < doc_b, jaccard).
+    Band-bucket self-join over ``mh_bands`` → candidates verified with
+    true Jaccard. The only shuffles are the band-bucket join (keys are
+    packed bigints) and the candidate verify join; nothing is quadratic
+    in corpus size."""
+    bands = mh_bands(docs)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band_id", "band_hash"])
@@ -332,6 +339,131 @@ def _minhash_sql() -> str:
     return f"""
 WITH {sql_minhash_pair_ctes()}
 SELECT doc_a, doc_b, jaccard FROM pairs
+"""
+
+
+INCR_BATCH_MOD = 10  # doc_id % 10 == 0 plays the freshly-arrived batch
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: probe a NEW batch (every 10th doc) against
+    the existing corpus's MinHash band index instead of re-pairing the
+    whole corpus — the nightly-ingest dedup shape. The batch's band
+    index broadcasts (a day's intake is tiny next to the corpus), so
+    the corpus side streams map-only through the probe with ZERO
+    corpus-side shuffle; a production run reads the persisted corpus
+    index (``mh_bands`` output) rather than recomputing it. Each new
+    doc reports its best corpus match (highest Jaccard, ties to the
+    lowest doc_id) or is_dup=false."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = grams_for(docs.filter(F.col("doc_id") % INCR_BATCH_MOD == 0))
+    corpus = grams_for(docs.filter(F.col("doc_id") % INCR_BATCH_MOD != 0))
+    cand = (
+        mh_bands(corpus)
+        .alias("c")
+        .join(
+            F.broadcast(mh_bands(new).alias("n")), ["band_id", "band_hash"]
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("c.doc_id").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            new.select(
+                F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_n")
+            ),
+            "new_id",
+        )
+        .join(
+            corpus.select(
+                F.col("doc_id").alias("corpus_id"), F.col("sh").alias("sh_c")
+            ),
+            "corpus_id",
+        )
+        .select(
+            "new_id",
+            "corpus_id",
+            _jaccard(F.col("sh_n"), F.col("sh_c")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.desc("jaccard"), F.asc("corpus_id")
+    )
+    best = (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "new_id",
+            F.col("corpus_id").alias("match_id"),
+            F.col("jaccard").alias("match_jaccard"),
+        )
+    )
+    return (
+        new.select(F.col("doc_id").alias("new_id"))
+        .join(best, "new_id", "left")
+        .select(
+            F.col("new_id").alias("doc_id"),
+            "match_id",
+            "match_jaccard",
+            F.col("match_id").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+def _incremental_sql() -> str:
+    def mh_cte(src: str) -> str:
+        exprs = ",\n       ".join(
+            f"list_min(list_transform(sh, v -> (v * {a} + {b}) % {P31}))"
+            f" AS mh{j}"
+            for j, (a, b) in enumerate(_MINHASH_AB)
+        )
+        return f"SELECT doc_id,\n       {exprs}\n       FROM {src}"
+
+    def band_cte(src: str) -> str:
+        return "\nUNION ALL\n".join(
+            f"SELECT doc_id, {b} AS band_id, "
+            f"mh{2 * b} * {P31} + mh{2 * b + 1} AS band_hash FROM {src}"
+            for b in range(MINHASH_BANDS)
+        )
+
+    return f"""
+WITH newsrc AS (SELECT doc_id, text FROM documents
+                WHERE doc_id % {INCR_BATCH_MOD} = 0),
+corpsrc AS (SELECT doc_id, text FROM documents
+            WHERE doc_id % {INCR_BATCH_MOD} <> 0),
+shn AS (SELECT doc_id, {_SQL_GRAM_HASHES} AS sh
+        FROM (SELECT doc_id, {_SQL_TOKH} AS th FROM newsrc)),
+shc AS (SELECT doc_id, {_SQL_GRAM_HASHES} AS sh
+        FROM (SELECT doc_id, {_SQL_TOKH} AS th FROM corpsrc)),
+mhn AS ({mh_cte('shn')}),
+mhc AS ({mh_cte('shc')}),
+bandsn AS ({band_cte('mhn')}),
+bandsc AS ({band_cte('mhc')}),
+cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+         FROM bandsn n JOIN bandsc c USING (band_id, band_hash)),
+verified AS (
+  SELECT new_id, corpus_id, {_SQL_JACCARD} AS jaccard
+  FROM cand
+  JOIN shn a ON a.doc_id = new_id
+  JOIN shc b ON b.doc_id = corpus_id
+  WHERE {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
+),
+best AS (
+  SELECT new_id, corpus_id AS match_id, jaccard AS match_jaccard,
+         ROW_NUMBER() OVER (PARTITION BY new_id
+                            ORDER BY jaccard DESC, corpus_id) AS rn
+  FROM verified
+)
+SELECT shn.doc_id, match_id, match_jaccard,
+       match_id IS NOT NULL AS is_dup
+FROM shn LEFT JOIN (SELECT * FROM best WHERE rn = 1) b2
+  ON b2.new_id = shn.doc_id
 """
 
 
@@ -535,6 +667,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash": dedup_minhash,
+    "dedup_incremental": dedup_incremental,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
 }
@@ -543,6 +676,7 @@ ORACLES = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
     "dedup_minhash": _minhash_sql(),
+    "dedup_incremental": _incremental_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_embedding": _DEDUP_EMBEDDING_SQL,
 }

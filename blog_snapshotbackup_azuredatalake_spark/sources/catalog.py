@@ -9,6 +9,7 @@ pushdown reach the scan for free.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -42,12 +43,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS,false) which Spark rejects
-        # outright; this legacy conf surfaces it as bigint nanoseconds.
-        # Set here (not only in the session factory) so the driver's own
-        # SparkSession works too. Downstream code uses epoch micros.
+        # Older testdata stores events.ts as parquet TIMESTAMP(NANOS,false),
+        # which Spark rejects outright; this legacy conf surfaces it as
+        # bigint nanoseconds. Set here (not only in the session factory) so
+        # the driver's own SparkSession works too.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") != "bigint":
+        # Newer testdata stores ts as TIMESTAMP(MICROS) (surfaced as
+        # TIMESTAMP_NTZ). All downstream operators and every DuckDB oracle
+        # (`epoch_ns(ts)`) treat ts as naive-UTC epoch nanos, so normalize
+        # at the single load point. Pin UTC so the NTZ->TZ cast is the
+        # identity wall-clock mapping regardless of the host timezone.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn(
+            "ts",
+            (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast(
+                "bigint"
+            ),
+        )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -22,7 +22,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from blog_snapshotbackup_azuredatalake_spark.functions.hashing import SEP, row_hash_int
-from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
+from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
+    load_events_range,
+    load_table,
+)
 
 # ---------------------------------------------------------------------------
 # portable row encodings for the `orders` table (the manifest example table)
@@ -137,16 +140,13 @@ def snap_incr_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-based incremental selection: only events newer than the
     last sync. The predicate pushes to the parquet scan, so a daily sync
     over a date-partitioned 100 TB lake reads only new partitions."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.select(
-            "event_id",
-            "user_id",
-            F.expr("ts div 1000").alias("ts_us"),
-            "event_type",
-            "value",
-        )
-        .filter(F.col("ts_us") > WATERMARK_US)
+    ev = load_events_range(spark, sf_dir, since_us=WATERMARK_US)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_type",
+        "value",
     )
 
 
@@ -294,7 +294,7 @@ def snap_restore_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time restore: the latest event per user as of T — the
     row_number-over-key pattern that reconstructs entity state from a
     change log. Shuffles once on user_id."""
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_events_range(spark, sf_dir, until_us=RESTORE_ASOF_US).select(
         "event_id",
         "user_id",
         F.expr("ts div 1000").alias("ts_us"),
@@ -305,8 +305,7 @@ def snap_restore_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_us").desc(), F.col("event_id").desc()
     )
     return (
-        ev.filter(F.col("ts_us") <= RESTORE_ASOF_US)
-        .withColumn("rn", F.row_number().over(w))
+        ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts_us", "event_type", "value")
     )

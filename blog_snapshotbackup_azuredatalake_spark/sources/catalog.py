@@ -69,6 +69,51 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def load_events_range(
+    spark: SparkSession,
+    sf_dir: str,
+    since_us: int | None = None,
+    until_us: int | None = None,
+) -> DataFrame:
+    """Events with the same bigint-nanos ``ts`` normalization as
+    ``load_table``, but with time-range predicates applied to the NATIVE
+    column first so they reach the parquet scan as pushed filters
+    (row-group / partition pruning). Filtering the derived
+    ``unix_micros(...)`` expression instead keeps only ``IsNotNull`` at
+    the scan — a watermark sync over a 100 TB lake must skip old row
+    groups at the scan, not decode them and filter after.
+
+    Bounds are epoch-micros; ``since_us`` is exclusive (rows strictly
+    newer than the last sync), ``until_us`` inclusive (as-of restore).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        if since_us is not None:
+            df = df.filter(F.col("ts") > F.lit(since_us * 1000))
+        if until_us is not None:
+            df = df.filter(F.col("ts") <= F.lit(until_us * 1000))
+        return df
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # literal-side casts constant-fold, so these stay scan-pushable
+    if since_us is not None:
+        df = df.filter(
+            F.col("ts")
+            > F.timestamp_micros(F.lit(since_us)).cast("timestamp_ntz")
+        )
+    if until_us is not None:
+        df = df.filter(
+            F.col("ts")
+            <= F.timestamp_micros(F.lit(until_us)).cast("timestamp_ntz")
+        )
+    return df.withColumn(
+        "ts",
+        (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast(
+            "bigint"
+        ),
+    )
+
+
 # formats the generic reader accepts and their Spark reader options; the
 # backup loop copies whatever lands in the lake, not just parquet
 _FORMAT_OPTS: dict[str, dict[str, str]] = {

@@ -49,8 +49,18 @@ def test_q5_no_sort_merge_of_dims(spark):
 
 
 def test_watermark_pushdown(spark):
+    # the range bound itself must reach the scan (row-group pruning), not
+    # just IsNotNull — filtering the derived epoch-micros expression
+    # instead of the native ts column silently loses it
     plan = _plan(snapshot.snap_incr_watermark(spark, SF_DIR))
-    assert "PushedFilters: [" in plan
+    pushed = [line for line in plan.splitlines() if "PushedFilters" in line]
+    assert any("GreaterThan(ts" in line for line in pushed), pushed
+
+
+def test_restore_asof_pushdown(spark):
+    plan = _plan(snapshot.snap_restore_asof(spark, SF_DIR))
+    pushed = [line for line in plan.splitlines() if "PushedFilters" in line]
+    assert any("LessThanOrEqual(ts" in line for line in pushed), pushed
 
 
 def test_no_heavy_expr_below_generate(spark):

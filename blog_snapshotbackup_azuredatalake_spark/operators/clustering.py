@@ -48,10 +48,15 @@ def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def _recompute(assigned: DataFrame) -> DataFrame:
-    """New centroid = per-dimension mean of the members, via posexplode
-    so the shuffle key is (centroid, dim) — k×d reduce cells regardless
-    of corpus size."""
+def _recompute(spark: SparkSession, assigned: DataFrame) -> DataFrame:
+    """New centroids = per-dimension member means, via posexplode so the
+    shuffle key is (centroid, dim) — k×d reduce cells regardless of
+    corpus size. The k×d cells (a few KB) come straight to the driver
+    and the arrays are assembled there: a second groupBy/array_sort
+    shuffle buys nothing over a 1 KB driver assembly, and the result
+    must become a literal frame for the next round anyway. The mean is
+    computed Spark-side in decimal so values are bit-stable across this
+    refactor and across partition layouts."""
     dims = assigned.select(
         "centroid_id", F.posexplode_outer("embedding").alias("dim", "val")
     )
@@ -63,13 +68,15 @@ def _recompute(assigned: DataFrame) -> DataFrame:
         .cast("double")
         .alias("mean_val")
     )
-    return per_dim.groupBy("centroid_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct("dim", "mean_val"))
-        ).alias("pairs")
-    ).select(
-        "centroid_id",
-        F.transform(F.col("pairs"), lambda p: p["mean_val"]).alias("c_emb"),
+    by_centroid: dict[int, dict[int, float]] = {}
+    for r in per_dim.collect():
+        by_centroid.setdefault(r["centroid_id"], {})[r["dim"]] = r["mean_val"]
+    data = [
+        (cid, [dims_map[i] for i in range(len(dims_map))])
+        for cid, dims_map in sorted(by_centroid.items())
+    ]
+    return spark.createDataFrame(
+        data, "centroid_id bigint, c_emb array<double>"
     )
 
 
@@ -91,8 +98,7 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the next iteration's centroids as a literal frame keeps every
         # iteration a single corpus scan (lazy chaining would recompute
         # all prior iterations inside each new plan)
-        new_centroids = _recompute(assigned).collect()
-        centroids = spark.createDataFrame(new_centroids)
+        centroids = _recompute(spark, assigned)
         assigned = _assign(emb, centroids)
     return assigned.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_members"),

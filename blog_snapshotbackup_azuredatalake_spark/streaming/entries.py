@@ -60,7 +60,7 @@ def stream_incr_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="stream_incr_sync_")
     src, dst, ckpt = f"{work}/landing", f"{work}/backup", f"{work}/ckpt"
-    events.write.parquet(src)
+    events.coalesce(DEMO_STATE_PARTITIONS).write.parquet(src)
     incremental_sync(spark, src, dst, ckpt, events.schema)
     # idempotence: a second catch-up run appends nothing
     incremental_sync(spark, src, dst, ckpt, events.schema)
@@ -73,7 +73,7 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="stream_windowed_")
     src = f"{work}/events_src"
-    events.write.parquet(src)
+    events.coalesce(DEMO_STATE_PARTITIONS).write.parquet(src)
     name = f"wc_{uuid.uuid4().hex[:8]}"
     with demo_state_partitions(spark):
         return run_windowed_stream(
@@ -95,7 +95,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = tempfile.mkdtemp(prefix="stream_sessionize_")
     src = f"{work}/events_src"
-    events.write.parquet(src)
+    events.coalesce(DEMO_STATE_PARTITIONS).write.parquet(src)
     stream = spark.readStream.schema(events.schema).parquet(src)
     name = f"sess_{uuid.uuid4().hex[:8]}"
     # no availableNow: stateful timeouts keep scheduling batches under it
@@ -122,7 +122,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = events.unionAll(events)
     work = tempfile.mkdtemp(prefix="stream_dedup_")
     src = f"{work}/events_src"
-    doubled.write.parquet(src)
+    doubled.coalesce(DEMO_STATE_PARTITIONS).write.parquet(src)
     stream = spark.readStream.schema(doubled.schema).parquet(src)
     name = f"dedup_{uuid.uuid4().hex[:8]}"
     with demo_state_partitions(spark):
@@ -158,7 +158,7 @@ def stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = tempfile.mkdtemp(prefix="stream_cms_")
     src = f"{work}/events_src"
-    events.write.parquet(src)
+    events.coalesce(DEMO_STATE_PARTITIONS).write.parquet(src)
     stream = spark.readStream.schema(events.schema).parquet(src)
     name = f"cms_{uuid.uuid4().hex[:8]}"
     with demo_state_partitions(spark):

@@ -77,6 +77,16 @@ def main() -> None:
         full = copies[0]
         for c in copies[1:]:
             full = full.unionByName(c)
+        if t == "events":
+            # mirror the driver testdata schema: ts as TIMESTAMP(MICROS)
+            # (load_table normalizes to bigint nanos in memory; writing
+            # that back out would break the DuckDB epoch_ns() oracles)
+            full = full.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast(
+                    "timestamp_ntz"
+                ),
+            )
         full.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
         print(f"{t}: {factor}x written")
 

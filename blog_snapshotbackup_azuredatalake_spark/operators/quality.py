@@ -300,11 +300,163 @@ _DQ_REFERENTIAL_SQL = "\nUNION ALL\n".join(
 )
 
 
+ZORDER_BITS = 16
+ZORDER_ROWS_PER_FILE = 128
+
+
+def _interleave_sql(xk: str, yd: str) -> str:
+    """Bit-interleave two ZORDER_BITS-wide ints — identical integer
+    arithmetic in Spark SQL and DuckDB."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"((({xk} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({yd} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def snap_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout planner/certifier. A backup copy rewritten in
+    Z-order (interleaved bits of customer key and order day) gives every
+    file a narrow min/max span on BOTH dimensions, so point/range
+    restore queries on either key prune most files from the parquet
+    footer stats alone; date-sorted layout prunes only on date. This
+    operator computes per-file spans under both layouts and reports the
+    average normalized span per dimension — the certificate that the
+    rewrite is worth it.
+
+    Scale shape: the global row_number here stands in for the write
+    path's `repartitionByRange(z)` (a range shuffle, no global sort on
+    one node at production SF); spans are exact integer math so the
+    DuckDB oracle matches bit-for-bit."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")).alias("day"),
+    )
+    b = (
+        orders.agg(
+            F.min("o_custkey").alias("minc"),
+            F.max("o_custkey").alias("maxc"),
+            F.min("day").alias("mind"),
+            F.max("day").alias("maxd"),
+        )
+    )
+    # integer `div`, never `/` + cast: Spark truncates double→bigint,
+    # DuckDB ROUNDS — explicit floor division is identical in both
+    m = (1 << ZORDER_BITS) - 1
+    scaled = orders.crossJoin(F.broadcast(b)).select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        "minc",
+        "maxc",
+        "mind",
+        "maxd",
+        F.expr(f"((o_custkey - minc) * {m}) div (maxc - minc)").alias("xk"),
+        F.expr(f"((day - mind) * {m}) div (maxd - mind)").alias("yd"),
+    )
+    z = scaled.withColumn("z", F.expr(_interleave_sql("xk", "yd")))
+    layouts = z.select(
+        "o_custkey",
+        "day",
+        "minc",
+        "maxc",
+        "mind",
+        "maxd",
+        F.lit("natural").alias("layout"),
+        (F.row_number().over(Window.orderBy("day", "o_orderkey")) - 1)
+        .cast("bigint")
+        .alias("rn"),
+    ).withColumn(
+        "file_id", F.expr(f"rn div {ZORDER_ROWS_PER_FILE}")
+    ).drop("rn").unionByName(
+        z.select(
+            "o_custkey",
+            "day",
+            "minc",
+            "maxc",
+            "mind",
+            "maxd",
+            F.lit("zorder").alias("layout"),
+            (F.row_number().over(Window.orderBy("z", "o_orderkey")) - 1)
+            .cast("bigint")
+            .alias("rn"),
+        )
+        .withColumn("file_id", F.expr(f"rn div {ZORDER_ROWS_PER_FILE}"))
+        .drop("rn")
+    )
+    per_file = layouts.groupBy("layout", "file_id").agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("ck_span"),
+        (F.max("day") - F.min("day")).alias("day_span"),
+        F.max("maxc").alias("maxc"),
+        F.max("minc").alias("minc"),
+        F.max("maxd").alias("maxd"),
+        F.max("mind").alias("mind"),
+    )
+    return per_file.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        (
+            F.sum("ck_span").cast("double")
+            / (F.count(F.lit(1)) * F.max(F.col("maxc") - F.col("minc")))
+        ).alias("avg_custkey_span_frac"),
+        (
+            F.sum("day_span").cast("double")
+            / (F.count(F.lit(1)) * F.max(F.col("maxd") - F.col("mind")))
+        ).alias("avg_day_span_frac"),
+    )
+
+
+_ZORDER_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day
+  FROM orders
+), b AS (
+  SELECT MIN(o_custkey) AS minc, MAX(o_custkey) AS maxc,
+         MIN(day) AS mind, MAX(day) AS maxd FROM base
+), scaled AS (
+  -- `//` floor division, never `/`+CAST: DuckDB's double->BIGINT cast
+  -- rounds where Spark truncates
+  SELECT o_orderkey, o_custkey, day, minc, maxc, mind, maxd,
+         ((o_custkey - minc) * {(1 << ZORDER_BITS) - 1}) // (maxc - minc)
+           AS xk,
+         ((day - mind) * {(1 << ZORDER_BITS) - 1}) // (maxd - mind) AS yd
+  FROM base CROSS JOIN b
+), z AS (
+  SELECT *, {_interleave_sql("xk", "yd")} AS zval FROM scaled
+), layouts AS (
+  SELECT o_custkey, day, minc, maxc, mind, maxd, 'natural' AS layout,
+         (ROW_NUMBER() OVER (ORDER BY day, o_orderkey) - 1)
+           // {ZORDER_ROWS_PER_FILE} AS file_id
+  FROM z
+  UNION ALL
+  SELECT o_custkey, day, minc, maxc, mind, maxd, 'zorder' AS layout,
+         (ROW_NUMBER() OVER (ORDER BY zval, o_orderkey) - 1)
+           // {ZORDER_ROWS_PER_FILE} AS file_id
+  FROM z
+), per_file AS (
+  SELECT layout, file_id,
+         MAX(o_custkey) - MIN(o_custkey) AS ck_span,
+         MAX(day) - MIN(day) AS day_span,
+         MAX(maxc) AS maxc, MAX(minc) AS minc,
+         MAX(maxd) AS maxd, MAX(mind) AS mind
+  FROM layouts GROUP BY layout, file_id
+)
+SELECT layout, COUNT(*) AS n_files,
+       CAST(SUM(ck_span) AS DOUBLE)
+         / (COUNT(*) * MAX(maxc - minc)) AS avg_custkey_span_frac,
+       CAST(SUM(day_span) AS DOUBLE)
+         / (COUNT(*) * MAX(maxd - mind)) AS avg_day_span_frac
+FROM per_file GROUP BY layout
+"""
+
+
 QUERIES = {
     "dq_profile": dq_profile,
     "dq_embeddings": dq_embeddings,
     "dq_referential": dq_referential,
     "snap_compaction_plan": snap_compaction_plan,
+    "snap_zorder_stats": snap_zorder_stats,
     "snap_file_manifest_sync": snap_file_manifest_sync,
     "snap_schema_drift": snap_schema_drift,
 }
@@ -314,4 +466,5 @@ ORACLES = {
     "dq_embeddings": _DQ_EMBEDDINGS_SQL,
     "dq_referential": _DQ_REFERENTIAL_SQL,
     "snap_compaction_plan": _COMPACTION_SQL,
+    "snap_zorder_stats": _ZORDER_SQL,
 }

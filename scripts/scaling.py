@@ -49,6 +49,12 @@ QUERIES = [
     "sketch_hist_quantile",
     "corpus_mix_temperature",
     "doc_pack",
+    "q21_waiting_suppliers",
+    "dedup_incremental",
+    "dq_profile",
+    "dq_referential",
+    "snap_compaction_plan",
+    "snap_zorder_stats",
 ]
 
 

@@ -133,5 +133,146 @@ def mm_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_bin.mapInPandas(_decode_batches, schema=_OUT_SCHEMA)
 
 
-QUERIES = {"mm_decode_pipeline": mm_decode_pipeline}
-ORACLES: dict[str, str] = {}  # rows-only: Python decode stub by design
+def mm_meta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata↔payload consistency audit WITHOUT decoding: the typed
+    header bytes are parsed engine-side (substring/cast on the binary
+    column — whole-stage codegen, no Python), and every row's declared
+    metadata is checked against what the payload claims. This is the
+    curation gate that catches corrupt/mislabeled media before the
+    expensive decode stage ever runs; at 100 TB it reads headers, not
+    payloads. SQL oracle: the header math is pure string/int ops,
+    identical in DuckDB."""
+    with_bin = synthesize_binary_column(
+        load_table(spark, sf_dir, "documents")
+    )
+    parsed = with_bin.select(
+        "doc_id",
+        "meta_format",
+        "meta_width",
+        "meta_height",
+        F.substring(F.col("payload").cast("string"), 1, 4)
+        .cast("int")
+        .alias("hdr_width"),
+        F.substring(F.col("payload").cast("string"), 5, 4)
+        .cast("int")
+        .alias("hdr_height"),
+        F.regexp_replace(
+            F.substring(F.col("payload").cast("string"), 9, 4), r"\.+$", ""
+        ).alias("hdr_format"),
+        F.octet_length("payload").alias("n_bytes"),
+    )
+    return parsed.groupBy(F.col("meta_format").alias("fmt")).agg(
+        F.count(F.lit(1)).alias("n_payloads"),
+        F.sum(
+            F.when(
+                (F.col("hdr_width") != F.col("meta_width"))
+                | (F.col("hdr_height") != F.col("meta_height"))
+                | (F.col("hdr_format") != F.col("meta_format")),
+                1,
+            ).otherwise(0)
+        ).alias("n_mismatch"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("hdr_width").alias("max_width"),
+        F.max("hdr_height").alias("max_height"),
+    )
+
+
+_MM_META_AUDIT_SQL = """
+WITH synth AS (
+  SELECT doc_id,
+         ['png','jpeg','webp'][CAST(doc_id % 3 + 1 AS INT)] AS meta_format,
+         (doc_id % 8 + 1) * 32 AS meta_width,
+         (doc_id % 5 + 1) * 32 AS meta_height,
+         lpad(CAST((doc_id % 8 + 1) * 32 AS VARCHAR), 4, '0')
+           || lpad(CAST((doc_id % 5 + 1) * 32 AS VARCHAR), 4, '0')
+           || rpad(['png','jpeg','webp'][CAST(doc_id % 3 + 1 AS INT)], 4, '.')
+           || substr(repeat(md5(text), 2), 1, 64) AS payload
+  FROM documents
+), parsed AS (
+  SELECT doc_id, meta_format, meta_width, meta_height,
+         CAST(substr(payload, 1, 4) AS INT) AS hdr_width,
+         CAST(substr(payload, 5, 4) AS INT) AS hdr_height,
+         regexp_replace(substr(payload, 9, 4), '\\.+$', '') AS hdr_format,
+         strlen(payload) AS n_bytes
+  FROM synth
+)
+SELECT meta_format AS fmt, COUNT(*) AS n_payloads,
+       SUM(CASE WHEN hdr_width <> meta_width OR hdr_height <> meta_height
+                  OR hdr_format <> meta_format THEN 1 ELSE 0 END)
+         AS n_mismatch,
+       SUM(n_bytes) AS total_bytes,
+       MAX(hdr_width) AS max_width,
+       MAX(hdr_height) AS max_height
+FROM parsed GROUP BY meta_format
+"""
+
+
+FRAME_BYTES = 16
+FRAME_SAMPLE_EVERY = 2
+FRAME_MS = 40  # 25 fps
+
+
+def _synthesize_video_column(docs: DataFrame) -> DataFrame:
+    """Multi-frame payload: n_frames × FRAME_BYTES keystream bytes."""
+    n_frames = (F.col("doc_id") % 7 + 2).cast("int")
+    # md5 hex = 32 chars = 2 frames' worth; repeat enough for 8 frames
+    body = F.substring(
+        F.repeat(F.md5(F.col("text")), 4), 1, n_frames * FRAME_BYTES
+    )
+    return docs.select(
+        "doc_id", n_frames.alias("n_frames"), body.cast("binary").alias("payload")
+    )
+
+
+def _frame_sample_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker with 1:N output — every sampled frame becomes
+    a row (the explode-shaped batch contract a video pipeline needs,
+    vs the 1:1 decode pipeline)."""
+    for pdf in batches:
+        out = []
+        for doc_id, n_frames, payload in zip(
+            pdf["doc_id"], pdf["n_frames"], pdf["payload"]
+        ):
+            raw = bytes(payload)
+            for frame_no in range(0, int(n_frames), FRAME_SAMPLE_EVERY):
+                frame = raw[
+                    frame_no * FRAME_BYTES : (frame_no + 1) * FRAME_BYTES
+                ]
+                out.append(
+                    (
+                        doc_id,
+                        frame_no,
+                        frame_no * FRAME_MS,
+                        hashlib.md5(frame).hexdigest(),
+                    )
+                )
+        yield pd.DataFrame(
+            out, columns=["doc_id", "frame_no", "ts_ms", "frame_md5"]
+        )
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling over a video-flavored binary column: every
+    FRAME_SAMPLE_EVERY-th frame of each payload becomes an output row
+    (1:N mapInPandas). Rows-only: the frame split is Python-side by
+    design (a real pipeline swaps in pyav/ffmpeg here)."""
+    from blog_snapshotbackup_azuredatalake_spark.session import (
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers(spark)
+    vids = _synthesize_video_column(load_table(spark, sf_dir, "documents"))
+    return vids.mapInPandas(
+        _frame_sample_batches,
+        schema="doc_id bigint, frame_no int, ts_ms int, frame_md5 string",
+    )
+
+
+QUERIES = {
+    "mm_decode_pipeline": mm_decode_pipeline,
+    "mm_meta_audit": mm_meta_audit,
+    "mm_frame_sample": mm_frame_sample,
+}
+ORACLES: dict[str, str] = {"mm_meta_audit": _MM_META_AUDIT_SQL}

@@ -23,3 +23,40 @@ def test_decode_pipeline_deterministic(spark):
     a = sorted(map(tuple, multimodal.mm_decode_pipeline(spark, SF_DIR).collect()))
     b = sorted(map(tuple, multimodal.mm_decode_pipeline(spark, SF_DIR).collect()))
     assert a == b
+
+
+def test_mm_meta_audit_matches_oracle(spark, ddb):
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        multimodal.mm_meta_audit(spark, SF_DIR),
+        ddb,
+        multimodal._MM_META_AUDIT_SQL,
+    )
+
+
+def test_mm_meta_audit_clean(spark):
+    rows = multimodal.mm_meta_audit(spark, SF_DIR).collect()
+    assert {r["fmt"] for r in rows} == {"png", "jpeg", "webp"}
+    assert all(r["n_mismatch"] == 0 for r in rows)
+
+
+def test_mm_frame_sample_counts(spark):
+    import math
+
+    docs = multimodal.load_table(spark, SF_DIR, "documents")
+    expected = sum(
+        math.ceil((doc_id % 7 + 2) / multimodal.FRAME_SAMPLE_EVERY)
+        for (doc_id,) in docs.select("doc_id").collect()
+    )
+    frames = multimodal.mm_frame_sample(spark, SF_DIR)
+    assert frames.count() == expected
+    # sampled frames only, deterministic hashes per (doc, frame)
+    rows = frames.collect()
+    assert all(r["frame_no"] % multimodal.FRAME_SAMPLE_EVERY == 0 for r in rows)
+    assert all(r["ts_ms"] == r["frame_no"] * multimodal.FRAME_MS for r in rows)
+    again = {
+        (r["doc_id"], r["frame_no"]): r["frame_md5"]
+        for r in multimodal.mm_frame_sample(spark, SF_DIR).collect()
+    }
+    assert {(r["doc_id"], r["frame_no"]): r["frame_md5"] for r in rows} == again

@@ -26,25 +26,58 @@ ITERATIONS = 3
 
 
 def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest centroid by squared L2 (decimal-exact per-dim fold)."""
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.col("c_emb"),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+    """Nearest centroid by squared L2 — MAP-ONLY. The centroid set is
+    k×d and driver-known by contract, so it rides into the plan as a
+    literal struct array and every row takes its argmin in place
+    (lexicographic struct min ≡ min over (d2, centroid_id)). The
+    crossJoin+groupBy alternative re-shuffles the whole corpus by
+    vec_id just to collapse 16 candidate rows that were born in the
+    same task — at 100 TB that exchange IS the cost of the iteration.
+    The per-dim fold keeps the oracle's list_reduce association order,
+    so assignments stay bit-identical."""
+    cents = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    # one literal array<struct> bound as a column (constant-folded once;
+    # inlining the k×d literal tree per consumer bloats planning/eval)
+    cents_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(c["centroid_id"]))
+                .cast("bigint")
+                .alias("centroid_id"),
+                F.array(*[F.lit(float(v)) for v in c["c_emb"]]).alias(
+                    "c_emb"
+                ),
+            )
+            for c in cents
+        ]
+    )
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    c["c_emb"],
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            c["centroid_id"].alias("centroid_id"),
         ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
     )
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "embedding", "centroid_id", dist.alias("d2")
-    )
-    return scored.groupBy("vec_id").agg(
-        F.max_by(
-            "centroid_id", F.struct(-F.col("d2"), -F.col("centroid_id"))
-        ).alias("centroid_id"),
-        F.min("d2").alias("d2"),
-        F.first("embedding").alias("embedding"),
+    # two-step select: `best` must be a bound column before its fields
+    # are projected, or the whole argmin array is re-evaluated per field
+    return (
+        emb.withColumn("cents", cents_lit)
+        .select("vec_id", "embedding", F.array_min(scored).alias("best"))
+        .select(
+            "vec_id",
+            F.col("best.centroid_id").alias("centroid_id"),
+            F.col("best.d2").alias("d2"),
+            "embedding",
+        )
     )
 
 

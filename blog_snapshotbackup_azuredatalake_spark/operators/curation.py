@@ -147,23 +147,47 @@ def emb_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blog_snapshotbackup_azuredatalake_spark.operators.dedup import _dot_cos
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("c_emb"),
+    # MAP-ONLY argmax: the centroid seed set is tiny and driver-known,
+    # so it becomes a literal struct array and each row picks its best
+    # centroid in place — struct max over (cos, -centroid_id) ≡ the
+    # oracle's ROW_NUMBER ORDER BY cos DESC, centroid_id. No crossJoin,
+    # no per-vector groupBy: the corpus meets its ONLY shuffle at the
+    # k-row stats aggregation.
+    cents = sorted(
+        emb.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+        .collect(),
+        key=lambda r: r["centroid_id"],
     )
-    scored = (
-        emb.crossJoin(F.broadcast(centroids))
+    cents_lit = F.array(
+        *[
+            F.struct(
+                (-F.lit(int(c["centroid_id"])))
+                .cast("bigint")
+                .alias("neg_id"),
+                F.array(*[F.lit(float(v)) for v in c["embedding"]]).alias(
+                    "c_emb"
+                ),
+            )
+            for c in cents
+        ]
+    )
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            _dot_cos(F.col("embedding"), c["c_emb"]).alias("cos"),
+            c["neg_id"].alias("neg_id"),
+        ),
+    )
+    best = (
+        emb.withColumn("cents", cents_lit)
+        .select("vec_id", "label", F.array_max(scored).alias("best"))
         .select(
             "vec_id",
             "label",
-            "centroid_id",
-            _dot_cos(F.col("embedding"), F.col("c_emb")).alias("cos"),
+            (-F.col("best.neg_id")).alias("centroid_id"),
+            F.col("best.cos").alias("best_cos"),
         )
-    )
-    best = scored.groupBy("vec_id", "label").agg(
-        F.max_by("centroid_id", F.struct(F.col("cos"), -F.col("centroid_id")))
-        .alias("centroid_id"),
-        F.max("cos").alias("best_cos"),
     )
     return best.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_members"),

@@ -190,43 +190,66 @@ def _ivf_search(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """Probe-and-rerank against any (centroid_id, c_emb) coarse list
     set; the IVF plan shape is independent of how the lists were
     built."""
-    # coarse assignment: 16 candidate rows per vector collapse map-side
-    # (partial min_by), so the only shuffle-sized object is the result
+    # coarse assignment is MAP-ONLY: the nlist×d centroid set is tiny
+    # and driver-known, so it becomes a literal struct array and each
+    # corpus row takes argmin in place (struct min ≡ min over
+    # (d2, centroid_id), matching the oracle's row_number order). The
+    # crossJoin+groupBy shape would re-shuffle the corpus by vec_id —
+    # the corpus now reaches the bucket join with NO exchange at all.
+    cents = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    # ONE literal array<struct<centroid_id, c_emb>> bound as a column —
+    # constant-folded once, referenced by name (inlining the 1k-node
+    # literal tree into every consumer measurably bloats planning/eval)
+    cents_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(c["centroid_id"]))
+                .cast("bigint")
+                .alias("centroid_id"),
+                F.array(*[F.lit(float(v)) for v in c["c_emb"]]).alias(
+                    "c_emb"
+                ),
+            )
+            for c in cents
+        ]
+    )
+
+    def scored(emb_col):
+        return F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                _l2sq(emb_col, c["c_emb"]).alias("d2"),
+                c["centroid_id"].alias("centroid_id"),
+            ),
+        )
+
     assigned = (
-        emb.crossJoin(F.broadcast(centroids))
+        emb.withColumn("cents", cents_lit)
         .select(
             "vec_id",
             "embedding",
-            "centroid_id",
-            _l2sq(F.col("embedding"), F.col("c_emb")).alias("d2"),
+            F.array_min(scored(F.col("embedding"))).alias("best"),
         )
-        .groupBy("vec_id")
-        .agg(
-            F.min_by("centroid_id", F.struct("d2", "centroid_id")).alias(
-                "list_id"
-            ),
-            F.first("embedding").alias("embedding"),
+        .select(
+            "vec_id", F.col("best.centroid_id").alias("list_id"), "embedding"
         )
     )
+    # probe selection is map-only too: sort the same struct array
+    # (lexicographic ≡ ORDER BY d2, centroid_id) and explode the first
+    # nprobe entries — no crossJoin, no window
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     probes = (
-        queries.crossJoin(F.broadcast(centroids))
+        queries.withColumn("cents", cents_lit)
         .select(
             "q_id",
             "q_emb",
-            F.col("centroid_id").alias("list_id"),
-            _l2sq(F.col("q_emb"), F.col("c_emb")).alias("d2"),
+            F.explode(
+                F.slice(F.array_sort(scored(F.col("q_emb"))), 1, IVF_NPROBE)
+            ).alias("pr"),
         )
-        .withColumn(
-            "pr",
-            F.row_number().over(
-                Window.partitionBy("q_id").orderBy("d2", "list_id")
-            ),
-        )
-        .filter(F.col("pr") <= IVF_NPROBE)
-        .select("q_id", "q_emb", "list_id")
+        .select("q_id", "q_emb", F.col("pr.centroid_id").alias("list_id"))
     )
     pairs = (
         assigned.join(F.broadcast(probes), "list_id")

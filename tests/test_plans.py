@@ -97,11 +97,15 @@ def test_ivf_centroids_broadcast_corpus_never_shuffles_for_assign(spark):
     from blog_snapshotbackup_azuredatalake_spark.operators import similarity
 
     plan = _plan(similarity.ann_topk_ivf(spark, SF_DIR))
-    # the probe join must be a broadcast hash join, and the corpus must
-    # never sort-merge (the centroid crossJoin is a broadcast nested
-    # loop over 16 rows — that one is the intended plan)
+    # the probe join must be a broadcast hash join, the corpus must
+    # never sort-merge, and coarse assignment is MAP-ONLY (literal
+    # centroid array argmin) — no crossJoin/BNLJ anywhere, and the
+    # corpus branch (the scan feeding the probe join's streamed side)
+    # reaches it without any Exchange
     assert "BroadcastHashJoin" in plan, plan[:800]
     assert "SortMergeJoin" not in plan, plan[:800]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+    assert "array_min" in plan
 
 
 def test_q21_decorrelation_produced_no_nested_loop(spark):

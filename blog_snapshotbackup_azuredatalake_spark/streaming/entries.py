@@ -175,8 +175,47 @@ def stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_rank_heavy_hitters(spark.table(name), events)
 
 
+def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream broadcast-joins a
+    static dimension (first-seen timestamp per user, computed batch-side)
+    inside every micro-batch — the standard pattern for decorating a
+    CDC/event stream with slowly-changing reference data. The static
+    side broadcasts, so the stream is never shuffled and no streaming
+    state is kept (unlike stream-stream joins). Rows-only invariant:
+    every event survives with a non-negative age."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us"),
+        "event_type",
+    )
+    dim = events.groupBy("user_id").agg(
+        F.min("ts_us").alias("first_seen_us")
+    )
+    work = tempfile.mkdtemp(prefix="stream_enrich_")
+    src = f"{work}/events_src"
+    events.coalesce(DEMO_STATE_PARTITIONS).write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    enriched = stream.join(F.broadcast(dim), "user_id").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("ts_us") - F.col("first_seen_us")).alias("age_us"),
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 QUERIES = {
     "stream_incr_sync": stream_incr_sync,
+    "stream_enrich_static": stream_enrich_static,
     "stream_windowed_agg": stream_windowed_agg,
     "stream_sessionize": stream_sessionize,
     "stream_cms_topk": stream_cms_topk,

@@ -179,3 +179,17 @@ def test_stateful_streams_run_on_rocksdb_state_store(spark):
         assert deduped.count() == n_events
     finally:
         spark.conf.set(key, default)
+
+
+def test_stream_enrich_static_broadcasts_no_state(spark):
+    from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
+        load_table,
+    )
+    from blog_snapshotbackup_azuredatalake_spark.streaming import entries
+
+    enriched = entries.stream_enrich_static(spark, SF_DIR)
+    n_events = load_table(spark, SF_DIR, "events").count()
+    rows = enriched.collect()
+    assert len(rows) == n_events  # inner join loses nothing: dim covers all
+    assert all(r["age_us"] >= 0 for r in rows)
+    assert any(r["age_us"] == 0 for r in rows)  # each user's first event

@@ -186,3 +186,35 @@ def test_txnlog_state_fold_matches_model(tmp_path_factory, ops, removes):
         else:
             replay[path] = i
         assert set(log.state(as_of=i)) == set(replay)
+
+
+@given(
+    st.integers(min_value=0, max_value=65535),
+    st.integers(min_value=0, max_value=65535),
+    st.integers(min_value=0, max_value=65535),
+    st.integers(min_value=0, max_value=65535),
+)
+@settings(max_examples=200, deadline=None)
+def test_zorder_interleave_bijective_and_axis_monotone(x1, y1, x2, y2):
+    """The generated interleave SQL (shared verbatim by the Spark plan
+    and the DuckDB oracle) must be a bijection on 16-bit pairs and
+    strictly monotone along each axis — the properties that make
+    z-value ranges prune on both dimensions."""
+    import duckdb
+
+    from blog_snapshotbackup_azuredatalake_spark.operators.quality import (
+        _interleave_sql,
+    )
+
+    con = duckdb.connect()
+    expr = _interleave_sql("x", "y")
+    rows = con.execute(
+        f"SELECT {expr} FROM (SELECT CAST(a AS BIGINT) x, CAST(b AS BIGINT) y"
+        f" FROM (VALUES ({x1}, {y1}), ({x2}, {y2})) t(a, b))"
+    ).fetchall()
+    z1, z2 = rows[0][0], rows[1][0]
+    assert (z1 == z2) == ((x1, y1) == (x2, y2))
+    if y1 == y2 and x1 < x2:
+        assert z1 < z2
+    if x1 == x2 and y1 < y2:
+        assert z1 < z2

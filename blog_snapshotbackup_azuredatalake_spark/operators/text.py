@@ -460,6 +460,77 @@ QUALIFY rank <= {VOCAB_TOPK}
 """
 
 
+# the driver's synthetic corpus draws from a 31-word vocabulary, so the
+# head must be smaller than that for the OOV tail to be non-empty (a
+# real tokenizer build uses 32k-100k here — only the constant changes)
+OOV_VOCAB_K = 16
+
+
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary coverage: build the top-{OOV_VOCAB_K}
+    corpus vocabulary, then measure each source's out-of-vocabulary
+    token rate — the coverage audit run before freezing a tokenizer on
+    a mixed-source corpus. Two passes over the token stream: the vocab
+    pass collapses map-side to vocabulary-sized partials, the scoring
+    pass joins the BROADCAST vocab (map-side, no shuffle of the token
+    stream) and aggregates per source. OOV rate is a double division of
+    exact bigints — bit-stable in both engines."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode_outer(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    w = Window.orderBy(F.desc("tf"), F.asc("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= OOV_VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+_OOV_RATE_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+), toks_nz AS (
+  SELECT source, tok FROM toks WHERE tok <> ''
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS tf FROM toks_nz GROUP BY tok
+  )
+  QUALIFY ROW_NUMBER() OVER (ORDER BY tf DESC, tok) <= {OOV_VOCAB_K}
+)
+SELECT source, COUNT(*) AS n_tokens,
+       SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS oov_rate
+FROM toks_nz t LEFT JOIN vocab v USING (tok)
+GROUP BY source
+"""
+
+
 BM25_QUERY_TERMS = ["join", "vector", "the"]  # fixed demo query
 BM25_TOPK = 20
 _BM25_K1 = 1.2
@@ -567,6 +638,7 @@ QUERIES = {
     "text_tokencount": text_tokencount,
     "text_bm25_search": text_bm25_search,
     "text_vocab_topk": text_vocab_topk,
+    "text_oov_rate": text_oov_rate,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -577,6 +649,7 @@ ORACLES = {
     "text_tokencount": _TOKENCOUNT_SQL,
     "text_bm25_search": _bm25_sql(),
     "text_vocab_topk": _VOCAB_TOPK_SQL,
+    "text_oov_rate": _OOV_RATE_SQL,
     "text_quality": _QUALITY_SQL,
     "text_langid": _langid_sql(),
     "text_fingerprint": _FINGERPRINT_SQL,

@@ -17,3 +17,19 @@ def test_langid_beats_chance(spark):
     acc = sum(r["predicted_lang"] == r["labeled_lang"] for r in rows) / len(rows)
     # marker sets are arbitrary vocab slices; just require a sane output
     assert 0.0 <= acc <= 1.0 and len(rows) == 500
+
+
+def test_oov_rate_matches_oracle(spark, ddb):
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        text.text_oov_rate(spark, SF_DIR), ddb, text._OOV_RATE_SQL
+    )
+
+
+def test_oov_rate_bounds(spark):
+    rows = text.text_oov_rate(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["oov_rate"] < 1.0
+        assert r["n_oov"] <= r["n_tokens"]

@@ -355,8 +355,14 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
 
 
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """See minhash_pairs — this is it over the documents table."""
-    return minhash_pairs(_docs_with_grams(spark, sf_dir))
+    """See minhash_pairs — this is it over the documents table. The
+    narrow (doc_id, sh) fingerprint frame is materialized once: the
+    band index and both verify sides consume it, and there is no
+    Exchange below them for Spark to reuse (same reasoning as the
+    ngram path)."""
+    return minhash_pairs(
+        _docs_with_grams(spark, sf_dir).localCheckpoint(eager=True)
+    )
 
 
 def _minhash_sql() -> str:
@@ -382,8 +388,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    new = grams_for(docs.filter(F.col("doc_id") % INCR_BATCH_MOD == 0))
-    corpus = grams_for(docs.filter(F.col("doc_id") % INCR_BATCH_MOD != 0))
+    # both fingerprint frames feed their band index AND the verify join;
+    # materialize the narrow (doc_id, sh) once each
+    new = grams_for(
+        docs.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    ).localCheckpoint(eager=True)
+    corpus = grams_for(
+        docs.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
+    ).localCheckpoint(eager=True)
     cand = (
         mh_bands(corpus)
         .alias("c")

@@ -94,7 +94,11 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: minhash pairs → connected components →
     (doc_id, cluster_id, cluster_size, is_canonical). The keep-list a
     dedup pipeline actually applies is `is_canonical`."""
-    pairs = minhash_pairs(grams_for(load_table(spark, sf_dir, "documents")))
+    pairs = minhash_pairs(
+        grams_for(load_table(spark, sf_dir, "documents")).localCheckpoint(
+            eager=True
+        )
+    )
     comp = connected_components(pairs)
     sizes = comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")

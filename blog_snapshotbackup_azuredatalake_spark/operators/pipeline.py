@@ -48,7 +48,11 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dup removal among survivors: drop the higher doc_id of each
     # verified pair (canonical = smallest id in a duplicate cluster)
     drops = (
-        minhash_pairs(grams_for(kept))
+        # the narrow (doc_id, sh) fingerprint frame is consumed by the
+        # band index and both verify sides — materialize it once (the
+        # wide `kept` frame itself stays lazy: checkpointing text-bearing
+        # rows measurably regresses)
+        minhash_pairs(grams_for(kept).localCheckpoint(eager=True))
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

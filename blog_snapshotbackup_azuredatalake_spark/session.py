@@ -74,7 +74,11 @@ def get_session(
         # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
         # reader rejects; read as raw nanos bigint and convert explicitly.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local-mode driver hosts every executor thread; size for sf1+
+        # local runs (the box has 128 GiB — 16g leaves ample headroom)
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g")
+        )
         .config("spark.ui.enabled", "false")
     )
     if not SparkSession.getActiveSession():

@@ -60,3 +60,47 @@ def test_range_join_spotcheck(spark):
             if r["ts_us"] - scale.RANGE_WINDOW_US <= t < r["ts_us"]
         )
         assert got[r["event_id"]] == want
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """SURVEY §6 claims AQE handles join skew on the scale path —
+    assert it actually fires: a 90%-one-key fact sort-merge-joined to a
+    dim must show skew=true in the final adaptive plan under skew-join
+    thresholds scaled to this data size."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(7))
+            .otherwise(F.col("id") % 97)
+            .alias("k"),
+            F.concat(F.lit("padpadpadpadpadpad-"), F.col("id")).alias(
+                "payload"
+            ),
+        )
+        dim = spark.range(0, 97).select(
+            F.col("id").alias("k"), F.col("id").alias("dim_val")
+        )
+        joined = fact.join(dim, "k")
+        # collect() on the frame itself so ITS queryExecution is the one
+        # that runs (count() would execute a separate plan, leaving this
+        # one with isFinalPlan=false)
+        assert len(joined.collect()) == 200_000
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:1500]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

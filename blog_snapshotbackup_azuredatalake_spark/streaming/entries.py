@@ -28,22 +28,35 @@ from blog_snapshotbackup_azuredatalake_spark.streaming.sessions import (
 
 
 DEMO_STATE_PARTITIONS = 8
+# one state partition per this many input rows (capped at the session's
+# shuffle parallelism): per-partition fixed cost dominates small drains,
+# Python-stage parallelism dominates big ones
+_ROWS_PER_STATE_PARTITION = 50_000
 
 
 @contextmanager
-def demo_state_partitions(spark: SparkSession, n: int = DEMO_STATE_PARTITIONS):
-    """Scope a stateful demo stream to ≤ ``n`` state-store partitions.
+def demo_state_partitions(
+    spark: SparkSession,
+    n: int = DEMO_STATE_PARTITIONS,
+    rows: int | None = None,
+):
+    """Scope a stateful demo stream to a right-sized state-store
+    partition count.
 
     A streaming state store spins up shuffle-partition-many state tasks
     (each a checkpoint dir + an Arrow/Python round trip for
     applyInPandasWithState) EVERY micro-batch, and the count is frozen
-    into the checkpoint at first start. For these bounded single-node
-    drains the per-partition fixed cost dominates (measured 11 s → 4 s
-    on sessionize at sf0.1 going 32 → 8); a real deployment sizes this
-    to its key cardinality ONCE at stream birth — it cannot be changed
-    later without a checkpoint migration, which is why it's a scoped
-    conf here and not a session-wide setting."""
+    into the checkpoint at first start. For bounded single-node drains
+    the per-partition fixed cost dominates (measured 11 s → 4 s on
+    sessionize at sf0.1 going 32 → 8) — but a large drain starves on
+    too-few Python workers, so when ``rows`` is passed the count scales
+    with input size up to the session's parallelism. A real deployment
+    sizes this to its key cardinality ONCE at stream birth — it cannot
+    be changed later without a checkpoint migration, which is why it's
+    a scoped conf here and not a session-wide setting."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    if rows is not None:
+        n = max(n, rows // _ROWS_PER_STATE_PARTITION)
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(min(int(old), n))
     )
@@ -95,12 +108,13 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = tempfile.mkdtemp(prefix="stream_sessionize_")
     src = f"{work}/events_src"
+    n_rows = events.count()
     events.coalesce(DEMO_STATE_PARTITIONS).write.parquet(src)
     stream = spark.readStream.schema(events.schema).parquet(src)
     name = f"sess_{uuid.uuid4().hex[:8]}"
     # no availableNow: stateful timeouts keep scheduling batches under it
     # and awaitTermination never returns; drain + stop instead.
-    with demo_state_partitions(spark):
+    with demo_state_partitions(spark, rows=n_rows):
         q = (
             sessionize_stream(stream)
             .writeStream.format("memory")

@@ -324,10 +324,12 @@ def snap_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     average normalized span per dimension — the certificate that the
     rewrite is worth it.
 
-    Scale shape: the global row_number here stands in for the write
-    path's `repartitionByRange(z)` (a range shuffle, no global sort on
-    one node at production SF); spans are exact integer math so the
-    DuckDB oracle matches bit-for-bit."""
+    Scale shape: file assignment is windowed WITHIN the year
+    partition directory (files never cross partition dirs in a real
+    lake), so no window partition exceeds a year of rows at any SF —
+    the write path this certifies is `partitionBy(year) +
+    repartitionByRange(z)`. Spans are exact integer math so the DuckDB
+    oracle matches bit-for-bit."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
@@ -354,6 +356,8 @@ def snap_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "maxd",
         F.expr(f"((o_custkey - minc) * {m}) div (maxc - minc)").alias("xk"),
         F.expr(f"((day - mind) * {m}) div (maxd - mind)").alias("yd"),
+        # integer year index, no calendar fns (engine-identical)
+        F.expr("day div 366").alias("yr"),
     )
     z = scaled.withColumn("z", F.expr(_interleave_sql("xk", "yd")))
     layouts = z.select(
@@ -363,8 +367,14 @@ def snap_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "maxc",
         "mind",
         "maxd",
+        "yr",
         F.lit("natural").alias("layout"),
-        (F.row_number().over(Window.orderBy("day", "o_orderkey")) - 1)
+        (
+            F.row_number().over(
+                Window.partitionBy("yr").orderBy("day", "o_orderkey")
+            )
+            - 1
+        )
         .cast("bigint")
         .alias("rn"),
     ).withColumn(
@@ -377,15 +387,21 @@ def snap_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "maxc",
             "mind",
             "maxd",
+            "yr",
             F.lit("zorder").alias("layout"),
-            (F.row_number().over(Window.orderBy("z", "o_orderkey")) - 1)
+            (
+                F.row_number().over(
+                    Window.partitionBy("yr").orderBy("z", "o_orderkey")
+                )
+                - 1
+            )
             .cast("bigint")
             .alias("rn"),
         )
         .withColumn("file_id", F.expr(f"rn div {ZORDER_ROWS_PER_FILE}"))
         .drop("rn")
     )
-    per_file = layouts.groupBy("layout", "file_id").agg(
+    per_file = layouts.groupBy("layout", "yr", "file_id").agg(
         (F.max("o_custkey") - F.min("o_custkey")).alias("ck_span"),
         (F.max("day") - F.min("day")).alias("day_span"),
         F.max("maxc").alias("maxc"),
@@ -420,18 +436,19 @@ WITH base AS (
   SELECT o_orderkey, o_custkey, day, minc, maxc, mind, maxd,
          ((o_custkey - minc) * {(1 << ZORDER_BITS) - 1}) // (maxc - minc)
            AS xk,
-         ((day - mind) * {(1 << ZORDER_BITS) - 1}) // (maxd - mind) AS yd
+         ((day - mind) * {(1 << ZORDER_BITS) - 1}) // (maxd - mind) AS yd,
+         day // 366 AS yr
   FROM base CROSS JOIN b
 ), z AS (
   SELECT *, {_interleave_sql("xk", "yd")} AS zval FROM scaled
 ), layouts AS (
-  SELECT o_custkey, day, minc, maxc, mind, maxd, 'natural' AS layout,
-         (ROW_NUMBER() OVER (ORDER BY day, o_orderkey) - 1)
+  SELECT o_custkey, day, minc, maxc, mind, maxd, yr, 'natural' AS layout,
+         (ROW_NUMBER() OVER (PARTITION BY yr ORDER BY day, o_orderkey) - 1)
            // {ZORDER_ROWS_PER_FILE} AS file_id
   FROM z
   UNION ALL
-  SELECT o_custkey, day, minc, maxc, mind, maxd, 'zorder' AS layout,
-         (ROW_NUMBER() OVER (ORDER BY zval, o_orderkey) - 1)
+  SELECT o_custkey, day, minc, maxc, mind, maxd, yr, 'zorder' AS layout,
+         (ROW_NUMBER() OVER (PARTITION BY yr ORDER BY zval, o_orderkey) - 1)
            // {ZORDER_ROWS_PER_FILE} AS file_id
   FROM z
 ), per_file AS (
@@ -440,7 +457,7 @@ WITH base AS (
          MAX(day) - MIN(day) AS day_span,
          MAX(maxc) AS maxc, MAX(minc) AS minc,
          MAX(maxd) AS maxd, MAX(mind) AS mind
-  FROM layouts GROUP BY layout, file_id
+  FROM layouts GROUP BY layout, yr, file_id
 )
 SELECT layout, COUNT(*) AS n_files,
        CAST(SUM(ck_span) AS DOUBLE)

@@ -111,6 +111,12 @@ def _registry() -> tuple[dict, dict]:
     except ImportError:
         pass
     try:
+        import blog_snapshotbackup_azuredatalake_spark.sources.sinks as sinks
+
+        modules.append(sinks)
+    except ImportError:
+        pass
+    try:
         import blog_snapshotbackup_azuredatalake_spark.operators.quality as quality
 
         modules.append(quality)

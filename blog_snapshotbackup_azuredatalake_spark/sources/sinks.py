@@ -159,3 +159,42 @@ def verify_copy(
         return tuple(row)
 
     return sig(source) == sig(spark.read.parquet(target).select(*source.columns))
+
+
+def snap_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core loop as one driver-visible entry: bulk-copy
+    orders to a scratch backup partitioned by order month with bounded
+    file sizes and a verification manifest, verify the copy
+    (count + order-insensitive checksum both sides), and report
+    per-partition row counts off the COPY with the verification
+    verdict. Rows-only: the operator's effect is files on disk."""
+    from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
+        load_table,
+    )
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_month",
+        F.trunc(F.col("o_orderdate").cast("date"), "month").cast("string"),
+    )
+    work = tempfile.mkdtemp(prefix="copy_roundtrip_")
+    target = f"{work}/orders_backup"
+    copy_table(
+        orders,
+        target,
+        partition_by="order_month",
+        max_records_per_file=50_000,
+        manifest_key="o_orderkey",
+    )
+    ok = verify_copy(spark, orders, target)
+    return (
+        spark.read.parquet(target)
+        .groupBy("order_month")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("verified", F.lit(ok))
+        .orderBy("order_month")
+    )
+
+
+QUERIES = {"snap_copy_roundtrip": snap_copy_roundtrip}
+ORACLES: dict[str, str] = {}  # rows-only: writes files, then reports on them

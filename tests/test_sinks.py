@@ -109,3 +109,15 @@ def test_bucketed_copy_joins_without_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE bktdb.orders_a")
         spark.sql("DROP TABLE bktdb.orders_b")
         spark.sql("DROP DATABASE bktdb")
+
+
+def test_copy_roundtrip_entry(spark):
+    from blog_snapshotbackup_azuredatalake_spark.sources import sinks
+    from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = sinks.snap_copy_roundtrip(spark, SF_DIR).collect()
+    assert all(r["verified"] for r in rows)
+    total = sum(r["n_rows"] for r in rows)
+    assert total == load_table(spark, SF_DIR, "orders").count()

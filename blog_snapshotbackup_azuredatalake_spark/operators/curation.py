@@ -539,7 +539,74 @@ FROM per_shard GROUP BY source
 """
 
 
+EMB_DIM_TOPK = 8
+
+
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics: mean and variance for every
+    dimension, top-{EMB_DIM_TOPK} by variance — the dead-dimension /
+    dominant-dimension audit run before trusting cosine distances on a
+    new embedding model. Scale shape: posexplode keys the shuffle by
+    dim, so the reduce state is d cells regardless of corpus size
+    (partial aggs collapse map-side). Sums are decimal-exact at scale
+    10 (unscaled values stay < 2^53, so the decimal→double conversion
+    is exact in both engines — higher scales silently double-round in
+    DuckDB); the variance arithmetic then runs in doubles with
+    identical association both sides."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(F.posexplode("embedding").alias("dim", "x")).select(
+        "dim", F.col("x").cast("double").alias("x")
+    )
+    per_dim = dims.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(28,10)")).alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,10)")).alias("sx2"),
+    )
+    sxd = F.col("sx").cast("double")
+    sx2d = F.col("sx2").cast("double")
+    n = F.col("n")
+    stats = per_dim.select(
+        "dim",
+        "n",
+        (sxd / n).alias("mean"),
+        ((sx2d - sxd * sxd / n) / n).alias("variance"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("variance"), F.asc("dim"))
+    return (
+        stats.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= EMB_DIM_TOPK)
+        .select("rank", "dim", "n", "mean", "variance")
+    )
+
+
+_EMB_DIM_STATS_SQL = f"""
+WITH dims AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), per_dim AS (
+  SELECT dim, COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(28,10))) AS sx,
+         SUM(CAST(x * x AS DECIMAL(28,10))) AS sx2
+  FROM dims GROUP BY dim
+), stats AS (
+  SELECT dim, n,
+         CAST(sx AS DOUBLE) / n AS mean,
+         (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+           / n AS variance
+  FROM per_dim
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY variance DESC, dim) AS INT) AS rank,
+       dim, n, mean, variance
+FROM stats
+QUALIFY rank <= {EMB_DIM_TOPK}
+"""
+
+
 QUERIES = {
+    "emb_dim_stats": emb_dim_stats,
     "corpus_split": corpus_split,
     "doc_chunk": doc_chunk,
     "emb_centroid_assign": emb_centroid_assign,
@@ -550,6 +617,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_dim_stats": _EMB_DIM_STATS_SQL,
     "corpus_split": _CORPUS_SPLIT_SQL,
     "doc_chunk": _DOC_CHUNK_SQL,
     "emb_centroid_assign": _EMB_CENTROID_SQL,

@@ -648,7 +648,38 @@ GROUP BY l_returnflag
 """
 
 
+def q_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers who ordered in 1996 but not in 1997 — the EXCEPT (set
+    difference) surface. Spark's ``subtract`` is EXCEPT DISTINCT and
+    plans as distinct + left-anti hash join, so only (custkey) pairs
+    shuffle; the name lookup broadcasts the customer dim."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    active_96 = orders.filter(F.col("yr") == 1996).select("o_custkey")
+    active_97 = orders.filter(F.col("yr") == 1997).select("o_custkey")
+    lapsed = active_96.subtract(active_97)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return lapsed.join(
+        F.broadcast(cust), lapsed.o_custkey == cust.c_custkey
+    ).select("c_custkey", "c_name")
+
+
+_Q_LAPSED_SQL = """
+WITH lapsed AS (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+)
+SELECT c_custkey, c_name
+FROM lapsed JOIN customer ON o_custkey = c_custkey
+"""
+
+
 QUERIES = {
+    "q_lapsed_customers": q_lapsed_customers,
     "q4_order_priority": q4_order_priority,
     "q12_late_line_priority": q12_late_line_priority,
     "q_events_json_kv": q_events_json_kv,
@@ -666,6 +697,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_lapsed_customers": _Q_LAPSED_SQL,
     "q4_order_priority": _Q4_SQL,
     "q12_late_line_priority": _Q12_SQL,
     "q_events_json_kv": _Q_JSON_KV_SQL,

@@ -17,3 +17,13 @@ def test_analytics_matches_oracle(spark, ddb, name):
 def test_analytics_ext_matches_oracle(spark, ddb, name):
     df = analytics_ext.QUERIES[name](spark, SF_DIR)
     assert_matches_oracle(df, ddb, analytics_ext.ORACLES[name])
+
+
+def test_q_lapsed_customers(spark, ddb):
+    from blog_snapshotbackup_azuredatalake_spark.plans import analytics_ext
+
+    assert_matches_oracle(
+        analytics_ext.q_lapsed_customers(spark, SF_DIR),
+        ddb,
+        analytics_ext._Q_LAPSED_SQL,
+    )

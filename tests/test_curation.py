@@ -49,3 +49,19 @@ def test_centroid_assignment_partitions_corpus(spark):
     n_vecs = load_table(spark, SF_DIR, "embeddings").count()
     assert sum(r["n_members"] for r in stats) == n_vecs
     assert all(0 <= r["centroid_id"] < curation.N_CENTROIDS for r in stats)
+
+
+def test_emb_dim_stats_matches_oracle(spark, ddb):
+    assert_matches_oracle(
+        curation.emb_dim_stats(spark, SF_DIR),
+        ddb,
+        curation._EMB_DIM_STATS_SQL,
+    )
+
+
+def test_emb_dim_stats_sane(spark):
+    rows = curation.emb_dim_stats(spark, SF_DIR).collect()
+    assert len(rows) == curation.EMB_DIM_TOPK
+    assert all(r["variance"] > 0 for r in rows)
+    vs = [r["variance"] for r in rows]
+    assert vs == sorted(vs, reverse=True)

@@ -142,7 +142,57 @@ FROM moments LEFT JOIN anomalies USING (event_type)
 """
 
 
+def diag_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-audit of optimizer-visible plan properties on headline
+    queries — the checks a perf reviewer makes with .explain, as data:
+    did the filter reach the parquet scan, did the dims broadcast, did
+    any join degrade to a nested loop. The same assertions run as CI
+    plan guards (tests/test_plans.py); this entry makes them
+    driver-visible. Rows-only: plans are engine-specific by nature."""
+    import io
+    from contextlib import redirect_stdout
+
+    from blog_snapshotbackup_azuredatalake_spark.operators.snapshot import (
+        snap_incr_watermark,
+    )
+    from blog_snapshotbackup_azuredatalake_spark.plans.analytics import (
+        q3_shipping_priority,
+        q6_forecast_revenue,
+    )
+
+    def plan_of(df) -> str:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    checks = []
+    p6 = plan_of(q6_forecast_revenue(spark, sf_dir))
+    checks.append(
+        ("q6_forecast_revenue", "filter_pushed_to_scan",
+         "PushedFilters: [" in p6 and "GreaterThan" in p6)
+    )
+    p3 = plan_of(q3_shipping_priority(spark, sf_dir))
+    checks.append(
+        ("q3_shipping_priority", "dims_broadcast",
+         "BroadcastHashJoin" in p3)
+    )
+    checks.append(
+        ("q3_shipping_priority", "no_nested_loop_join",
+         "BroadcastNestedLoopJoin" not in p3)
+    )
+    pw = plan_of(snap_incr_watermark(spark, sf_dir))
+    checks.append(
+        ("snap_incr_watermark", "watermark_bound_pushed",
+         "GreaterThan(ts" in pw)
+    )
+    return spark.createDataFrame(
+        checks, "query string, plan_property string, ok boolean"
+    )
+
+
 QUERIES = {
+    "diag_plan_audit": diag_plan_audit,
     "diag_key_skew": diag_key_skew,
     "q_events_anomaly": q_events_anomaly,
 }

@@ -6,7 +6,7 @@ from blog_snapshotbackup_azuredatalake_spark.plans import diagnostics
 from tests.conftest import SF_DIR, assert_matches_oracle
 
 
-@pytest.mark.parametrize("name", sorted(diagnostics.QUERIES))
+@pytest.mark.parametrize("name", sorted(diagnostics.ORACLES))
 def test_diagnostics_matches_oracle(spark, ddb, name):
     df = diagnostics.QUERIES[name](spark, SF_DIR)
     assert_matches_oracle(df, ddb, diagnostics.ORACLES[name])
@@ -19,3 +19,11 @@ def test_anomaly_counts_are_sane(spark):
         # 3-sigma outliers must be rare and std non-negative
         assert 0 <= r["n_anomalies"] <= r["n_events"] * 0.05
         assert r["std_value"] >= 0
+
+
+def test_plan_audit_all_green(spark):
+    from blog_snapshotbackup_azuredatalake_spark.plans import diagnostics
+
+    rows = diagnostics.diag_plan_audit(spark, SF_DIR).collect()
+    assert len(rows) == 4
+    assert all(r["ok"] for r in rows), rows

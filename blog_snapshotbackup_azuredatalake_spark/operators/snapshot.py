@@ -660,8 +660,188 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# incremental-chain rebase (backup-chain compaction)
+# ---------------------------------------------------------------------------
+
+
+def _perturbed_orders_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second deterministic 'day' on top of ``_perturbed_orders``:
+    every 93rd key's totalprice changes again, every 83rd key (mod 1)
+    is deleted, and 30 new keys appear at +200M."""
+    v1 = _perturbed_orders(spark, sf_dir)
+    changed = v1.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 93 == 0, F.col("o_totalprice") + 25.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    kept = changed.filter(F.col("o_orderkey") % 83 != 1)
+    added = (
+        v1.filter(F.col("o_orderkey") % 103 == 11)
+        .orderBy("o_orderkey")
+        .limit(30)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(200_000_000))
+    )
+    return kept.unionByName(added)
+
+
+def _change_batch(prev: DataFrame, curr: DataFrame, version: int) -> DataFrame:
+    """Derive the (version, payload, is_delete) change batch between two
+    snapshot states — upserts are current rows whose (key, hash) is not
+    in the previous manifest, deletes are previous keys gone from the
+    current state (payload columns ride along but are ignored)."""
+    pm = prev.select("o_orderkey", _orders_hash_expr().alias("h"))
+    cm = curr.withColumn("h", _orders_hash_expr())
+    upserts = (
+        cm.join(pm, ["o_orderkey", "h"], "left_anti")
+        .drop("h")
+        .withColumn("is_delete", F.lit(False))
+    )
+    deletes = prev.join(
+        curr.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).withColumn("is_delete", F.lit(True))
+    return upserts.unionByName(deletes).withColumn(
+        "version", F.lit(version)
+    )
+
+
+def snap_chain_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backup-chain compaction: fold a full snapshot + k incremental
+    batches into ONE new full snapshot (the rebase that keeps restore
+    latency flat as the incremental chain grows — without it a restore
+    replays every batch since the last full copy).
+
+    Fold = union all batches (version-stamped) → latest operation per
+    key (one window) → base rows whose key was never touched survive
+    as-is, touched keys resurrect their latest upsert payload unless the
+    latest operation was a delete. Self-certifying: the output row
+    proves the rebased table's (count, xor-checksum) equals the directly
+    computed final state's. At 100 TB the fold shuffles only the change
+    batches (the base table joins by key against the *touched-key set*,
+    which broadcasts when days are quiet), never the full payload of the
+    base — the same manifest-weight profile as ``snap_apply_incremental``
+    but for an arbitrary-length chain."""
+    base = load_table(spark, sf_dir, "orders")
+    v1 = _perturbed_orders(spark, sf_dir)
+    v2 = _perturbed_orders_v2(spark, sf_dir)
+    batches = _change_batch(base, v1, 1).unionByName(
+        _change_batch(v1, v2, 2)
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    latest = (
+        batches.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    survivors = latest.filter(~F.col("is_delete")).select(base.columns)
+    rebased = base.join(
+        latest.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).unionByName(survivors)
+
+    def _summ(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(_hash60(_orders_hash_expr()).alias("h")).agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.expr("bit_xor(h)").alias(f"xor_{tag}"),
+        )
+
+    counts = (
+        batches.agg(
+            F.sum((~F.col("is_delete")).cast("bigint")).alias("n_upserts"),
+            F.sum(F.col("is_delete").cast("bigint")).alias("n_deletes"),
+            F.countDistinct("version").alias("n_batches"),
+        )
+        .crossJoin(_summ(rebased, "rebased"))
+        .crossJoin(_summ(v2, "target"))
+    )
+    return counts.select(
+        F.col("n_batches").cast("int").alias("n_batches"),
+        "n_upserts",
+        "n_deletes",
+        "n_rebased",
+        "n_target",
+        "xor_rebased",
+        "xor_target",
+        (
+            (F.col("n_rebased") == F.col("n_target"))
+            & (F.col("xor_rebased") == F.col("xor_target"))
+        ).alias("state_match"),
+    )
+
+
+_SNAP_CHAIN_REBASE_SQL = f"""
+WITH v1 AS ({_PERTURBED_SQL}),
+v2 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 93 = 0 THEN o_totalprice + 25.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM v1 WHERE o_orderkey % 83 <> 1
+  UNION ALL
+  SELECT o_orderkey + 200000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM (SELECT * FROM v1 WHERE o_orderkey % 103 = 11
+        ORDER BY o_orderkey LIMIT 30)
+),
+pm0 AS (SELECT o_orderkey, {_ORDERS_HASH_SQL} AS h FROM orders),
+cm1 AS (SELECT *, {_ORDERS_HASH_SQL} AS h FROM v1),
+pm1 AS (SELECT o_orderkey, h FROM cm1),
+cm2 AS (SELECT *, {_ORDERS_HASH_SQL} AS h FROM v2),
+b1 AS (
+  SELECT 1 AS version, o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority, FALSE AS is_delete
+  FROM cm1 WHERE NOT EXISTS (SELECT 1 FROM pm0
+                             WHERE pm0.o_orderkey = cm1.o_orderkey
+                               AND pm0.h = cm1.h)
+  UNION ALL
+  SELECT 1, o.*, TRUE FROM orders o
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v1)
+),
+b2 AS (
+  SELECT 2 AS version, o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority, FALSE AS is_delete
+  FROM cm2 WHERE NOT EXISTS (SELECT 1 FROM pm1
+                             WHERE pm1.o_orderkey = cm2.o_orderkey
+                               AND pm1.h = cm2.h)
+  UNION ALL
+  SELECT 2, v1.*, TRUE FROM v1
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v2)
+),
+batches AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+latest AS (
+  SELECT * FROM batches
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                             ORDER BY version DESC) = 1
+),
+rebased AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority
+  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority
+  FROM latest WHERE NOT is_delete
+),
+bs AS (SELECT SUM(CASE WHEN is_delete THEN 0 ELSE 1 END) AS n_upserts,
+              SUM(CASE WHEN is_delete THEN 1 ELSE 0 END) AS n_deletes,
+              COUNT(DISTINCT version) AS n_batches
+       FROM batches),
+rs AS (SELECT COUNT(*) AS n_rebased,
+              BIT_XOR({_hash60_sql(_ORDERS_HASH_SQL)}) AS xor_rebased
+       FROM rebased),
+ts AS (SELECT COUNT(*) AS n_target,
+              BIT_XOR({_hash60_sql(_ORDERS_HASH_SQL)}) AS xor_target
+       FROM v2)
+SELECT CAST(n_batches AS INT) AS n_batches, n_upserts, n_deletes,
+       n_rebased, n_target, xor_rebased, xor_target,
+       (n_rebased = n_target AND xor_rebased = xor_target) AS state_match
+FROM bs, rs, ts
+"""
+
+
 QUERIES = {
     "snap_row_manifest": snap_row_manifest,
+    "snap_chain_rebase": snap_chain_rebase,
     "snap_apply_incremental": snap_apply_incremental,
     "snap_verify_sampled": snap_verify_sampled,
     "snap_table_checksum": snap_table_checksum,
@@ -676,6 +856,7 @@ QUERIES = {
 
 ORACLES = {
     "snap_row_manifest": _SNAP_ROW_MANIFEST_SQL,
+    "snap_chain_rebase": _SNAP_CHAIN_REBASE_SQL,
     "snap_apply_incremental": _SNAP_APPLY_INCR_SQL,
     "snap_verify_sampled": _SNAP_VERIFY_SAMPLED_SQL,
     "snap_table_checksum": _SNAP_TABLE_CHECKSUM_SQL,

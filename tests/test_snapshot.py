@@ -40,3 +40,12 @@ def test_apply_incremental_reaches_target_state(spark):
     assert row["state_match"] is True
     assert row["n_upserts"] > 0 and row["n_deletes"] > 0
     assert row["n_merged"] == row["n_target"]
+
+
+def test_chain_rebase_reaches_final_state(spark):
+    row = snapshot.snap_chain_rebase(spark, SF_DIR).collect()[0]
+    # folding the 2-batch chain must provably reproduce the direct v2
+    # state, with non-trivial work in both batches and both directions
+    assert row["state_match"] is True
+    assert row["n_batches"] == 2
+    assert row["n_upserts"] > 0 and row["n_deletes"] > 0

@@ -678,7 +678,101 @@ FROM lapsed JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (first-order Markov estimate): for
+    every (prev_type → next_type) pair, transition count, distinct users
+    making it, and the row-normalized probability. One shuffle by
+    user_id for the lag window (per-user partitions are bounded at any
+    SF), then an aggregate whose output is |types|² rows — the final
+    window normalization runs over that tiny result, not the events.
+    Probability = double division of two exact BIGINTs (portable)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000").cast("bigint").alias("ts_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    trans = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_trans"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    wrow = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        "n_users",
+        (
+            F.col("n_trans").cast("double")
+            / F.sum("n_trans").over(wrow).cast("double")
+        ).alias("p_next"),
+    )
+
+
+_Q_MARKOV_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us, event_id
+  FROM events
+), seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) AS prev_type
+  FROM ev
+), t AS (
+  SELECT prev_type, event_type AS next_type,
+         COUNT(*) AS n_trans, COUNT(DISTINCT user_id) AS n_users
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n_trans, n_users,
+       CAST(n_trans AS DOUBLE)
+         / CAST(SUM(n_trans) OVER (PARTITION BY prev_type) AS DOUBLE)
+         AS p_next
+FROM t
+"""
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts and exact revenue across ALL 4 grouping sets of
+    (orderpriority, order year) via CUBE — one Expand pass and one
+    shuffle produce the full cross-dimensional summary a backup-audit
+    dashboard reads (per-priority, per-year, per-cell, grand total).
+    grouping_id disambiguates subtotal NULLs from data NULLs."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    return orders.cube("o_orderpriority", "o_year").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("price"), 2).cast("double").alias("revenue"),
+    )
+
+
+_Q_CUBE_SQL = """
+SELECT o_orderpriority, o_year,
+       CAST(GROUPING(o_orderpriority, o_year) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(price), 2) AS DOUBLE) AS revenue
+FROM (SELECT o_orderpriority,
+             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      FROM orders)
+GROUP BY CUBE(o_orderpriority, o_year)
+"""
+
+
 QUERIES = {
+    "q_events_markov": q_events_markov,
+    "q_cube_orders": q_cube_orders,
     "q_lapsed_customers": q_lapsed_customers,
     "q4_order_priority": q4_order_priority,
     "q12_late_line_priority": q12_late_line_priority,
@@ -697,6 +791,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_events_markov": _Q_MARKOV_SQL,
+    "q_cube_orders": _Q_CUBE_SQL,
     "q_lapsed_customers": _Q_LAPSED_SQL,
     "q4_order_priority": _Q4_SQL,
     "q12_late_line_priority": _Q12_SQL,

@@ -699,7 +699,130 @@ WHERE a.vec_id < b.vec_id AND {_SQL_COS} >= {EMB_COS_THRESHOLD}
 """
 
 
+# ---------------------------------------------------------------------------
+# exact repeated-substring (span) detection
+# ---------------------------------------------------------------------------
+
+SPAN_K = 8  # span length in tokens (Lee et al. use 50 BPE tokens; the
+# 31-word driver vocabulary needs a shorter window to discriminate)
+
+
+def _span_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, text) → (doc_id, source, g: array<bigint>) —
+    POSITIONAL (non-distinct) rolling {SPAN_K}-token-gram hashes, one
+    per span start, so span *coverage* can be measured. Same two-step
+    projection as ``grams_for`` (token-hash array bound before the gram
+    lambda — the HOF-inlining trap in SURVEY §6)."""
+    toks = F.transform(
+        F.split(F.col("text"), " "), lambda t: _hash60(t) % P31
+    )
+    th = F.col("th")
+
+    def gram(i: Column) -> Column:
+        acc = F.element_at(th, i)
+        for off in range(1, SPAN_K):
+            acc = (acc * K_POLY + F.element_at(th, i + off)) % P31
+        return acc
+
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(th) - (SPAN_K - 1)), gram
+    )
+    g = F.when(F.size(th) >= SPAN_K, grams).otherwise(
+        F.expr("CAST(array() AS array<bigint>)")
+    )
+    return docs.select("doc_id", "source", toks.alias("th")).select(
+        "doc_id", "source", g.alias("g")
+    )
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication audit (the span-level companion to
+    document-level dedup, after Lee et al. 2022): a {SPAN_K}-token span
+    is *repeated* if it occurs in ≥ 2 distinct documents; per source,
+    report span totals, repeated-span coverage, and how many documents
+    are majority-duplicated (≥ half their spans repeated — the docs a
+    span-level dedup pass would rewrite).
+
+    Scale shape: cost is Σ tokens. The span stream shuffles once to
+    build the (gram → doc-count) index with map-side partial distinct,
+    and once more to join the repeated-gram set back — both keyed on a
+    31-bit hash, uniformly distributed by construction, so no skew.
+    The majority test is integer (2·n_rep ≥ n_spans): no doubles
+    anywhere near the group boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = (
+        _span_grams(docs)
+        .select("doc_id", "source", F.explode_outer("g").alias("gram"))
+        .filter(F.col("gram").isNotNull())
+    )
+    gram_docs = (
+        ex.select("gram", "doc_id")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs_g"))
+    )
+    rep = gram_docs.filter(F.col("n_docs_g") >= 2).select("gram")
+    tot = ex.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_spans")
+    )
+    repc = ex.join(rep, "gram").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_rep")
+    )
+    per_doc = tot.join(repc, "doc_id", "left").withColumn(
+        "n_rep", F.coalesce(F.col("n_rep"), F.lit(0)).cast("bigint")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_spans").alias("n_spans"),
+        F.sum("n_rep").alias("n_rep_spans"),
+        (
+            F.sum("n_rep").cast("double")
+            / F.sum("n_spans").cast("double")
+        ).alias("dup_span_share"),
+        F.sum(
+            (F.col("n_rep") * 2 >= F.col("n_spans")).cast("bigint")
+        ).alias("n_docs_majority_dup"),
+    )
+
+
+def _span_gram_sql() -> str:
+    acc = "th[i]"
+    for off in range(1, SPAN_K):
+        acc = f"(({acc}) * {K_POLY} + th[i+{off}]) % {P31}"
+    return (
+        f"list_transform(range(1, greatest(len(th) - {SPAN_K - 2}, 1)),"
+        f" i -> {acc})"
+    )
+
+
+_DEDUP_SUBSTRING_SQL = f"""
+WITH th_t AS (SELECT doc_id, source, {_SQL_TOKH} AS th FROM documents),
+g_t AS (SELECT doc_id, source, {_span_gram_sql()} AS g FROM th_t),
+ex AS (SELECT doc_id, source, UNNEST(g) AS gram FROM g_t),
+rep AS (SELECT gram
+        FROM (SELECT gram, COUNT(DISTINCT doc_id) AS n
+              FROM ex GROUP BY gram)
+        WHERE n >= 2),
+tot AS (SELECT doc_id, source, COUNT(*) AS n_spans
+        FROM ex GROUP BY doc_id, source),
+repc AS (SELECT doc_id, COUNT(*) AS n_rep
+         FROM ex JOIN rep USING (gram) GROUP BY doc_id),
+per_doc AS (SELECT t.doc_id, t.source, t.n_spans,
+                   COALESCE(r.n_rep, 0) AS n_rep
+            FROM tot t LEFT JOIN repc r USING (doc_id))
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+       CAST(SUM(n_rep) AS BIGINT) AS n_rep_spans,
+       CAST(SUM(n_rep) AS DOUBLE) / CAST(SUM(n_spans) AS DOUBLE)
+         AS dup_span_share,
+       CAST(SUM(CASE WHEN n_rep * 2 >= n_spans THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs_majority_dup
+FROM per_doc GROUP BY source
+"""
+
+
 QUERIES = {
+    "dedup_substring": dedup_substring,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash": dedup_minhash,
@@ -709,6 +832,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_substring": _DEDUP_SUBSTRING_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
     "dedup_minhash": _minhash_sql(),

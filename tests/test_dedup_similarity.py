@@ -88,3 +88,15 @@ def test_ivf_trained_recall_and_shape(spark):
         per_q.setdefault(r["q_id"], []).append(r["rnk"])
     for q, rnks in per_q.items():
         assert sorted(rnks) == list(range(1, len(rnks) + 1)), (q, rnks)
+
+
+def test_substring_spans_detect_planted_dups(spark):
+    from tests.conftest import SF_DIR
+
+    rows = dedup.dedup_substring(spark, SF_DIR).collect()
+    # the corpus plants near-duplicate docs, so repeated spans must
+    # exist somewhere, and coverage is a valid share everywhere
+    assert sum(r["n_rep_spans"] for r in rows) > 0
+    for r in rows:
+        assert 0.0 <= r["dup_span_share"] <= 1.0
+        assert r["n_rep_spans"] <= r["n_spans"]

@@ -605,7 +605,63 @@ QUALIFY rank <= {EMB_DIM_TOPK}
 """
 
 
+QUOTA_N = 16  # max docs kept per source
+
+
+def corpus_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping: keep at most {QUOTA_N} documents per
+    source, priority = (md5(doc_id), doc_id) — a deterministic uniform
+    "random" order, so reruns and appends keep the SAME winners (new
+    docs displace losers only if their hash sorts earlier; no rand()).
+    Output certifies the kept set per source: counts plus an
+    order-insensitive xor checksum of the kept doc hashes.
+
+    Scale: one shuffle on source for the rank window. A 100 TB source
+    would dominate its partition, so the escalation (same trick as
+    ``doc_pack``'s sharded windows) is a two-phase cap: per-(source,
+    shard) top-{QUOTA_N} first — bounded partitions — then the global
+    top-{QUOTA_N} of the ≤ {QUOTA_N}·shards survivors."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        _hash60(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    ranked = docs.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("rk") <= QUOTA_N).cast("bigint")).alias("n_kept"),
+        F.sum((F.col("rk") > QUOTA_N).cast("bigint")).alias("n_dropped"),
+        F.expr(f"bit_xor(CASE WHEN rk <= {QUOTA_N} THEN h END)").alias(
+            "xor_kept"
+        ),
+    )
+
+
+_QUOTA_CAP_SQL = f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         {_H60.format(x="CAST(doc_id AS VARCHAR)")} AS h,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {_H60.format(x="CAST(doc_id AS VARCHAR)")}, doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rk <= {QUOTA_N} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN rk > {QUOTA_N} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       BIT_XOR(CASE WHEN rk <= {QUOTA_N} THEN h END) AS xor_kept
+FROM ranked GROUP BY source
+"""
+
+
 QUERIES = {
+    "corpus_quota_cap": corpus_quota_cap,
     "emb_dim_stats": emb_dim_stats,
     "corpus_split": corpus_split,
     "doc_chunk": doc_chunk,
@@ -617,6 +673,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_quota_cap": _QUOTA_CAP_SQL,
     "emb_dim_stats": _EMB_DIM_STATS_SQL,
     "corpus_split": _CORPUS_SPLIT_SQL,
     "doc_chunk": _DOC_CHUNK_SQL,

@@ -494,13 +494,148 @@ FROM est JOIN ranked r ON r.rn = est.tgt
 """
 
 
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) set-operation sketch
+# ---------------------------------------------------------------------------
+
+KMV_K = 64  # sketch size; relative error ~ 1/sqrt(K-2) ≈ 13 %
+KMV_SPACE = float(1 << 60)  # md5_int60 hash space
+
+
+def _kmv_sketch(df: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Distinct md5-hash values, k smallest — ORDER BY h LIMIT k runs
+    as TakeOrdered (per-partition top-k, then top-k of the k·P
+    candidates), so the sketch of 100 TB never sorts globally."""
+    return df.orderBy("h").limit(k)
+
+
+def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation cardinality from KMV sketches (Beyer et al.):
+    estimate |A|, |B|, and |A∩B| for A = users who clicked, B = users
+    who purchased, from two {KMV_K}-minimum-value sketches — the
+    audience-overlap / cross-snapshot-drift question answered by
+    exchanging ~1 KB per side instead of re-shuffling user sets.
+
+    Estimators: |S| ≈ (k−1)·H/h_k when the sketch is full (else the
+    sketch IS the set and the count is exact); the union sketch is the
+    k smallest of the merged sketches; |A∩B| ≈ (matches in union
+    sketch / |union sketch|) · |A∪B|-estimate. Everything up to the
+    final division is exact integer arithmetic on md5 hashes, so both
+    engines land on identical doubles. Exact counts ride along as the
+    oracle's certificate (the test asserts ≤ 35 % relative error)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def side(t: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == t)
+            .select(
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("user_id").cast("string")), 1, 15
+                    ),
+                    16,
+                    10,
+                )
+                .cast("bigint")
+                .alias("h")
+            )
+            .distinct()
+        )
+
+    a, b = side("click"), side("purchase")
+    ka, kb = _kmv_sketch(a), _kmv_sketch(b)
+    ku = _kmv_sketch(ka.unionByName(kb).distinct())
+
+    def est(sk: DataFrame, tag: str) -> DataFrame:
+        return sk.agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.max("h").alias(f"hk_{tag}"),
+        ).select(
+            F.col(f"n_{tag}"),
+            F.when(
+                F.col(f"n_{tag}") < KMV_K,
+                F.col(f"n_{tag}").cast("double"),
+            )
+            .otherwise(
+                F.lit(float(KMV_K - 1))
+                * F.lit(KMV_SPACE)
+                / F.col(f"hk_{tag}").cast("double")
+            )
+            .alias(f"est_{tag}"),
+        )
+
+    inter_matches = ku.join(ka, "h").join(kb, "h").agg(
+        F.count(F.lit(1)).alias("n_match")
+    )
+    exact = (
+        a.agg(F.count(F.lit(1)).alias("exact_a"))
+        .crossJoin(b.agg(F.count(F.lit(1)).alias("exact_b")))
+        .crossJoin(a.join(b, "h").agg(F.count(F.lit(1)).alias("exact_inter")))
+    )
+    return (
+        est(ka, "a")
+        .crossJoin(est(kb, "b"))
+        .crossJoin(est(ku, "u"))
+        .crossJoin(inter_matches)
+        .crossJoin(exact)
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_inter",
+            "est_a",
+            "est_b",
+            (
+                F.col("n_match").cast("double")
+                / F.col("n_u").cast("double")
+                * F.col("est_u")
+            ).alias("est_inter"),
+            F.col("n_match"),
+        )
+    )
+
+
+def _kmv_sql() -> str:
+    h = "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    return f"""
+WITH a AS (SELECT DISTINCT {h} AS h FROM events WHERE event_type = 'click'),
+b AS (SELECT DISTINCT {h} AS h FROM events WHERE event_type = 'purchase'),
+ka AS (SELECT h FROM a ORDER BY h LIMIT {KMV_K}),
+kb AS (SELECT h FROM b ORDER BY h LIMIT {KMV_K}),
+ku AS (SELECT h FROM (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb))
+       ORDER BY h LIMIT {KMV_K}),
+ea AS (SELECT COUNT(*) AS n_a, MAX(h) AS hk_a FROM ka),
+eb AS (SELECT COUNT(*) AS n_b, MAX(h) AS hk_b FROM kb),
+eu AS (SELECT COUNT(*) AS n_u, MAX(h) AS hk_u FROM ku),
+m AS (SELECT COUNT(*) AS n_match
+      FROM ku JOIN ka USING (h) JOIN kb USING (h)),
+ex AS (SELECT (SELECT COUNT(*) FROM a) AS exact_a,
+              (SELECT COUNT(*) FROM b) AS exact_b,
+              (SELECT COUNT(*) FROM a JOIN b USING (h)) AS exact_inter)
+SELECT exact_a, exact_b, exact_inter,
+       CASE WHEN n_a < {KMV_K} THEN CAST(n_a AS DOUBLE)
+            ELSE {float(KMV_K - 1)!r} * {KMV_SPACE!r} / CAST(hk_a AS DOUBLE)
+       END AS est_a,
+       CASE WHEN n_b < {KMV_K} THEN CAST(n_b AS DOUBLE)
+            ELSE {float(KMV_K - 1)!r} * {KMV_SPACE!r} / CAST(hk_b AS DOUBLE)
+       END AS est_b,
+       CAST(n_match AS DOUBLE) / CAST(n_u AS DOUBLE)
+         * (CASE WHEN n_u < {KMV_K} THEN CAST(n_u AS DOUBLE)
+                 ELSE {float(KMV_K - 1)!r} * {KMV_SPACE!r} / CAST(hk_u AS DOUBLE)
+            END) AS est_inter,
+       n_match
+FROM ea, eb, eu, m, ex
+"""
+
+
 QUERIES = {
+    "sketch_kmv_intersection": sketch_kmv_intersection,
     "sketch_hll_distinct": sketch_hll_distinct,
     "sketch_hll_grouped": sketch_hll_grouped,
     "sketch_cms_topk": sketch_cms_topk,
     "sketch_hist_quantile": sketch_hist_quantile,
 }
 ORACLES = {
+    "sketch_kmv_intersection": _kmv_sql(),
     "sketch_hll_distinct": _HLL_SQL,
     "sketch_hll_grouped": _hll_grouped_sql(),
     "sketch_cms_topk": _cms_sql(),

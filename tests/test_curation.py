@@ -65,3 +65,16 @@ def test_emb_dim_stats_sane(spark):
     assert all(r["variance"] > 0 for r in rows)
     vs = [r["variance"] for r in rows]
     assert vs == sorted(vs, reverse=True)
+
+
+def test_quota_cap_caps_every_source(spark):
+    from blog_snapshotbackup_azuredatalake_spark.operators.curation import (
+        QUOTA_N,
+        corpus_quota_cap,
+    )
+    from tests.conftest import SF_DIR
+
+    for r in corpus_quota_cap(spark, SF_DIR).collect():
+        assert r["n_kept"] <= QUOTA_N
+        assert r["n_kept"] + r["n_dropped"] == r["n_docs"]
+        assert r["n_kept"] == min(r["n_docs"], QUOTA_N)

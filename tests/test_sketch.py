@@ -62,3 +62,13 @@ def test_hll_grouped_accuracy_and_coverage(spark, ddb):
     for r in rows:
         rel_err = abs(r["n_hll"] - r["n_exact"]) / r["n_exact"]
         assert rel_err < 0.20, (r["event_type"], r["n_exact"], r["n_hll"])
+
+
+def test_kmv_estimates_within_bound(spark):
+    from tests.conftest import SF_DIR
+
+    row = sketch.sketch_kmv_intersection(spark, SF_DIR).collect()[0]
+    for tag in ("a", "b", "inter"):
+        exact, est = row[f"exact_{tag}"], row[f"est_{tag}"]
+        assert est > 0
+        assert abs(est - exact) <= max(0.35 * exact, 2.0)

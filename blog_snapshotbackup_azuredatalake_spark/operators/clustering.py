@@ -141,5 +141,110 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"emb_kmeans": emb_kmeans}
-ORACLES: dict[str, str] = {}  # rows-only: iterative algorithm
+PCA_ITER = 8
+
+
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus via MATRIX-FREE
+    power iteration — the dead/dominant-direction audit behind
+    whitening and anisotropy checks on LLM embedding spaces.
+
+    Never materializes the d×d covariance: each iteration computes
+    y = C·v as one corpus pass — per-row projection s = xᵀv against the
+    bound literal v (map-only, same trick as ``_assign``), then a
+    posexplode reduce to d cells of Σ x·s. Driver work is O(d) per
+    iteration; corpus work is one scan — so 8 iterations over 100 TB
+    are 8 scans with d-cell shuffles, no vector ever re-shuffled.
+    Decimal-exact sums make the result independent of partition layout
+    (rows-only check: an 8-step iterative loop is not one SQL stmt).
+
+    Output: the top-8 loading dims of v₁, with eigenvalue and explained
+    variance share."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    dims = emb.select(F.posexplode_outer("embedding").alias("dim", "val"))
+    dec = lambda c: c.cast("decimal(28,10)")  # noqa: E731
+    mu_rows = (
+        dims.groupBy("dim")
+        .agg((F.sum(dec(F.col("val"))) / F.lit(n)).cast("double").alias("m"))
+        .collect()
+    )
+    d = len(mu_rows)
+    mu = [0.0] * d
+    for r in mu_rows:
+        mu[r["dim"]] = r["m"]
+    ssq = dims.agg(
+        F.sum(dec(F.col("val")) * dec(F.col("val")))
+        .cast("double")
+        .alias("ss")
+    ).collect()[0]["ss"]
+    total_var = ssq / n - sum(m * m for m in mu)
+
+    v = [1.0 / d**0.5] * d
+    lam = 0.0
+    for _ in range(PCA_ITER):
+        vlit = F.array(*[F.lit(float(x)) for x in v])
+        mu_dot_v = sum(mi * vi for mi, vi in zip(mu, v))
+        # bind the projection as a real column first (HOF-inlining trap)
+        proj = emb.select(
+            "embedding",
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        vlit,
+                        lambda x, y: x.cast("double") * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                - F.lit(float(mu_dot_v))
+            ).alias("s"),
+        )
+        cells = (
+            proj.select(
+                F.posexplode_outer("embedding").alias("dim", "val"), "s"
+            )
+            .groupBy("dim")
+            .agg(
+                F.sum(dec(F.col("val")) * dec(F.col("s")))
+                .cast("double")
+                .alias("xs")
+            )
+        )
+        sum_s = proj.agg(
+            F.sum(dec(F.col("s"))).cast("double").alias("ss")
+        ).collect()[0]["ss"]
+        y = [0.0] * d
+        for r in cells.collect():
+            y[r["dim"]] = r["xs"]
+        y = [
+            (yi - mui * sum_s) / n for yi, mui in zip(y, mu)
+        ]  # y = C·v, centered
+        lam = sum(vi * yi for vi, yi in zip(v, y))
+        norm = sum(yi * yi for yi in y) ** 0.5
+        v = [yi / norm for yi in y]
+
+    top = sorted(range(d), key=lambda i: (-abs(v[i]), i))[:8]
+    rows = [
+        (
+            rank + 1,
+            dim,
+            float(v[dim]),
+            float(lam),
+            float(lam / total_var),
+            PCA_ITER,
+        )
+        for rank, dim in enumerate(top)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rank int, dim int, loading double, eigenvalue double,"
+        " var_explained double, n_iter int",
+    )
+
+
+QUERIES = {"emb_kmeans": emb_kmeans, "emb_pca_power": emb_pca_power}
+ORACLES: dict[str, str] = {}  # rows-only: iterative algorithms

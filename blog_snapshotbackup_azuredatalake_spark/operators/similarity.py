@@ -409,7 +409,75 @@ def ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_GRAPH_K = 3
+KNN_GRAPH_DIMS = 6  # 64 sign buckets
+
+
+def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus k-NN GRAPH construction (every vector's top-{KNN_GRAPH_K}
+    in-corpus neighbors) — the substrate for graph-based curation:
+    near-dup clustering seeds, label propagation, diversity sampling.
+
+    Unlike the query-set ANN ops, BOTH sides are the whole corpus, so
+    blocking is what makes it feasible: a {2**KNN_GRAPH_DIMS}-bucket
+    sign-pattern LSH self-join bounds candidate cost to Σ bucket² —
+    linear-ish in corpus size under uniform hashing — and a per-vector
+    rank window keeps only the top-{KNN_GRAPH_K} edges. Recall follows
+    the LSH trade (same-bucket neighbors only); the escalation is
+    multi-probe or IVF blocking, both shipped for the query-set case.
+    Deterministic: ties broken by neighbor id; cosine is the codegen
+    double fold, bit-identical to the oracle's list_reduce."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        _sign_bucket(F.col("embedding"), KNN_GRAPH_DIMS).alias("bucket"),
+    )
+    pairs = (
+        emb.alias("x")
+        .join(emb.alias("y"), "bucket")
+        .filter(F.col("x.vec_id") != F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("src"),
+            F.col("y.vec_id").alias("dst"),
+            _dot_cos(F.col("x.embedding"), F.col("y.embedding")).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_GRAPH_K)
+        .select("src", "rank", "dst", "cos")
+    )
+
+
+_SQL_BUCKET_K = (
+    "list_aggregate(list_transform(embedding[1:"
+    + str(KNN_GRAPH_DIMS)
+    + "], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '')"
+)
+
+_ANN_KNN_GRAPH_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding, {_SQL_BUCKET_K} AS bucket FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, {_SQL_COS} AS cos
+  FROM emb a JOIN emb b USING (bucket)
+  WHERE a.vec_id <> b.vec_id
+)
+SELECT src, CAST(rank AS INT) AS rank, dst, cos
+FROM (SELECT src, dst, cos,
+             ROW_NUMBER() OVER (PARTITION BY src
+                                ORDER BY cos DESC, dst) AS rank
+      FROM pairs)
+WHERE rank <= {KNN_GRAPH_K}
+"""
+
+
 QUERIES = {
+    "ann_knn_graph": ann_knn_graph,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
@@ -418,6 +486,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_knn_graph": _ANN_KNN_GRAPH_SQL,
     "ann_topk_bruteforce": _ANN_BRUTE_SQL,
     "ann_topk_lsh": _ANN_LSH_SQL,
     "ann_topk_ivf": _ANN_IVF_SQL,

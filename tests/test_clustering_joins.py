@@ -38,3 +38,39 @@ def test_stream_interval_join_matches_batch_range_join(spark):
     batch = scale.q_range_join(spark, SF_DIR).collect()
     for r in batch:
         assert stream_counts.get(r["event_id"], 0) == r["n_recent_clicks"]
+
+
+def test_pca_power_shape_and_determinism(spark):
+    from blog_snapshotbackup_azuredatalake_spark.operators.clustering import (
+        emb_pca_power,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = emb_pca_power(spark, SF_DIR).collect()
+    assert len(rows) == 8
+    assert rows[0]["eigenvalue"] > 0
+    assert 0.0 < rows[0]["var_explained"] <= 1.0
+    # unit-vector loadings: top-8 |loading| ≤ 1, ranked descending
+    mags = [abs(r["loading"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    assert all(m <= 1.0 for m in mags)
+    assert mags == sorted(mags, reverse=True)
+    assert rows == emb_pca_power(spark, SF_DIR).collect()
+
+
+def test_knn_graph_edges_are_topk(spark):
+    from blog_snapshotbackup_azuredatalake_spark.operators.similarity import (
+        KNN_GRAPH_K,
+        ann_knn_graph,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = ann_knn_graph(spark, SF_DIR).collect()
+    per_src = {}
+    for r in rows:
+        assert r["src"] != r["dst"]
+        assert -1.0001 <= r["cos"] <= 1.0001
+        per_src.setdefault(r["src"], []).append(r)
+    for src, edges in per_src.items():
+        assert len(edges) <= KNN_GRAPH_K
+        ranks = sorted(e["rank"] for e in edges)
+        assert ranks == list(range(1, len(edges) + 1))

@@ -839,8 +839,159 @@ FROM bs, rs, ts
 """
 
 
+# ---------------------------------------------------------------------------
+# Merkle-tree verify
+# ---------------------------------------------------------------------------
+
+MERKLE_LEAVES = 64  # 2^6 leaf buckets → 7-level tree, 127 nodes per side
+
+
+def _merkle_levels(df: DataFrame) -> DataFrame:
+    """(key, h) → full Merkle tree as rows (level, idx, n_rows, digest).
+    Leaves are key-hash buckets (count + order-insensitive xor folded
+    into an md5 digest); each parent digests its two children. The leaf
+    build is ONE partial-aggregable groupBy over the manifest; the six
+    fold levels run over ≤ 64 rows — free at any SF."""
+    depth = MERKLE_LEAVES.bit_length() - 1  # 6
+    leaf = (
+        df.groupBy((F.col("hk") % MERKLE_LEAVES).alias("idx"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h60)").alias("xorh"),
+        )
+        .select(
+            F.lit(depth).alias("level"),
+            F.col("idx").cast("bigint").alias("idx"),
+            "n_rows",
+            F.md5(
+                F.concat_ws(":", F.col("n_rows"), F.col("xorh"))
+            ).alias("digest"),
+        )
+    )
+    levels = [leaf]
+    cur = leaf
+    for lvl in range(depth - 1, -1, -1):
+        child = lambda par: F.max(  # noqa: E731
+            F.when(F.col("idx") % 2 == par, F.col("digest"))
+        )
+        cur = (
+            cur.groupBy((F.col("idx") / 2).cast("bigint").alias("idx"))
+            .agg(
+                F.sum("n_rows").alias("n_rows"),
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.coalesce(child(0), F.lit("")),
+                        F.coalesce(child(1), F.lit("")),
+                    )
+                ).alias("digest"),
+            )
+            .select(F.lit(lvl).alias("level"), "idx", "n_rows", "digest")
+        )
+        levels.append(cur)
+    out = levels[0]
+    for frame in levels[1:]:
+        out = out.unionByName(frame)
+    return out
+
+
+def snap_verify_merkle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-tree verify between source and backup: compare the two
+    trees node-by-node so corruption is LOCATED in log time — root
+    mismatch ⇒ follow the mismatching child down {MERKLE_LEAVES.bit_length() - 1}
+    levels to the exact leaf bucket(s), instead of re-diffing the whole
+    table. In the exchange-with-a-remote-site deployment only the root
+    (32 bytes) moves when clean, and one path of digests when not —
+    the reference's verify contract at courier cost.
+
+    Output is the joined tree: every (level, idx) with both digests and
+    a match flag (full outer join keeps one-sided nodes visible)."""
+
+    def tree(df: DataFrame) -> DataFrame:
+        keyed = df.select(
+            _hash60(F.md5(F.col("o_orderkey").cast("string"))).alias("hk"),
+            _hash60(_orders_hash_expr()).alias("h60"),
+        )
+        return _merkle_levels(keyed)
+
+    src = tree(load_table(spark, sf_dir, "orders"))
+    bkp = tree(_perturbed_orders(spark, sf_dir))
+    j = src.select(
+        "level",
+        "idx",
+        F.col("n_rows").alias("n_src"),
+        F.col("digest").alias("digest_src"),
+    ).join(
+        bkp.select(
+            "level",
+            "idx",
+            F.col("n_rows").alias("n_bkp"),
+            F.col("digest").alias("digest_bkp"),
+        ),
+        ["level", "idx"],
+        "full_outer",
+    )
+    return j.select(
+        F.col("level").cast("int").alias("level"),
+        "idx",
+        "n_src",
+        "n_bkp",
+        "digest_src",
+        "digest_bkp",
+        (
+            F.col("digest_src").isNotNull()
+            & F.col("digest_bkp").isNotNull()
+            & (F.col("digest_src") == F.col("digest_bkp"))
+        ).alias("match"),
+    )
+
+
+def _merkle_sql(src_expr: str, hash_expr: str, tag: str) -> str:
+    """CTE chain building one side's Merkle tree (mirrors _merkle_levels)."""
+    depth = MERKLE_LEAVES.bit_length() - 1
+    h60 = _hash60_sql(hash_expr)
+    hk = _hash60_sql("md5(CAST(o_orderkey AS VARCHAR))")
+    ctes = [
+        f"""{tag}_l{depth} AS (
+  SELECT {depth} AS level, CAST({hk} % {MERKLE_LEAVES} AS BIGINT) AS idx,
+         COUNT(*) AS n_rows,
+         md5(concat_ws(':', COUNT(*), BIT_XOR({h60}))) AS digest
+  FROM {src_expr} GROUP BY idx)"""
+    ]
+    for lvl in range(depth - 1, -1, -1):
+        ctes.append(
+            f"""{tag}_l{lvl} AS (
+  SELECT {lvl} AS level, CAST(idx // 2 AS BIGINT) AS idx,
+         SUM(n_rows) AS n_rows,
+         md5(concat_ws(':',
+           COALESCE(MAX(CASE WHEN idx % 2 = 0 THEN digest END), ''),
+           COALESCE(MAX(CASE WHEN idx % 2 = 1 THEN digest END), '')))
+           AS digest
+  FROM {tag}_l{lvl + 1} GROUP BY CAST(idx // 2 AS BIGINT))"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM {tag}_l{lvl}" for lvl in range(depth + 1)
+    )
+    ctes.append(f"{tag}_tree AS ({union})")
+    return ",\n".join(ctes)
+
+
+_SNAP_MERKLE_SQL = f"""
+WITH b_rows AS ({_PERTURBED_SQL}),
+{_merkle_sql("orders", _ORDERS_HASH_SQL, "s")},
+{_merkle_sql("b_rows", _ORDERS_HASH_SQL, "b")}
+SELECT CAST(level AS INT) AS level, idx,
+       s.n_rows AS n_src, b.n_rows AS n_bkp,
+       s.digest AS digest_src, b.digest AS digest_bkp,
+       (s.digest IS NOT NULL AND b.digest IS NOT NULL
+        AND s.digest = b.digest) AS match
+FROM s_tree s FULL OUTER JOIN b_tree b USING (level, idx)
+"""
+
+
 QUERIES = {
     "snap_row_manifest": snap_row_manifest,
+    "snap_verify_merkle": snap_verify_merkle,
     "snap_chain_rebase": snap_chain_rebase,
     "snap_apply_incremental": snap_apply_incremental,
     "snap_verify_sampled": snap_verify_sampled,
@@ -857,6 +1008,7 @@ QUERIES = {
 ORACLES = {
     "snap_row_manifest": _SNAP_ROW_MANIFEST_SQL,
     "snap_chain_rebase": _SNAP_CHAIN_REBASE_SQL,
+    "snap_verify_merkle": _SNAP_MERKLE_SQL,
     "snap_apply_incremental": _SNAP_APPLY_INCR_SQL,
     "snap_verify_sampled": _SNAP_VERIFY_SAMPLED_SQL,
     "snap_table_checksum": _SNAP_TABLE_CHECKSUM_SQL,

@@ -770,7 +770,77 @@ GROUP BY CUBE(o_orderpriority, o_year)
 """
 
 
+def q_events_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order arrival audit — the measurement that SIZES the
+    watermarks every streaming operator here depends on: per event
+    type, how many events arrive with an event-time earlier than the
+    running max of previously-arrived events (arrival order =
+    event_id), the worst lateness, and the implied watermark (whole
+    minutes covering the max). One window shuffle keyed by type;
+    production logs partition the window by (type, ingest shard) since
+    arrival order is only meaningful within a shard."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts div 1000").cast("bigint").alias("ts_us"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.withColumn("prior_max", F.max("ts_us").over(w))
+    late = F.col("prior_max").isNotNull() & (
+        F.col("ts_us") < F.col("prior_max")
+    )
+    lateness = F.when(late, F.col("prior_max") - F.col("ts_us")).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(late.cast("bigint")).alias("n_late"),
+        (
+            F.sum(late.cast("bigint")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("late_share"),
+        F.max(lateness).alias("max_lateness_us"),
+        F.ceil(F.max(lateness).cast("double") / F.lit(60_000_000.0))
+        .cast("bigint")
+        .alias("watermark_minutes"),
+    )
+
+
+_Q_DISORDER_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us,
+         event_id
+  FROM events
+), seq AS (
+  SELECT event_type, ts_us,
+         MAX(ts_us) OVER (PARTITION BY event_type ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prior_max
+  FROM ev
+), l AS (
+  SELECT event_type,
+         (prior_max IS NOT NULL AND ts_us < prior_max) AS late,
+         CASE WHEN prior_max IS NOT NULL AND ts_us < prior_max
+              THEN prior_max - ts_us ELSE 0 END AS lateness
+  FROM seq
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS late_share,
+       MAX(lateness) AS max_lateness_us,
+       CAST(ceil(CAST(MAX(lateness) AS DOUBLE) / 60000000.0) AS BIGINT)
+         AS watermark_minutes
+FROM l GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "q_events_disorder": q_events_disorder,
     "q_events_markov": q_events_markov,
     "q_cube_orders": q_cube_orders,
     "q_lapsed_customers": q_lapsed_customers,
@@ -791,6 +861,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_events_disorder": _Q_DISORDER_SQL,
     "q_events_markov": _Q_MARKOV_SQL,
     "q_cube_orders": _Q_CUBE_SQL,
     "q_lapsed_customers": _Q_LAPSED_SQL,

@@ -27,3 +27,12 @@ def test_q_lapsed_customers(spark, ddb):
         ddb,
         analytics_ext._Q_LAPSED_SQL,
     )
+
+
+def test_disorder_audit_is_consistent(spark):
+    from tests.conftest import SF_DIR
+
+    for r in analytics_ext.q_events_disorder(spark, SF_DIR).collect():
+        assert 0 <= r["n_late"] <= r["n_events"]
+        assert r["max_lateness_us"] >= 0
+        assert (r["max_lateness_us"] == 0) == (r["watermark_minutes"] == 0)

@@ -49,3 +49,24 @@ def test_chain_rebase_reaches_final_state(spark):
     assert row["state_match"] is True
     assert row["n_batches"] == 2
     assert row["n_upserts"] > 0 and row["n_deletes"] > 0
+
+
+def test_merkle_locates_corruption(spark):
+    rows = snapshot.snap_verify_merkle(spark, SF_DIR).collect()
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r["level"], []).append(r)
+    assert len(rows) == 127 and len(by_level[0]) == 1
+    # backup is perturbed, so the root must mismatch; and every
+    # mismatching parent must have a mismatching child (the drill-down
+    # invariant that makes log-time localization work)
+    assert by_level[0][0]["match"] is False
+    for lvl in range(0, 6):
+        for parent in by_level[lvl]:
+            if parent["match"] is False:
+                kids = [
+                    k
+                    for k in by_level[lvl + 1]
+                    if k["idx"] in (parent["idx"] * 2, parent["idx"] * 2 + 1)
+                ]
+                assert any(not k["match"] for k in kids)

@@ -146,30 +146,22 @@ FROM (
 _HLL_SQL = "\nUNION ALL\n".join(_hll_one_sql(t, c) for t, c in _TARGETS)
 
 
-def sketch_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group HLL: distinct users per event type, one 256-register
-    sketch PER KEY — the per-key form every rollup dashboard needs
-    (distinct users per day/type/country) where a global sketch can't
-    answer. Registers key on (event_type, bucket): partial aggregation
-    collapses each executor to ≤ 256·|groups| rows pre-shuffle, so at
-    100 TB the wire carries sketch cells, not users. The exact count
-    rides alongside for the oracle's ±6.5 % certification (and because
-    groups are merge-able, rolling these sketches further up — type →
-    all — is a max over registers, never a rescan)."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.col("user_id").alias("v")
-    )
+def hll_registers(ev: DataFrame) -> DataFrame:
+    """(event_type, v) → (event_type, bucket, m) HLL registers. A plain
+    max-aggregate, so it works identically on a bounded frame or a
+    STREAMING one — the register table is merge-able state hard-capped
+    at 256·|groups| rows no matter how long the stream runs."""
     h = F.conv(
         F.substring(F.md5(F.col("v").cast("string")), 1, 13), 16, 10
     ).cast("bigint")
-    src = ev.select("event_type", "v", h.alias("h"))
+    src = ev.select("event_type", h.alias("h"))
     rest = F.shiftright(F.col("h"), 8)
     rho = (
         F.when(rest == 0, F.lit(REST_BITS + 1))
         .otherwise(F.lit(REST_BITS + 1) - F.length(F.bin(rest)))
         .cast("int")
     )
-    regs = (
+    return (
         src.select(
             "event_type",
             F.col("h").bitwiseAND(F.lit(M_BUCKETS - 1)).alias("bucket"),
@@ -178,14 +170,17 @@ def sketch_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.max("rho").alias("m"))
     )
+
+
+def hll_grouped_estimate(regs: DataFrame) -> DataFrame:
+    """(event_type, bucket, m) registers → (event_type, n_hll)
+    estimates — the read-off step, shared by the batch and streaming
+    forms."""
     reg_agg = regs.groupBy("event_type").agg(
         F.sum(
             F.expr(f"shiftleft(CAST(1 AS BIGINT), {REST_BITS + 1} - m)")
         ).alias("s_present"),
         F.count(F.lit(1)).alias("nb"),
-    )
-    exact = src.groupBy("event_type").agg(
-        F.countDistinct("v").alias("n_exact")
     )
     alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
     denom = (
@@ -205,9 +200,29 @@ def sketch_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = F.when(
         (est_raw <= F.lit(2.5 * M_BUCKETS)) & (zeros > 0), est_linear
     ).otherwise(est_raw)
-    return exact.join(F.broadcast(reg_agg), "event_type").select(
-        "event_type", "n_exact", est.alias("n_hll")
+    return reg_agg.select("event_type", est.alias("n_hll"))
+
+
+def sketch_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HLL: distinct users per event type, one 256-register
+    sketch PER KEY — the per-key form every rollup dashboard needs
+    (distinct users per day/type/country) where a global sketch can't
+    answer. Registers key on (event_type, bucket): partial aggregation
+    collapses each executor to ≤ 256·|groups| rows pre-shuffle, so at
+    100 TB the wire carries sketch cells, not users. The exact count
+    rides alongside for the oracle's ±6.5 % certification (and because
+    groups are merge-able, rolling these sketches further up — type →
+    all — is a max over registers, never a rescan)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").alias("v")
     )
+    regs = hll_registers(ev)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("v").alias("n_exact")
+    )
+    return exact.join(
+        F.broadcast(hll_grouped_estimate(regs)), "event_type"
+    ).select("event_type", "n_exact", "n_hll")
 
 
 def _hll_grouped_sql() -> str:

@@ -634,7 +634,93 @@ QUALIFY rank <= {BM25_TOPK}
 """
 
 
+TFIDF_TOPK = 5
+
+
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keyword extraction: top-{TFIDF_TOPK} terms by
+    source-level tf·idf — the "what is this slice of the corpus about"
+    summary used for source labeling and mixture design. idf is the
+    same ln-free rational as BM25's ((N − df + 0.5)/(df + 0.5)):
+    monotone in the classic log idf and bit-portable (SURVEY.md §4).
+
+    Shape: token explode collapses map-side to per-(source, term)
+    partials; document frequency is a distinct-(doc, term) aggregate
+    joined back on term (both sides vocab-sized after aggregation); the
+    rank window runs over |sources|·|vocab| rows — nothing downstream
+    of the explode scales with corpus size."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode_outer(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf_s = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_t = (
+        toks.select("doc_id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = (
+        (F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    scored = (
+        tf_s.join(df_t, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "source",
+            "tok",
+            "tf",
+            "df",
+            (F.col("tf").cast("double") * idf).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("tfidf"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+        .select("source", "rank", "tok", "tf", "df", "tfidf")
+    )
+
+
+_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+), tf_s AS (
+  SELECT source, tok, COUNT(*) AS tf
+  FROM toks WHERE tok <> '' GROUP BY source, tok
+), df_t AS (
+  SELECT tok, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, tok FROM toks WHERE tok <> '')
+  GROUP BY tok
+), nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT source, tok, tf, df,
+         CAST(tf AS DOUBLE)
+           * ((CAST(n_docs - df AS DOUBLE) + 0.5)
+              / (CAST(df AS DOUBLE) + 0.5)) AS tfidf
+  FROM tf_s JOIN df_t USING (tok), nd
+)
+SELECT source, CAST(rank AS INT) AS rank, tok, tf, df, tfidf
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY tfidf DESC, tok) AS rank
+      FROM scored)
+WHERE rank <= {TFIDF_TOPK}
+"""
+
+
 QUERIES = {
+    "text_tfidf_keywords": text_tfidf_keywords,
     "text_tokencount": text_tokencount,
     "text_bm25_search": text_bm25_search,
     "text_vocab_topk": text_vocab_topk,
@@ -646,6 +732,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_tfidf_keywords": _TFIDF_SQL,
     "text_tokencount": _TOKENCOUNT_SQL,
     "text_bm25_search": _bm25_sql(),
     "text_vocab_topk": _VOCAB_TOPK_SQL,

@@ -227,7 +227,50 @@ def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distinct-user HLL maintained BY the stream: the
+    256-register-per-type table IS the streaming aggregation state
+    (max-merge-able, hard-capped at 256·|types| cells for any stream
+    length — the O(1)-state alternative to streaming countDistinct,
+    whose state grows with the user set). Drained in complete mode,
+    read off batch-side with the shared estimator; the test asserts the
+    drained registers produce IDENTICAL estimates to the batch
+    ``sketch_hll_grouped`` — the mergeability property that makes the
+    sketch safe to maintain incrementally."""
+    from blog_snapshotbackup_azuredatalake_spark.operators.sketch import (
+        hll_grouped_estimate,
+        hll_registers,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").alias("v")
+    )
+    work = tempfile.mkdtemp(prefix="stream_hll_")
+    src = f"{work}/events_src"
+    events.coalesce(DEMO_STATE_PARTITIONS).write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    name = f"hll_{uuid.uuid4().hex[:8]}"
+    with demo_state_partitions(spark):
+        q = (
+            hll_registers(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("v").alias("n_exact")
+    )
+    return exact.join(
+        F.broadcast(hll_grouped_estimate(spark.table(name))), "event_type"
+    ).select("event_type", "n_exact", "n_hll")
+
+
 QUERIES = {
+    "stream_hll_distinct": stream_hll_distinct,
     "stream_incr_sync": stream_incr_sync,
     "stream_enrich_static": stream_enrich_static,
     "stream_windowed_agg": stream_windowed_agg,

@@ -193,3 +193,17 @@ def test_stream_enrich_static_broadcasts_no_state(spark):
     assert len(rows) == n_events  # inner join loses nothing: dim covers all
     assert all(r["age_us"] >= 0 for r in rows)
     assert any(r["age_us"] == 0 for r in rows)  # each user's first event
+
+
+def test_stream_hll_equals_batch_sketch(spark):
+    from blog_snapshotbackup_azuredatalake_spark.operators.sketch import (
+        sketch_hll_grouped,
+    )
+    from blog_snapshotbackup_azuredatalake_spark.streaming.entries import (
+        stream_hll_distinct,
+    )
+    from tests.conftest import SF_DIR
+
+    srows = sorted(stream_hll_distinct(spark, SF_DIR).collect())
+    brows = sorted(sketch_hll_grouped(spark, SF_DIR).collect())
+    assert srows == brows  # mergeable registers: stream ≡ batch

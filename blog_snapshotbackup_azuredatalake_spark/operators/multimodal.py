@@ -270,9 +270,86 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-media detection WITHOUT decoding: content hash =
+    md5 of the payload BODY (header skipped engine-side via binary
+    substring — codegen, no Python), grouped to find payloads whose
+    pixel content appears ≥ 2 times. The pre-decode dedup gate a media
+    ingest runs — decode is the expensive step, so duplicates must be
+    dropped before it, on hashes computed during the copy scan.
+    Per-format report: payload counts, distinct contents, rows in
+    dup groups, largest group."""
+    docs = load_table(spark, sf_dir, "documents")
+    # shared-media pool: many docs attach the same asset (the common
+    # real-world duplication mode — one image reused across pages), so
+    # the payload body keys on a pool id, not the doc text
+    fmt = F.element_at(
+        F.array(*[F.lit(f) for f in _FORMATS]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    header = F.concat(
+        F.lpad(((F.col("doc_id") % 8 + 1) * 32).cast("string"), 4, "0"),
+        F.lpad(((F.col("doc_id") % 5 + 1) * 32).cast("string"), 4, "0"),
+        F.rpad(fmt, 4, "."),
+    )
+    body = F.substring(
+        F.repeat(F.md5((F.col("doc_id") % 101).cast("string")), 2), 1, 64
+    )
+    payloads = docs.select(
+        "doc_id",
+        fmt.alias("meta_format"),
+        F.concat(header.cast("binary"), body.cast("binary")).alias(
+            "payload"
+        ),
+    )
+    keyed = payloads.select(
+        "doc_id",
+        "meta_format",
+        F.md5(F.expr("substring(payload, 13, 64)")).alias("chash"),
+    )
+    groups = keyed.groupBy("chash").agg(F.count(F.lit(1)).alias("gsize"))
+    return (
+        keyed.join(groups, "chash")
+        .groupBy("meta_format")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.count_distinct("chash").alias("n_distinct"),
+            F.sum((F.col("gsize") >= 2).cast("bigint")).alias(
+                "n_dup_payloads"
+            ),
+            F.max("gsize").alias("max_group"),
+        )
+    )
+
+
+_MM_PAYLOAD_DEDUP_SQL = """
+WITH pl AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 + 1 AS INT)
+              WHEN 1 THEN 'png' WHEN 2 THEN 'jpeg' ELSE 'webp'
+         END AS meta_format,
+         md5(substr(repeat(md5(CAST(doc_id % 101 AS VARCHAR)), 2), 1, 64))
+           AS chash
+  FROM documents
+),
+g AS (SELECT chash, COUNT(*) AS gsize FROM pl GROUP BY chash)
+SELECT meta_format, COUNT(*) AS n_payloads,
+       COUNT(DISTINCT chash) AS n_distinct,
+       CAST(SUM(CASE WHEN gsize >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_payloads,
+       MAX(gsize) AS max_group
+FROM pl JOIN g USING (chash)
+GROUP BY meta_format
+"""
+
+
 QUERIES = {
     "mm_decode_pipeline": mm_decode_pipeline,
     "mm_meta_audit": mm_meta_audit,
     "mm_frame_sample": mm_frame_sample,
+    "mm_payload_dedup": mm_payload_dedup,
 }
-ORACLES: dict[str, str] = {"mm_meta_audit": _MM_META_AUDIT_SQL}
+ORACLES: dict[str, str] = {
+    "mm_meta_audit": _MM_META_AUDIT_SQL,
+    "mm_payload_dedup": _MM_PAYLOAD_DEDUP_SQL,
+}

@@ -60,3 +60,16 @@ def test_mm_frame_sample_counts(spark):
         for r in multimodal.mm_frame_sample(spark, SF_DIR).collect()
     }
     assert {(r["doc_id"], r["frame_no"]): r["frame_md5"] for r in rows} == again
+
+
+def test_payload_dedup_finds_shared_media(spark):
+    from blog_snapshotbackup_azuredatalake_spark.operators.multimodal import (
+        mm_payload_dedup,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = mm_payload_dedup(spark, SF_DIR).collect()
+    assert sum(r["n_dup_payloads"] for r in rows) > 0
+    for r in rows:
+        assert r["n_distinct"] <= r["n_payloads"]
+        assert r["max_group"] >= 1

@@ -166,20 +166,23 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.count()
     dims = emb.select(F.posexplode_outer("embedding").alias("dim", "val"))
     dec = lambda c: c.cast("decimal(28,10)")  # noqa: E731
+    # one scan yields both moments: per-dim Σx (→ mean) and Σx² (→ total
+    # variance) come out of the same d-group aggregation
     mu_rows = (
         dims.groupBy("dim")
-        .agg((F.sum(dec(F.col("val"))) / F.lit(n)).cast("double").alias("m"))
+        .agg(
+            (F.sum(dec(F.col("val"))) / F.lit(n)).cast("double").alias("m"),
+            F.sum(dec(F.col("val")) * dec(F.col("val")))
+            .cast("double")
+            .alias("ss"),
+        )
         .collect()
     )
     d = len(mu_rows)
     mu = [0.0] * d
     for r in mu_rows:
         mu[r["dim"]] = r["m"]
-    ssq = dims.agg(
-        F.sum(dec(F.col("val")) * dec(F.col("val")))
-        .cast("double")
-        .alias("ss")
-    ).collect()[0]["ss"]
+    ssq = sum(r["ss"] for r in sorted(mu_rows, key=lambda r: r["dim"]))
     total_var = ssq / n - sum(m * m for m in mu)
 
     v = [1.0 / d**0.5] * d
@@ -203,7 +206,9 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.lit(float(mu_dot_v))
             ).alias("s"),
         )
-        cells = (
+        # every dim-row carries the same row-level s, so per-dim Σs IS the
+        # global Σs — one d-group aggregation per iteration, not two jobs
+        cell_rows = (
             proj.select(
                 F.posexplode_outer("embedding").alias("dim", "val"), "s"
             )
@@ -211,14 +216,14 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.sum(dec(F.col("val")) * dec(F.col("s")))
                 .cast("double")
-                .alias("xs")
+                .alias("xs"),
+                F.sum(dec(F.col("s"))).cast("double").alias("ssum"),
             )
+            .collect()
         )
-        sum_s = proj.agg(
-            F.sum(dec(F.col("s"))).cast("double").alias("ss")
-        ).collect()[0]["ss"]
+        sum_s = cell_rows[0]["ssum"] if cell_rows else 0.0
         y = [0.0] * d
-        for r in cells.collect():
+        for r in cell_rows:
             y[r["dim"]] = r["xs"]
         y = [
             (yi - mui * sum_s) / n for yi, mui in zip(y, mu)

@@ -263,6 +263,80 @@ class SnapshotManager:
         )
         return stats
 
+    # -- vacuum -----------------------------------------------------------
+    def vacuum(self, dry_run: bool = False) -> list[dict]:
+        """Delta-style VACUUM: delete snapshot directories present on
+        storage but absent from the transaction log's live set — the
+        debris a writer leaves when it dies between the data write and
+        the log commit (the log commit is the atomic publish point, so
+        an uncommitted directory is garbage by definition).
+
+        Listing goes through Spark's binaryFile reader selecting only
+        (path, length) — file METADATA, content never read — so the
+        scan distributes across executors on a real lake; only one
+        (dir, files, bytes) row per snapshot dir reaches the driver.
+        The deletion itself is committed to the log as a 'vacuum' op:
+        the audit trail explains every disappearance.
+
+        Returns one report dict per snapshot dir: path, files, bytes,
+        status ('live' | 'orphan'), deleted."""
+        import shutil
+
+        listing = (
+            self.spark.read.format("binaryFile")
+            .option("recursiveFileLookup", "true")
+            .load(self.root)
+            .select("path", "length")
+            .filter(~F.col("path").contains("/_txn_log/"))
+            .withColumn(
+                "snap_dir",
+                F.regexp_extract(
+                    F.col("path"), r"([^/]+/snap_\d{6})/", 1
+                ),
+            )
+            .filter(F.col("snap_dir") != "")
+            .groupBy("snap_dir")
+            .agg(
+                F.count(F.lit(1)).alias("files"),
+                F.sum("length").alias("bytes"),
+            )
+            .collect()
+        )
+        live = set(self.log.state().keys())
+        report = []
+        removed = []
+        for r in sorted(listing, key=lambda r: r["snap_dir"]):
+            orphan = r["snap_dir"] not in live
+            if orphan and not dry_run:
+                shutil.rmtree(
+                    os.path.join(self.root, r["snap_dir"]), ignore_errors=True
+                )
+                removed.append(r)
+            report.append(
+                {
+                    "path": r["snap_dir"],
+                    "files": r["files"],
+                    "bytes": r["bytes"],
+                    "status": "orphan" if orphan else "live",
+                    "deleted": orphan and not dry_run,
+                }
+            )
+        if removed:
+            self.log.commit(
+                "vacuum",
+                [
+                    {
+                        "remove": {
+                            "path": r["snap_dir"],
+                            "files": r["files"],
+                            "bytes": r["bytes"],
+                        }
+                    }
+                    for r in removed
+                ],
+            )
+        return report
+
     # -- log-based time travel --------------------------------------------
     def restore_at_log_version(self, table: str, version: int) -> DataFrame:
         """Restore the newest snapshot of `table` that was live at
@@ -324,5 +398,60 @@ def snap_txn_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"snap_txn_log": snap_txn_log}
+def snap_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-file GC drill: run a snapshot lifecycle, then simulate the
+    two classic failure leftovers — a writer that died after its data
+    write but before its log commit, and a stray temp upload — and
+    VACUUM them away. The transaction log's live set is the source of
+    truth (its commit is the atomic publish point); anything on storage
+    it doesn't know about is garbage. Self-certifies: the live
+    snapshot restores to the same row count after the vacuum, and the
+    vacuum itself lands in the log as an audited commit. Rows-only:
+    the store is scratch filesystem state, not a SQL-visible table."""
+    import tempfile
+
+    from blog_snapshotbackup_azuredatalake_spark.operators.snapshot import (
+        _perturbed_orders,
+    )
+    from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
+        load_table,
+    )
+
+    keyed = F.col("o_orderkey") % 10 == 0
+    orders = load_table(spark, sf_dir, "orders").filter(keyed)
+    work = tempfile.mkdtemp(prefix="snap_vacuum_")
+    mgr = SnapshotManager(spark, work)
+    mgr.snapshot(orders, "orders", "o_orderkey")
+    last = mgr.snapshot(
+        _perturbed_orders(spark, sf_dir).filter(keyed), "orders", "o_orderkey"
+    )
+    expected = mgr.restore("orders", last).count()
+    # crashed writer: data landed, log commit never happened
+    orders.limit(100).write.parquet(f"{work}/orders/snap_000099/data")
+    # stray temp upload inside an otherwise-live table dir
+    orders.limit(10).write.parquet(f"{work}/orders/snap_000098/data")
+
+    report = mgr.vacuum()
+    restored = mgr.restore("orders", last).count()
+    head, _ = mgr.log.read_commit(mgr.log.latest_version())
+    rows = [
+        (
+            r["path"],
+            int(r["files"]),
+            r["bytes"] > 0,
+            r["status"],
+            r["deleted"],
+            restored == expected,
+            head["op"] == "vacuum",
+        )
+        for r in report
+    ]
+    return spark.createDataFrame(
+        rows,
+        "path string, files int, has_bytes boolean, status string,"
+        " deleted boolean, restore_intact boolean, vacuum_logged boolean",
+    )
+
+
+QUERIES = {"snap_txn_log": snap_txn_log, "snap_vacuum": snap_vacuum}
 ORACLES: dict[str, str] = {}  # rows-only: the log is filesystem metadata

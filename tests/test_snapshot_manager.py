@@ -1,5 +1,6 @@
 """SnapshotManager lifecycle: full snapshot → mutate → incremental →
 restore both states → verify → retention purge."""
+import os
 
 import pyspark.sql.functions as F
 import pytest
@@ -64,3 +65,50 @@ def test_purge_keeps_dependency_chain(spark, mgr):
     assert purged == [1, 2]
     assert mgr.snapshot_ids("t") == [0, 3]
     assert mgr.restore("t", 3).count() == 100
+
+
+def test_vacuum_removes_only_orphans(spark, mgr):
+    orders = load_table(spark, SF_DIR, "orders").limit(200)
+    mgr.snapshot(orders, "t", "o_orderkey")
+    v2 = orders.withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+    last = mgr.snapshot(v2, "t", "o_orderkey")
+
+    # crashed writer: data written, log commit never happened
+    orders.limit(50).write.parquet(f"{mgr.root}/t/snap_000099/data")
+
+    dry = mgr.vacuum(dry_run=True)
+    assert {r["path"]: r["status"] for r in dry} == {
+        "t/snap_000000": "live",
+        "t/snap_000001": "live",
+        "t/snap_000099": "orphan",
+    }
+    assert not any(r["deleted"] for r in dry)
+    assert os.path.isdir(f"{mgr.root}/t/snap_000099")  # dry run: untouched
+
+    report = mgr.vacuum()
+    deleted = [r["path"] for r in report if r["deleted"]]
+    assert deleted == ["t/snap_000099"]
+    assert not os.path.isdir(f"{mgr.root}/t/snap_000099")
+    # live snapshots untouched, restore still exact
+    assert mgr.restore("t", last).count() == 200
+    # audited: the vacuum is a log commit
+    head, actions = mgr.log.read_commit(mgr.log.latest_version())
+    assert head["op"] == "vacuum"
+    assert [a["remove"]["path"] for a in actions] == ["t/snap_000099"]
+    # idempotent: nothing left to collect
+    assert not any(r["deleted"] for r in mgr.vacuum())
+
+
+def test_snap_vacuum_query_shape(spark):
+    from blog_snapshotbackup_azuredatalake_spark.operators.snapshot_manager import (
+        snap_vacuum,
+    )
+
+    rows = snap_vacuum(spark, SF_DIR).collect()
+    by_path = {r["path"]: r for r in rows}
+    assert len(rows) == 4
+    orphans = sorted(p for p, r in by_path.items() if r["status"] == "orphan")
+    assert orphans == ["orders/snap_000098", "orders/snap_000099"]
+    assert all(r["deleted"] for r in by_path.values() if r["status"] == "orphan")
+    assert all(not r["deleted"] for r in by_path.values() if r["status"] == "live")
+    assert all(r["restore_intact"] and r["vacuum_logged"] for r in rows)

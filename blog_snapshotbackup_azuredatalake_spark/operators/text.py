@@ -719,7 +719,129 @@ WHERE rank <= {TFIDF_TOPK}
 """
 
 
+LM_SCALE = 256  # fixed-point denominator for bucketed probabilities
+LM_LOWQ_NUM, LM_LOWQ_DEN = 3, 10  # "low quality" = avg prob < 3/10
+
+
+def text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality scoring — the KenLM-style fluency
+    filter of production data pipelines, with the LM trained on the
+    corpus itself in the same job. Per-bigram Laplace-smoothed
+    conditional probability p(w2|w1) = (c12+1)/(c1+V) is quantized to
+    an integer bucket floor(p·256) while still a pure function of
+    integer counts, so every per-doc and per-source aggregate is an
+    exact BIGINT sum — order-independent, bit-identical on any engine
+    (SURVEY.md §4: never hash a raw double sum).
+
+    Scale: the model is vocab²-bounded (KBs even for real vocabularies)
+    and rides broadcast; the token stream shuffles twice (model count,
+    per-doc score) — the dedup_substring profile. Output: per-source
+    doc counts, exact fixed-point mass, avg bigram probability, and the
+    would-be-filtered doc count (avg prob < 0.3, integer cross-multiply
+    compare)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # bind toks, then the bigram array, each in its own projection
+    # (HOF-inlining trap, SURVEY.md §6)
+    toked = docs.select("doc_id", "source", _tokens().alias("toks"))
+    with_bg = toked.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.size("toks") < 2, F.array().cast("array<struct<w1:string,w2:string>>")
+        )
+        .otherwise(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1),"
+                " (t, i) -> struct(t AS w1, toks[i + 1] AS w2))"
+            )
+        )
+        .alias("bgs"),
+    )
+    bigr = with_bg.select(
+        "doc_id", "source", F.explode_outer("bgs").alias("bg")
+    ).filter(F.col("bg").isNotNull()).select(
+        "doc_id", "source", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    model = bigr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    heads = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        toked.select(F.explode_outer("toks").alias("tok"))
+        .filter(F.col("tok") != "")
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    model_p = (
+        model.join(heads, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.expr(f"(c12 + 1) * {LM_SCALE} div (c1 + v)").alias("bucket"),
+        )
+    )
+    per_doc = (
+        bigr.join(F.broadcast(model_p), ["w1", "w2"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("bucket").alias("score_fp"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("total_bigrams"),
+            F.sum("score_fp").alias("total_score_fp"),
+            (
+                F.sum("score_fp").cast("double")
+                / (F.lit(LM_SCALE) * F.sum("n_bigrams")).cast("double")
+            ).alias("avg_bigram_prob"),
+            F.sum(
+                (
+                    F.col("score_fp") * LM_LOWQ_DEN
+                    < F.lit(LM_LOWQ_NUM * LM_SCALE) * F.col("n_bigrams")
+                ).cast("long")
+            ).alias("low_quality_docs"),
+        )
+    )
+
+
+_NGRAM_LM_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+), bigr AS (
+  SELECT doc_id, source, toks[i] AS w1, toks[i + 1] AS w2
+  FROM toked, UNNEST(range(1, len(toks))) AS r(i)
+), model AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM bigr GROUP BY w1, w2
+), heads AS (
+  SELECT w1, SUM(c12) AS c1 FROM model GROUP BY w1
+), vocab AS (
+  SELECT COUNT(DISTINCT tok) AS v
+  FROM (SELECT unnest(toks) AS tok FROM toked) WHERE tok <> ''
+), model_p AS (
+  SELECT w1, w2, (c12 + 1) * {LM_SCALE} // (c1 + v) AS bucket
+  FROM model JOIN heads USING (w1), vocab
+), per_doc AS (
+  SELECT b.doc_id, b.source, COUNT(*) AS n_bigrams,
+         SUM(m.bucket) AS score_fp
+  FROM bigr b JOIN model_p m ON b.w1 = m.w1 AND b.w2 = m.w2
+  GROUP BY b.doc_id, b.source
+)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(n_bigrams) AS total_bigrams,
+       SUM(score_fp) AS total_score_fp,
+       CAST(SUM(score_fp) AS DOUBLE)
+         / CAST({LM_SCALE} * SUM(n_bigrams) AS DOUBLE) AS avg_bigram_prob,
+       SUM(CASE WHEN score_fp * {LM_LOWQ_DEN}
+                     < {LM_LOWQ_NUM * LM_SCALE} * n_bigrams
+                THEN 1 ELSE 0 END) AS low_quality_docs
+FROM per_doc GROUP BY source
+"""
+
+
 QUERIES = {
+    "text_ngram_lm": text_ngram_lm,
     "text_tfidf_keywords": text_tfidf_keywords,
     "text_tokencount": text_tokencount,
     "text_bm25_search": text_bm25_search,
@@ -732,6 +854,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_ngram_lm": _NGRAM_LM_SQL,
     "text_tfidf_keywords": _TFIDF_SQL,
     "text_tokencount": _TOKENCOUNT_SQL,
     "text_bm25_search": _bm25_sql(),

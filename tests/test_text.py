@@ -33,3 +33,13 @@ def test_oov_rate_bounds(spark):
     for r in rows:
         assert 0.0 <= r["oov_rate"] < 1.0
         assert r["n_oov"] <= r["n_tokens"]
+
+
+def test_ngram_lm_bounds(spark):
+    rows = text.text_ngram_lm(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["avg_bigram_prob"] <= 1.0
+        assert 0 <= r["low_quality_docs"] <= r["n_docs"]
+        # fixed-point mass consistent with the bucket scale
+        assert r["total_score_fp"] <= text.LM_SCALE * r["total_bigrams"]

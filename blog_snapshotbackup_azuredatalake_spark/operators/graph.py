@@ -130,5 +130,159 @@ FROM comp JOIN sizes USING (cluster_id)
 """
 
 
-QUERIES = {"dedup_cluster_cc": dedup_cluster_cc}
-ORACLES = {"dedup_cluster_cc": _CLUSTER_CC_SQL}
+def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the unit of assignment is the
+    NEAR-DUP CLUSTER, not the document. A doc-keyed hash split
+    (``corpus_split``) puts two copies of the same article on opposite
+    sides of the train/test wall — the classic eval-contamination bug.
+    Here every doc inherits its connected-component id (singletons:
+    themselves) and the split is a pure hash of that group id, so a
+    cluster moves as a block and adding documents later never
+    reshuffles existing groups.
+
+    Output per split: doc/group counts plus the leakage audit — pairs
+    crossing splits under this assignment (0 by construction) next to
+    the count the naive doc-hash split would have leaked. The pair list
+    is the working set (bigint pairs), reused across the CC loop and
+    both audits via one localCheckpoint."""
+    from blog_snapshotbackup_azuredatalake_spark.operators.curation import (
+        TRAIN_PCT,
+        VAL_PCT,
+    )
+
+    full = load_table(spark, sf_dir, "documents")
+    pairs = (
+        minhash_pairs(grams_for(full).localCheckpoint(eager=True))
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    comp = connected_components(pairs)
+
+    def split_of(col: F.Column) -> F.Column:
+        slot = (
+            F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+            .cast("bigint")
+            % 100
+        )
+        return (
+            F.when(slot < TRAIN_PCT, F.lit("train"))
+            .when(slot < TRAIN_PCT + VAL_PCT, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    assigned = (
+        full.select("doc_id", "source")
+        .join(comp.select("doc_id", "cluster_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("group_id"),
+        )
+        .select(
+            "doc_id",
+            "group_id",
+            split_of(F.col("group_id")).alias("split"),
+            split_of(F.col("doc_id")).alias("naive_split"),
+        )
+    )
+    a = assigned.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("split").alias("split_a"),
+        F.col("naive_split").alias("nsplit_a"),
+    )
+    b = assigned.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("split").alias("split_b"),
+        F.col("naive_split").alias("nsplit_b"),
+    )
+    cross = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .groupBy(F.col("split_a").alias("split"))
+        .agg(
+            F.sum((F.col("split_a") != F.col("split_b")).cast("long")).alias(
+                "cross_pairs_safe"
+            ),
+            F.sum(
+                (F.col("nsplit_a") != F.col("nsplit_b")).cast("long")
+            ).alias("cross_pairs_naive"),
+        )
+    )
+    per_split = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("group_id").alias("n_groups"),
+    )
+    zero = F.lit(0).cast("bigint")
+    return per_split.join(cross, "split", "left").select(
+        "split",
+        "n_docs",
+        "n_groups",
+        F.coalesce("cross_pairs_safe", zero).alias("cross_pairs_safe"),
+        F.coalesce("cross_pairs_naive", zero).alias("cross_pairs_naive"),
+    )
+
+
+def _leakage_safe_sql() -> str:
+    from blog_snapshotbackup_azuredatalake_spark.operators.curation import (
+        TRAIN_PCT,
+        VAL_PCT,
+    )
+
+    def split_case(key: str) -> str:
+        h = (
+            f"CAST(concat('0x', substr(md5(CAST({key} AS VARCHAR)), 1, 15))"
+            " AS BIGINT) % 100"
+        )
+        return (
+            f"CASE WHEN {h} < {TRAIN_PCT} THEN 'train'"
+            f" WHEN {h} < {TRAIN_PCT + VAL_PCT} THEN 'val'"
+            " ELSE 'test' END"
+        )
+
+    return f"""
+WITH RECURSIVE {sql_minhash_pair_ctes()},
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         FROM reach GROUP BY src),
+splits AS (
+  SELECT d.doc_id,
+         COALESCE(c.cluster_id, d.doc_id) AS group_id,
+         {split_case("COALESCE(c.cluster_id, d.doc_id)")} AS split,
+         {split_case("d.doc_id")} AS naive_split
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+per_split AS (
+  SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT group_id) AS n_groups
+  FROM splits GROUP BY split
+),
+crossing AS (
+  SELECT sa.split AS split,
+         SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END)
+           AS cross_pairs_safe,
+         SUM(CASE WHEN sa.naive_split <> sb.naive_split THEN 1 ELSE 0 END)
+           AS cross_pairs_naive
+  FROM pairs p
+  JOIN splits sa ON p.doc_a = sa.doc_id
+  JOIN splits sb ON p.doc_b = sb.doc_id
+  GROUP BY sa.split
+)
+SELECT p.split, p.n_docs, p.n_groups,
+       COALESCE(c.cross_pairs_safe, 0) AS cross_pairs_safe,
+       COALESCE(c.cross_pairs_naive, 0) AS cross_pairs_naive
+FROM per_split p LEFT JOIN crossing c ON p.split = c.split
+"""
+
+
+QUERIES = {
+    "dedup_cluster_cc": dedup_cluster_cc,
+    "corpus_split_leakage_safe": corpus_split_leakage_safe,
+}
+ORACLES = {
+    "dedup_cluster_cc": _CLUSTER_CC_SQL,
+    "corpus_split_leakage_safe": _leakage_safe_sql(),
+}

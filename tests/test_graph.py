@@ -78,3 +78,18 @@ def test_cc_matches_union_find(spark, edges):
     }
     want = set(_uf_components(edges).items())
     assert got == want
+
+
+def test_leakage_safe_split_matches_oracle(spark, ddb):
+    df = graph.corpus_split_leakage_safe(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, graph.ORACLES["corpus_split_leakage_safe"])
+
+
+def test_leakage_safe_split_semantics(spark):
+    rows = graph.corpus_split_leakage_safe(spark, SF_DIR).collect()
+    by_split = {r["split"]: r for r in rows}
+    assert set(by_split) <= {"train", "val", "test"}
+    # zero leakage by construction; the naive split would have leaked
+    assert all(r["cross_pairs_safe"] == 0 for r in rows)
+    assert sum(r["cross_pairs_naive"] for r in rows) > 0
+    assert sum(r["n_docs"] for r in rows) == 500 * 1  # sf0.001 corpus

@@ -989,7 +989,128 @@ FROM s_tree s FULL OUTER JOIN b_tree b USING (level, idx)
 """
 
 
+_CDC_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _cdc_pair(prev: DataFrame, curr: DataFrame, version: int) -> DataFrame:
+    """Typed change feed between two snapshot states: insert / delete /
+    update_preimage / update_postimage (Delta change-data-feed
+    vocabulary). Classification joins carry (key, 16-byte row hash)
+    manifests only; payload rows are semi-joined out for touched keys —
+    quiet days move almost nothing."""
+    a = prev.withColumn("_h", _orders_hash_expr())
+    b = curr.withColumn("_h", _orders_hash_expr())
+    ins = (
+        b.join(a.select("o_orderkey"), "o_orderkey", "left_anti")
+        .select(*_CDC_COLS)
+        .withColumn("change_type", F.lit("insert"))
+    )
+    dele = (
+        a.join(b.select("o_orderkey"), "o_orderkey", "left_anti")
+        .select(*_CDC_COLS)
+        .withColumn("change_type", F.lit("delete"))
+    )
+    upd_keys = (
+        a.select("o_orderkey", F.col("_h").alias("ph"))
+        .join(b.select("o_orderkey", F.col("_h").alias("ch")), "o_orderkey")
+        .filter(F.col("ph") != F.col("ch"))
+        .select("o_orderkey")
+    )
+    pre = (
+        a.join(upd_keys, "o_orderkey", "left_semi")
+        .select(*_CDC_COLS)
+        .withColumn("change_type", F.lit("update_preimage"))
+    )
+    post = (
+        b.join(upd_keys, "o_orderkey", "left_semi")
+        .select(*_CDC_COLS)
+        .withColumn("change_type", F.lit("update_postimage"))
+    )
+    return (
+        ins.unionByName(dele)
+        .unionByName(pre)
+        .unionByName(post)
+        .withColumn("version", F.lit(version))
+    )
+
+
+def snap_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed across the backup chain: the ordered, typed
+    row-change stream (insert / delete / update_preimage /
+    update_postimage per version) that downstream consumers replay
+    instead of re-diffing snapshots — Delta CDF semantics derived
+    purely from snapshot states, covering v0→v1→v2 of the demo chain.
+    Both images of an update ship, so an auditor sees exactly what a
+    value changed FROM; the feed is the incremental-consumer
+    counterpart of ``snap_chain_rebase``'s fold."""
+    base = load_table(spark, sf_dir, "orders")
+    v1 = _perturbed_orders(spark, sf_dir)
+    v2 = _perturbed_orders_v2(spark, sf_dir)
+    feed = _cdc_pair(base, v1, 1).unionByName(_cdc_pair(v1, v2, 2))
+    return feed.select(
+        F.col("version").cast("int").alias("version"),
+        "change_type",
+        *_CDC_COLS,
+    )
+
+
+_PERTURBED_V2_SQL = """
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 93 = 0 THEN o_totalprice + 25.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM v1 WHERE o_orderkey % 83 <> 1
+  UNION ALL
+  SELECT o_orderkey + 200000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM (SELECT * FROM v1 WHERE o_orderkey % 103 = 11
+        ORDER BY o_orderkey LIMIT 30)
+"""
+
+
+def _cdc_pair_sql(prev: str, curr: str, version: int) -> str:
+    sel_b = ", ".join(f"b.{c}" for c in _CDC_COLS)
+    sel_a = ", ".join(f"a.{c}" for c in _CDC_COLS)
+    return f"""
+  SELECT CAST({version} AS INT) AS version, 'insert' AS change_type, {sel_b}
+  FROM {curr} b LEFT JOIN {prev} a ON a.o_orderkey = b.o_orderkey
+  WHERE a.o_orderkey IS NULL
+  UNION ALL
+  SELECT CAST({version} AS INT), 'delete', {sel_a}
+  FROM {prev} a LEFT JOIN {curr} b ON a.o_orderkey = b.o_orderkey
+  WHERE b.o_orderkey IS NULL
+  UNION ALL
+  SELECT CAST({version} AS INT), 'update_preimage', {sel_a}
+  FROM {prev} a JOIN {curr} b ON a.o_orderkey = b.o_orderkey
+  WHERE a.h <> b.h
+  UNION ALL
+  SELECT CAST({version} AS INT), 'update_postimage', {sel_b}
+  FROM {prev} a JOIN {curr} b ON a.o_orderkey = b.o_orderkey
+  WHERE a.h <> b.h
+"""
+
+
+_SNAP_CDC_SQL = f"""
+WITH v1 AS ({_PERTURBED_SQL}),
+v2 AS ({_PERTURBED_V2_SQL}),
+a0 AS (SELECT *, {_ORDERS_HASH_SQL} AS h FROM orders),
+a1 AS (SELECT *, {_ORDERS_HASH_SQL} AS h FROM v1),
+a2 AS (SELECT *, {_ORDERS_HASH_SQL} AS h FROM v2)
+{_cdc_pair_sql("a0", "a1", 1)}
+UNION ALL
+{_cdc_pair_sql("a1", "a2", 2)}
+"""
+
+
 QUERIES = {
+    "snap_cdc": snap_cdc,
     "snap_row_manifest": snap_row_manifest,
     "snap_verify_merkle": snap_verify_merkle,
     "snap_chain_rebase": snap_chain_rebase,
@@ -1006,6 +1127,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "snap_cdc": _SNAP_CDC_SQL,
     "snap_row_manifest": _SNAP_ROW_MANIFEST_SQL,
     "snap_chain_rebase": _SNAP_CHAIN_REBASE_SQL,
     "snap_verify_merkle": _SNAP_MERKLE_SQL,

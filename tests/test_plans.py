@@ -175,3 +175,23 @@ def test_q9_part_filter_before_join(spark):
     assert "PushedFilters: [IsNotNull(p_name)" in plan or (
         "Contains(p_name" in plan
     ), plan[:800]
+
+
+def test_pq_encode_is_map_only_scan_is_integer(spark):
+    from blog_snapshotbackup_azuredatalake_spark.operators import similarity
+
+    plan = _plan(similarity.emb_pq_adc(spark, SF_DIR))
+    # codebook argmin rides as a literal (array_min over bound structs):
+    # encoding must never join or shuffle the corpus
+    assert "array_min" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_lm_model_broadcasts_onto_token_stream(spark):
+    from blog_snapshotbackup_azuredatalake_spark.operators import text
+
+    plan = _plan(text.text_ngram_lm(spark, SF_DIR))
+    # the vocab²-bounded model must broadcast; a sort-merge join would
+    # shuffle the exploded token stream a third time
+    assert "BroadcastHashJoin" in plan

@@ -70,3 +70,18 @@ def test_merkle_locates_corruption(spark):
                     if k["idx"] in (parent["idx"] * 2, parent["idx"] * 2 + 1)
                 ]
                 assert any(not k["match"] for k in kids)
+
+
+def test_cdc_feed_invariants(spark):
+    rows = snapshot.snap_cdc(spark, SF_DIR).collect()
+    by = {}
+    for r in rows:
+        by[(r["version"], r["change_type"])] = (
+            by.get((r["version"], r["change_type"]), 0) + 1
+        )
+    for v in (1, 2):
+        # every update ships both images
+        assert by[(v, "update_preimage")] == by[(v, "update_postimage")]
+        assert by[(v, "insert")] > 0 and by[(v, "delete")] > 0
+    # perturbation spec caps synthetic inserts at 50 (v1) / 30 (v2)
+    assert 0 < by[(1, "insert")] <= 50 and 0 < by[(2, "insert")] <= 30

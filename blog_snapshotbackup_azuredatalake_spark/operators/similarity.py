@@ -505,7 +505,12 @@ def emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     but integer lookups over 16× smaller data — and the refine join
     carries |Q|·PQ_SHORTLIST rows. The codebook (deterministic
     first-PQ_K seed vectors, as ann_topk_ivf seeds its lists) and
-    tables are KBs at any corpus size."""
+    tables are KBs at any corpus size. Note: the PQ_M×PQ_K argmin tree
+    exceeds the JVM's 64KB generated-method limit, so Spark logs a
+    one-time codegen ERROR and evaluates it interpreted — fine for the
+    plan-shape demo; the throughput deployment swaps the encode for the
+    Arrow/numpy batch kernel (see ann_topk_arrow and SCALING.md's
+    kernel-path table), keeping the identical code assignment."""
     import math
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -534,51 +539,44 @@ def emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 t.append(int(math.floor(l2(sub(qv, s), sub(cb[k], s)) * PQ_FP)))
         qtabs.append((int(qr["vec_id"]), t))
 
-    def sub_d2(s: int, vals: list) -> F.Column:
-        lit = F.array(*[F.lit(v) for v in vals])
-        return F.aggregate(
-            F.zip_with(
-                F.slice(F.col("embedding"), s * PQ_SUBDIM + 1, PQ_SUBDIM),
-                lit,
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    # The whole PQ_M×PQ_K codebook-argmin expression is emitted as ONE
+    # SQL string and parsed in a single F.expr call. Building it through
+    # the Column API costs one Py4J round-trip per operator node (~8k
+    # trips ≈ 20 s of pure driver latency, flat at every SF); the string
+    # goes over the wire once. Same left-to-right double arithmetic, so
+    # encode parity with the oracle and the driver-side tables holds.
+    def d2_sql(s: int, vals: list) -> str:
+        terms = []
+        for i, v in enumerate(vals):
+            x = f"cast(element_at(embedding, {s * PQ_SUBDIM + i + 1}) as double)"
+            c = f"cast('{float(v)!r}' as double)"
+            terms.append(f"({x} - {c}) * ({x} - {c})")
+        return " + ".join(terms)
+
+    def code_sql(s: int) -> str:
+        structs = ", ".join(
+            f"named_struct('d2', {d2_sql(s, sub(cb[k], s))}, 'j', {j})"
+            for j, k in enumerate(ks)
         )
+        return f"array_min(array({structs})).j"
 
-    def code_at(s: int) -> F.Column:
-        return F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        sub_d2(s, sub(cb[k], s)).alias("d2"),
-                        F.lit(j).alias("j"),
-                    )
-                    for j, k in enumerate(ks)
-                ]
-            )
-        )["j"]
-
-    encoded = emb.select(
-        "vec_id", F.array(*[code_at(s) for s in range(PQ_M)]).alias("codes")
-    )
-    qlit = F.array(
-        *[
-            F.struct(
-                F.lit(q_id).alias("q_id"),
-                F.array(*[F.lit(v) for v in t]).alias("t"),
-            )
-            for q_id, t in qtabs
-        ]
-    )
+    encode_sql = "array(" + ", ".join(
+        code_sql(s) for s in range(PQ_M)
+    ) + ")"
+    encoded = emb.select("vec_id", F.expr(encode_sql).alias("codes"))
+    # the |Q|×(PQ_M·PQ_K) table set rides as broadcast DATA, not as ~10k
+    # literal expression nodes — the one-row-per-query frame crossJoins
+    # onto the coded scan (same shape as ann_topk_bruteforce's query
+    # broadcast; the big side streams map-only)
+    qdf = spark.createDataFrame(qtabs, "q_id bigint, t array<bigint>")
     scored = (
-        encoded.select("vec_id", "codes", F.explode_outer(qlit).alias("q"))
-        .filter(F.col("q").isNotNull() & (F.col("vec_id") != F.col("q.q_id")))
+        encoded.crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("q_id"))
         .select(
-            F.col("q.q_id").alias("q_id"),
+            "q_id",
             "vec_id",
             F.expr(
-                f"aggregate(transform(codes, (c, s) -> q.t[s * {len(ks)} + c]),"
+                f"aggregate(transform(codes, (c, s) -> t[s * {len(ks)} + c]),"
                 " 0L, (acc, x) -> acc + x)"
             ).alias("adc_fp"),
         )

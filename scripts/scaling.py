@@ -55,6 +55,10 @@ QUERIES = [
     "dq_referential",
     "snap_compaction_plan",
     "snap_zorder_stats",
+    "text_ngram_lm",
+    "corpus_split_leakage_safe",
+    "emb_pq_adc",
+    "snap_cdc",
 ]
 
 

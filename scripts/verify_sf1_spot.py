@@ -1,0 +1,80 @@
+"""Spot-check oracle parity at sf1 (synthesized by make_sfbig.py) for a
+representative operator subset — evidence that correctness is
+SF-independent, not tuned to the driver's sf0.01 gate.
+
+    python scripts/verify_sf1_spot.py [sf_dir] [name ...]
+
+Defaults: /tmp/sfbig/sf1 and the NEWEST operators plus one per family.
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as E  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+DEFAULT_NAMES = [
+    "snap_cdc",
+    "snap_table_checksum",
+    "text_ngram_lm",
+    "corpus_split_leakage_safe",
+    "emb_pq_adc",
+    "dedup_minhash",
+    "q1_pricing_summary",
+    "sketch_hll_distinct",
+]
+
+
+def norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(row[i] for i in order) for row in rows]
+    return sorted(out, key=lambda t: tuple((v is None, str(v)) for v in t))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfbig/sf1"
+    names = sys.argv[2:] or DEFAULT_NAMES
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        # make_sfbig writes Spark-style directories of part files;
+        # driver testdata ships single-file tables — glob both
+        import os
+
+        pat = (
+            f"{sf_dir}/{t}.parquet/*.parquet"
+            if os.path.isdir(f"{sf_dir}/{t}.parquet")
+            else f"{sf_dir}/{t}.parquet"
+        )
+        con.execute(f"create view {t} as select * from '{pat}'")
+    qs, oracles = E.queries(), E.oracle_sql()
+    failed = []
+    for name in names:
+        if name not in oracles:
+            print(f"{name}: no SQL oracle, skipped")
+            continue
+        df = qs[name](spark, sf_dir)
+        a = norm([tuple(r) for r in df.collect()], df.columns)
+        cur = con.execute(oracles[name])
+        b = norm(cur.fetchall(), [d[0] for d in cur.description])
+        status = "OK" if a == b else "MISMATCH"
+        if a != b:
+            failed.append(name)
+        print(f"{name}: {status} ({len(a)} vs {len(b)} rows)", flush=True)
+    print("FAILED:", failed) if failed else print("ALL OK at", sf_dir)
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

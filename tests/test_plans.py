@@ -182,10 +182,12 @@ def test_pq_encode_is_map_only_scan_is_integer(spark):
 
     plan = _plan(similarity.emb_pq_adc(spark, SF_DIR))
     # codebook argmin rides as a literal (array_min over bound structs):
-    # encoding must never join or shuffle the corpus
+    # encoding must never join or shuffle the corpus. The ADC tables
+    # crossJoin as a broadcast one-row-per-query frame (the intended
+    # every-query-scores-every-row scan), never a shuffled cartesian.
     assert "array_min" in plan
-    assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_ngram_lm_model_broadcasts_onto_token_stream(spark):

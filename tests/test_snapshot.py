@@ -85,3 +85,11 @@ def test_cdc_feed_invariants(spark):
         assert by[(v, "insert")] > 0 and by[(v, "delete")] > 0
     # perturbation spec caps synthetic inserts at 50 (v1) / 30 (v2)
     assert 0 < by[(1, "insert")] <= 50 and 0 < by[(2, "insert")] <= 30
+
+
+def test_ivm_maintains_exactly(spark):
+    rows = snapshot.snap_ivm(spark, SF_DIR).collect()
+    assert len(rows) == 5  # one per o_orderpriority
+    assert all(r["is_consistent"] for r in rows)
+    # the feed really changed things: some group moved
+    assert any(r["dn"] != 0 for r in rows)

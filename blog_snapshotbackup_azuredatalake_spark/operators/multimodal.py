@@ -343,7 +343,101 @@ GROUP BY meta_format
 """
 
 
+AUDIO_SR = 16_000  # samples/sec of the fake PCM payloads
+AUDIO_BYTES_PER_SEC = 16  # fake byte rate (keeps payloads tiny)
+AUDIO_CHUNK_MS = 2_000
+AUDIO_OVERLAP_MS = 250
+
+
+def _synthesize_audio_column(docs: DataFrame) -> DataFrame:
+    """Audio-flavored payload: per-doc duration (1.5–6 s) of keystream
+    'PCM' bytes, duration carried as typed metadata the way a real lake
+    stores probe results next to the blob."""
+    duration_ms = ((F.col("doc_id") % 10 + 3) * 500).cast("int")
+    body = F.substring(
+        F.repeat(F.md5(F.col("text")), 4),
+        F.lit(1),
+        (duration_ms * AUDIO_BYTES_PER_SEC / F.lit(1000)).cast("int"),
+    )
+    return docs.select(
+        "doc_id",
+        duration_ms.alias("duration_ms"),
+        F.lit(AUDIO_SR).alias("sample_rate"),
+        body.cast("binary").alias("payload"),
+    )
+
+
+def _audio_chunk_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: fixed-duration windows with overlap — the
+    ASR/embedding front-end contract (window k starts at
+    k·(CHUNK−OVERLAP); a tail window survives only if it adds more
+    than the overlapped OVERLAP ms of new audio). Byte
+    ranges derive from the metadata byte rate; a real pipeline swaps
+    the slicing for torchaudio/ffmpeg on the decoded waveform."""
+    step = AUDIO_CHUNK_MS - AUDIO_OVERLAP_MS
+    for pdf in batches:
+        out = []
+        for doc_id, duration_ms, payload in zip(
+            pdf["doc_id"], pdf["duration_ms"], pdf["payload"]
+        ):
+            raw = bytes(payload)
+            start = 0
+            idx = 0
+            while start < int(duration_ms):
+                end = min(start + AUDIO_CHUNK_MS, int(duration_ms))
+                if idx > 0 and end - start <= AUDIO_OVERLAP_MS:
+                    break  # tail would be pure overlap, no new audio
+                lo = start * len(raw) // max(int(duration_ms), 1)
+                hi = end * len(raw) // max(int(duration_ms), 1)
+                chunk = raw[lo:hi]
+                out.append(
+                    (
+                        doc_id,
+                        idx,
+                        start,
+                        end,
+                        len(chunk),
+                        hashlib.md5(chunk).hexdigest(),
+                    )
+                )
+                idx += 1
+                start += step
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id", "chunk_idx", "start_ms", "end_ms",
+                "n_bytes", "chunk_md5",
+            ],
+        )
+
+
+def mm_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking over a binary waveform column: overlapping
+    fixed-duration windows (AUDIO_CHUNK_MS with AUDIO_OVERLAP_MS
+    overlap) via 1:N mapInPandas — the front-end every speech/audio
+    training pipeline runs before feature extraction, here with the
+    Spark-side contract (schema, batch shape, typed metadata driving
+    the split) real and the waveform decode stubbed deterministically.
+    Rows-only: the chunk split is Python-side by design."""
+    from blog_snapshotbackup_azuredatalake_spark.session import (
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers(spark)
+    auds = _synthesize_audio_column(load_table(spark, sf_dir, "documents"))
+    return auds.mapInPandas(
+        _audio_chunk_batches,
+        schema=(
+            "doc_id bigint, chunk_idx int, start_ms int, end_ms int,"
+            " n_bytes int, chunk_md5 string"
+        ),
+    )
+
+
 QUERIES = {
+    "mm_audio_chunk": mm_audio_chunk,
     "mm_decode_pipeline": mm_decode_pipeline,
     "mm_meta_audit": mm_meta_audit,
     "mm_frame_sample": mm_frame_sample,

@@ -269,7 +269,94 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", "n_exact", "n_hll")
 
 
+def stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental view maintenance: the CDC feed (snap_cdc's
+    typed change stream) arrives as an unbounded stream and the
+    per-priority (count, revenue) view is THE streaming aggregation
+    state — |groups| cells of signed integer/decimal sums, complete
+    mode, regardless of how long the feed runs. Drained, the maintained
+    view is certified exactly equal to the aggregate recomputed
+    directly on the final snapshot state — the streaming counterpart of
+    the batch ``snap_ivm``, and the deployment shape where the backup
+    pipeline keeps analytics views warm between snapshots instead of
+    re-scanning the lake."""
+    from blog_snapshotbackup_azuredatalake_spark.operators.snapshot import (
+        _cdc_pair,
+        _perturbed_orders,
+        _perturbed_orders_v2,
+    )
+
+    base = load_table(spark, sf_dir, "orders")
+    v1 = _perturbed_orders(spark, sf_dir).localCheckpoint(eager=False)
+    v2 = _perturbed_orders_v2(spark, sf_dir).localCheckpoint(eager=False)
+    feed = (
+        _cdc_pair(base, v1, 1)
+        .unionByName(_cdc_pair(v1, v2, 2))
+        .select("change_type", "o_orderpriority", "o_totalprice")
+    )
+    work = tempfile.mkdtemp(prefix="stream_ivm_")
+    src = f"{work}/feed_src"
+    feed.coalesce(DEMO_STATE_PARTITIONS).write.parquet(src)
+
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    sign = F.when(
+        F.col("change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    stream = spark.readStream.schema(feed.schema).parquet(src)
+    name = f"ivm_{uuid.uuid4().hex[:8]}"
+    with demo_state_partitions(spark):
+        q = (
+            stream.groupBy("o_orderpriority")
+            .agg(F.sum(sign).alias("dn"), F.sum(sign * dec).alias("drev"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    delta = spark.table(name)
+
+    def agg_of(df: DataFrame, n: str, rev: str) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias(n), F.sum(dec).alias(rev)
+        )
+
+    m = (
+        agg_of(base, "n_base", "rev_base")
+        .join(delta, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("dn", F.lit(0)).alias("dn"),
+            (
+                F.coalesce("n_base", F.lit(0)) + F.coalesce("dn", F.lit(0))
+            ).alias("n_maintained"),
+            (
+                F.coalesce(F.col("rev_base"), F.lit(0))
+                + F.coalesce(F.col("drev"), F.lit(0))
+            ).alias("rev_m"),
+        )
+        .join(agg_of(v2, "n_direct", "rev_direct"), "o_orderpriority")
+    )
+    return m.select(
+        "o_orderpriority",
+        "n_base",
+        "dn",
+        "n_maintained",
+        "n_direct",
+        F.col("rev_m").cast("double").alias("rev_maintained"),
+        F.col("rev_direct").cast("double").alias("rev_direct"),
+        (
+            (F.col("n_maintained") == F.col("n_direct"))
+            & (F.col("rev_m") == F.col("rev_direct"))
+        ).alias("is_consistent"),
+    )
+
+
 QUERIES = {
+    "stream_ivm": stream_ivm,
     "stream_hll_distinct": stream_hll_distinct,
     "stream_incr_sync": stream_incr_sync,
     "stream_enrich_static": stream_enrich_static,

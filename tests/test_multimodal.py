@@ -73,3 +73,35 @@ def test_payload_dedup_finds_shared_media(spark):
     for r in rows:
         assert r["n_distinct"] <= r["n_payloads"]
         assert r["max_group"] >= 1
+
+
+def test_audio_chunk_windows(spark):
+    from blog_snapshotbackup_azuredatalake_spark.operators.multimodal import (
+        AUDIO_CHUNK_MS,
+        AUDIO_OVERLAP_MS,
+        mm_audio_chunk,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = mm_audio_chunk(spark, SF_DIR).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    step = AUDIO_CHUNK_MS - AUDIO_OVERLAP_MS
+    for doc_id, rs in by_doc.items():
+        rs = sorted(rs, key=lambda r: r["chunk_idx"])
+        assert [r["chunk_idx"] for r in rs] == list(range(len(rs)))
+        for i, r in enumerate(rs):
+            assert r["start_ms"] == i * step
+            assert r["end_ms"] - r["start_ms"] <= AUDIO_CHUNK_MS
+            # every window past the first must add new audio
+            if i > 0:
+                assert r["end_ms"] - r["start_ms"] > AUDIO_OVERLAP_MS
+        # consecutive windows overlap by exactly AUDIO_OVERLAP_MS
+        # (a non-tail window always spans the full AUDIO_CHUNK_MS)
+        for a, b in zip(rs, rs[1:]):
+            assert a["end_ms"] - b["start_ms"] == AUDIO_OVERLAP_MS
+    # determinism
+    again = mm_audio_chunk(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -207,3 +207,14 @@ def test_stream_hll_equals_batch_sketch(spark):
     srows = sorted(stream_hll_distinct(spark, SF_DIR).collect())
     brows = sorted(sketch_hll_grouped(spark, SF_DIR).collect())
     assert srows == brows  # mergeable registers: stream ≡ batch
+
+
+def test_stream_ivm_equals_batch_ivm(spark):
+    from blog_snapshotbackup_azuredatalake_spark.operators.snapshot import snap_ivm
+    from blog_snapshotbackup_azuredatalake_spark.streaming.entries import stream_ivm
+    from tests.conftest import SF_DIR
+
+    got = sorted(tuple(r) for r in stream_ivm(spark, SF_DIR).collect())
+    want = sorted(tuple(r) for r in snap_ivm(spark, SF_DIR).collect())
+    assert got == want  # the streaming state drains to the exact batch view
+    assert all(r[-1] for r in got)  # is_consistent everywhere

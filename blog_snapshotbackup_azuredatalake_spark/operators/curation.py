@@ -660,7 +660,71 @@ FROM ranked GROUP BY source
 """
 
 
+PAD_BUCKET = 64  # pad-to-multiple granularity for bucketed batching
+
+
+def corpus_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-padding efficiency audit: how many pad tokens a trainer
+    burns per source if sequences are padded to the per-source max
+    (naive batching) vs padded to the next PAD_BUCKET multiple
+    (length-bucketed batching) — the number that justifies building a
+    length-bucketed loader. One aggregation per source computes both:
+    waste_bucketed = PAD_BUCKET·Σceil(n/PAD_BUCKET) − Σn and
+    waste_global = n_docs·max(n) − Σn, all integer-exact (ceil as
+    (n+B−1) div B, no doubles until the final saving ratio)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        F.sum(
+            F.expr(f"(n + {PAD_BUCKET - 1}) div {PAD_BUCKET}")
+        ).alias("sum_buckets"),
+        F.max("n").alias("max_tokens"),
+    )
+    wb = F.lit(PAD_BUCKET) * F.col("sum_buckets") - F.col("total_tokens")
+    wg = F.col("n_docs") * F.col("max_tokens") - F.col("total_tokens")
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "max_tokens",
+        wg.alias("waste_global"),
+        wb.alias("waste_bucketed"),
+        F.when(wg > 0, (wg - wb).cast("double") / wg.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("saving_frac"),
+    )
+
+
+_PADDING_WASTE_SQL = f"""
+WITH per_doc AS (
+  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+), agg AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(n) AS total_tokens,
+         SUM((n + {PAD_BUCKET - 1}) // {PAD_BUCKET}) AS sum_buckets,
+         MAX(n) AS max_tokens
+  FROM per_doc GROUP BY source
+)
+SELECT source, n_docs, total_tokens, max_tokens,
+       n_docs * max_tokens - total_tokens AS waste_global,
+       {PAD_BUCKET} * sum_buckets - total_tokens AS waste_bucketed,
+       CASE WHEN n_docs * max_tokens - total_tokens > 0
+            THEN CAST((n_docs * max_tokens - total_tokens)
+                      - ({PAD_BUCKET} * sum_buckets - total_tokens)
+                      AS DOUBLE)
+                 / CAST(n_docs * max_tokens - total_tokens AS DOUBLE)
+            ELSE 0.0 END AS saving_frac
+FROM agg
+"""
+
+
 QUERIES = {
+    "corpus_padding_waste": corpus_padding_waste,
     "corpus_quota_cap": corpus_quota_cap,
     "emb_dim_stats": emb_dim_stats,
     "corpus_split": corpus_split,
@@ -673,6 +737,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_padding_waste": _PADDING_WASTE_SQL,
     "corpus_quota_cap": _QUOTA_CAP_SQL,
     "emb_dim_stats": _EMB_DIM_STATS_SQL,
     "corpus_split": _CORPUS_SPLIT_SQL,

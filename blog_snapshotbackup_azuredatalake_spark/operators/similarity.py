@@ -662,7 +662,97 @@ WHERE rnk <= {TOP_K}
 """
 
 
+TRUNC_DIMS = 32
+
+
+def emb_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: how much top-k retrieval
+    quality survives if the index stores only the first TRUNC_DIMS of
+    each embedding (a 2× index-size/bandwidth cut — the question every
+    MRL-trained embedding deployment asks before truncating). Per
+    query: overlap between the exact full-dim top-5 and the
+    truncated-dim top-5, both ranked in one scan (two windows over the
+    same scored pairs). Offline-audit cost profile — the same |Q|·N
+    scan as the brute-force baseline, run once per candidate dim, not
+    per search."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            _dot_cos(F.col("q_emb"), F.col("embedding")).alias("cf"),
+            _dot_cos(
+                F.slice(F.col("q_emb"), 1, TRUNC_DIMS),
+                F.slice(F.col("embedding"), 1, TRUNC_DIMS),
+            ).alias("ct"),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("cf"), F.asc("vec_id"))
+    wt = Window.partitionBy("q_id").orderBy(F.desc("ct"), F.asc("vec_id"))
+    ranked = scored.withColumn("rf", F.row_number().over(wf)).withColumn(
+        "rt", F.row_number().over(wt)
+    )
+    return (
+        ranked.groupBy("q_id")
+        .agg(
+            F.sum(
+                ((F.col("rf") <= TOP_K) & (F.col("rt") <= TOP_K)).cast("long")
+            ).alias("n_overlap")
+        )
+        .select(
+            "q_id",
+            F.lit(TOP_K).alias("k"),
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / F.lit(float(TOP_K))).alias(
+                "overlap_frac"
+            ),
+        )
+    )
+
+
+def _trunc_cos_sql(d: int) -> str:
+    return f"""(
+  list_reduce(list_transform(range(1, {d + 1}),
+    i -> CAST(q_emb[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+    (x, y) -> x + y)
+  / (sqrt(list_reduce(list_transform(q_emb[1:{d}],
+       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+   * sqrt(list_reduce(list_transform(b.embedding[1:{d}],
+       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)))
+)"""
+
+
+_TRUNC_AUDIT_SQL = f"""
+WITH queries AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q_id, b.vec_id AS vec_id,
+         {_SQL_COS.replace("a.embedding", "q_emb")} AS cf,
+         {_trunc_cos_sql(TRUNC_DIMS)} AS ct
+  FROM queries JOIN embeddings b ON b.vec_id <> q_id
+), ranked AS (
+  SELECT q_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cf DESC, vec_id) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ct DESC, vec_id) AS rt
+  FROM scored
+)
+SELECT q_id, {TOP_K} AS k,
+       SUM(CASE WHEN rf <= {TOP_K} AND rt <= {TOP_K} THEN 1 ELSE 0 END)
+         AS n_overlap,
+       CAST(SUM(CASE WHEN rf <= {TOP_K} AND rt <= {TOP_K} THEN 1 ELSE 0 END)
+            AS DOUBLE) / {float(TOP_K)} AS overlap_frac
+FROM ranked GROUP BY q_id
+"""
+
+
 QUERIES = {
+    "emb_truncation_audit": emb_truncation_audit,
     "emb_pq_adc": emb_pq_adc,
     "ann_knn_graph": ann_knn_graph,
     "ann_topk_bruteforce": ann_topk_bruteforce,
@@ -673,6 +763,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_truncation_audit": _TRUNC_AUDIT_SQL,
     "emb_pq_adc": _PQ_ADC_SQL,
     "ann_knn_graph": _ANN_KNN_GRAPH_SQL,
     "ann_topk_bruteforce": _ANN_BRUTE_SQL,

@@ -839,7 +839,98 @@ FROM l GROUP BY event_type
 """
 
 
+_DAY_US = 86_400 * 1_000_000
+
+
+def q_events_continuous_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate refresh (the Timescale/materialized-rollup
+    shape): a per-(day, event_type) rollup was materialized from the
+    events already ingested, then a late-arriving slice (every 5th
+    event_id — out-of-order arrivals that land IN OLD day buckets, not
+    just at the tail) is folded in as a delta, and the refreshed
+    rollup is certified bucket-by-bucket against direct recomputation.
+    Decimal value sums make equality exact. At 100 TB the refresh
+    touches |late| + |buckets| rows — the same never-rescan argument as
+    snap_ivm, here keyed on event time."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(f"(ts div 1000) div {_DAY_US}").cast("bigint").alias("day"),
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("val"),
+        (F.col("event_id") % 5 == 0).alias("late"),
+    )
+
+    def roll(df: DataFrame, n: str, s: str) -> DataFrame:
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias(n), F.sum("val").alias(s)
+        )
+
+    mat = roll(ev.filter(~F.col("late")), "n_mat", "s_mat")
+    late = roll(ev.filter(F.col("late")), "n_late", "s_late")
+    combined = mat.join(late, ["day", "event_type"], "full_outer").select(
+        "day",
+        "event_type",
+        F.coalesce("n_mat", F.lit(0)).alias("n_mat"),
+        F.coalesce("n_late", F.lit(0)).alias("n_late"),
+        (
+            F.coalesce("n_mat", F.lit(0)) + F.coalesce("n_late", F.lit(0))
+        ).alias("n_total"),
+        (
+            F.coalesce(F.col("s_mat"), F.lit(0))
+            + F.coalesce(F.col("s_late"), F.lit(0))
+        ).alias("s_total"),
+    )
+    direct = roll(ev, "n_direct", "s_direct")
+    out = combined.join(direct, ["day", "event_type"])
+    return out.select(
+        "day",
+        "event_type",
+        "n_mat",
+        "n_late",
+        "n_total",
+        "n_direct",
+        F.col("s_total").cast("double").alias("sum_total"),
+        F.col("s_direct").cast("double").alias("sum_direct"),
+        (
+            (F.col("n_total") == F.col("n_direct"))
+            & (F.col("s_total") == F.col("s_direct"))
+        ).alias("is_consistent"),
+    )
+
+
+_Q_CONT_AGG_SQL = f"""
+WITH ev AS (
+  SELECT CAST(epoch_ns(ts) // 1000 // {_DAY_US} AS BIGINT) AS day,
+         event_type,
+         CAST(value AS DECIMAL(18,6)) AS val,
+         event_id % 5 = 0 AS late
+  FROM events
+), mat AS (
+  SELECT day, event_type, COUNT(*) AS n_mat, SUM(val) AS s_mat
+  FROM ev WHERE NOT late GROUP BY day, event_type
+), late_agg AS (
+  SELECT day, event_type, COUNT(*) AS n_late, SUM(val) AS s_late
+  FROM ev WHERE late GROUP BY day, event_type
+), combined AS (
+  SELECT day, event_type,
+         COALESCE(n_mat, 0) AS n_mat,
+         COALESCE(n_late, 0) AS n_late,
+         COALESCE(n_mat, 0) + COALESCE(n_late, 0) AS n_total,
+         COALESCE(s_mat, 0) + COALESCE(s_late, 0) AS s_total
+  FROM mat FULL OUTER JOIN late_agg USING (day, event_type)
+), direct AS (
+  SELECT day, event_type, COUNT(*) AS n_direct, SUM(val) AS s_direct
+  FROM ev GROUP BY day, event_type
+)
+SELECT day, event_type, n_mat, n_late, n_total, n_direct,
+       CAST(s_total AS DOUBLE) AS sum_total,
+       CAST(s_direct AS DOUBLE) AS sum_direct,
+       (n_total = n_direct AND s_total = s_direct) AS is_consistent
+FROM combined JOIN direct USING (day, event_type)
+"""
+
+
 QUERIES = {
+    "q_events_continuous_agg": q_events_continuous_agg,
     "q_events_disorder": q_events_disorder,
     "q_events_markov": q_events_markov,
     "q_cube_orders": q_cube_orders,
@@ -861,6 +952,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_events_continuous_agg": _Q_CONT_AGG_SQL,
     "q_events_disorder": _Q_DISORDER_SQL,
     "q_events_markov": _Q_MARKOV_SQL,
     "q_cube_orders": _Q_CUBE_SQL,

@@ -218,3 +218,58 @@ def test_stream_ivm_equals_batch_ivm(spark):
     want = sorted(tuple(r) for r in snap_ivm(spark, SF_DIR).collect())
     assert got == want  # the streaming state drains to the exact batch view
     assert all(r[-1] for r in got)  # is_consistent everywhere
+
+
+def test_stateful_state_survives_restart(spark, tmp_path):
+    """Checkpoint recovery of AGGREGATION STATE (not just source
+    offsets): drain half the input, stop the query, land the rest,
+    restart on the same checkpoint — the recovered state must continue
+    accumulating, and the final drained sketch must equal the batch
+    sketch over everything."""
+    import uuid
+
+    from pyspark.sql import functions as F  # noqa: F811
+    from blog_snapshotbackup_azuredatalake_spark.operators.sketch import cms_cells
+    from blog_snapshotbackup_azuredatalake_spark.streaming.entries import (
+        demo_state_partitions,
+    )
+
+    events = load_table(spark, SF_DIR, "events").select(
+        F.col("user_id").cast("string").alias("v")
+    )
+    src = tmp_path / "cms_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    events.filter(F.crc32(F.col("v")) % 2 == 0).coalesce(2).write.parquet(
+        str(src / "b0")
+    )
+
+    def drain() -> str:
+        name = f"cmsr_{uuid.uuid4().hex[:8]}"
+        stream = spark.readStream.schema("v string").parquet(f"{src}/*")
+        with demo_state_partitions(spark):
+            q = (
+                cms_cells(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return name
+
+    drain()  # first run consumes b0, checkpoints its state, stops
+    events.filter(F.crc32(F.col("v")) % 2 == 1).coalesce(2).write.parquet(
+        str(src / "b1")
+    )
+    name = drain()  # restart: recovered state + b1 only
+
+    got = {
+        (r["j"], r["bucket"]): r["cnt"] for r in spark.table(name).collect()
+    }
+    want = {
+        (r["j"], r["bucket"]): r["cnt"] for r in cms_cells(events).collect()
+    }
+    assert got == want

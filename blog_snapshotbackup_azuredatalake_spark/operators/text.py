@@ -840,7 +840,97 @@ FROM per_doc GROUP BY source
 """
 
 
+BPE_MERGES = 16
+_BPE_EOW = "</w>"
+
+
+def _bpe_train(freqs: list[tuple[str, int]], n_merges: int):
+    """Classic BPE merge training on a (word, freq) table — fastBPE's
+    architecture: the corpus-scale work is aggregating the frequency
+    table; training itself runs on that table, whose size is the
+    VOCABULARY, not the corpus. Ties break on the lexicographically
+    smallest pair so the merge sequence is fully deterministic."""
+    seqs = {w: tuple(list(w) + [_BPE_EOW]) for w, _ in freqs}
+    freq = dict(freqs)
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, seq in seqs.items():
+            f = freq[w]
+            for a, b in zip(seq, seq[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        merges.append(best)
+        merged = best[0] + best[1]
+        for w, seq in seqs.items():
+            out = []
+            i = 0
+            while i < len(seq):
+                if i + 1 < len(seq) and (seq[i], seq[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seqs[w] = tuple(out)
+    return merges, seqs
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE tokenizer on the corpus and measure what it buys:
+    the Spark-shaped version of fastBPE/GPT-2 tokenizer training. The
+    corpus contributes ONE aggregation (the word-frequency table — the
+    only step whose cost grows with data size; its output is
+    vocabulary-sized); the merge loop runs on that table driver-side
+    (iterative, so rows-only); the learned segmentation broadcasts
+    back and joins the token stream once for per-source stats.
+
+    Output per source: whitespace tokens, chars, BPE tokens under the
+    learned merges, and the chars-per-BPE-token compression — the
+    number a tokenizer bake-off actually compares. At 100 TB the
+    frequency table for a real corpus is millions of rows (still
+    driver-feasible — this is how fastBPE and SentencePiece train);
+    everything corpus-sized stays in the two Spark passes."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "source", F.explode_outer(_tokens()).alias("w")
+    ).filter(F.col("w") != "")
+    freqs = [
+        (r["w"], r["f"])
+        for r in toked.groupBy("w").agg(F.count(F.lit(1)).alias("f")).collect()
+    ]
+    freqs.sort()
+    merges, seqs = _bpe_train(freqs, BPE_MERGES)
+    seg = spark.createDataFrame(
+        [(w, len(seq)) for w, seq in sorted(seqs.items())],
+        "w string, n_bpe int",
+    )
+    return (
+        toked.join(F.broadcast(seg), "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_ws_tokens"),
+            F.sum(F.length("w")).alias("total_chars"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+        )
+        .select(
+            "source",
+            "total_ws_tokens",
+            "total_chars",
+            "total_bpe_tokens",
+            F.lit(len(merges)).alias("n_merges"),
+            (
+                F.col("total_chars").cast("double")
+                / F.col("total_bpe_tokens").cast("double")
+            ).alias("chars_per_bpe_token"),
+        )
+    )
+
+
 QUERIES = {
+    "text_bpe_train": text_bpe_train,
     "text_ngram_lm": text_ngram_lm,
     "text_tfidf_keywords": text_tfidf_keywords,
     "text_tokencount": text_tokencount,

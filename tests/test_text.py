@@ -6,7 +6,7 @@ from blog_snapshotbackup_azuredatalake_spark.operators import text
 from tests.conftest import SF_DIR, assert_matches_oracle
 
 
-@pytest.mark.parametrize("name", sorted(text.QUERIES))
+@pytest.mark.parametrize("name", sorted(text.ORACLES))
 def test_text_matches_oracle(spark, ddb, name):
     df = text.QUERIES[name](spark, SF_DIR)
     assert_matches_oracle(df, ddb, text.ORACLES[name])
@@ -43,3 +43,21 @@ def test_ngram_lm_bounds(spark):
         assert 0 <= r["low_quality_docs"] <= r["n_docs"]
         # fixed-point mass consistent with the bucket scale
         assert r["total_score_fp"] <= text.LM_SCALE * r["total_bigrams"]
+
+
+def test_bpe_train_semantics(spark):
+    # toy corpus: 'ab' appears often → ('a','b') must merge early
+    merges, seqs = text._bpe_train([("abab", 10), ("ac", 1)], 4)
+    assert ("a", "b") in merges[:2]
+    assert all(isinstance(s, tuple) for s in seqs.values())
+    # corpus run: BPE compresses (fewer BPE tokens than chars), is
+    # deterministic, and never beats 1 token/char the wrong way
+    rows = text.text_bpe_train(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["total_bpe_tokens"] <= r["total_chars"]
+        assert r["total_bpe_tokens"] >= r["total_ws_tokens"]  # ≥1 per word
+        assert r["chars_per_bpe_token"] >= 1.0
+        assert r["n_merges"] == text.BPE_MERGES
+    again = text.text_bpe_train(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

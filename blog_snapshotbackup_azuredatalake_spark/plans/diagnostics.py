@@ -186,6 +186,30 @@ def diag_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("snap_incr_watermark", "watermark_bound_pushed",
          "GreaterThan(ts" in pw)
     )
+    from blog_snapshotbackup_azuredatalake_spark.operators.similarity import (
+        ann_topk_ivf,
+        emb_pq_adc,
+    )
+    from blog_snapshotbackup_azuredatalake_spark.operators.text import (
+        text_ngram_lm,
+    )
+
+    pivf = plan_of(ann_topk_ivf(spark, sf_dir))
+    checks.append(
+        ("ann_topk_ivf", "coarse_assign_is_map_only",
+         "array_min" in pivf and "SortMergeJoin" not in pivf)
+    )
+    ppq = plan_of(emb_pq_adc(spark, sf_dir))
+    checks.append(
+        ("emb_pq_adc", "literal_codebook_no_shuffled_cartesian",
+         "array_min" in ppq and "CartesianProduct" not in ppq
+         and "SortMergeJoin" not in ppq)
+    )
+    plm = plan_of(text_ngram_lm(spark, sf_dir))
+    checks.append(
+        ("text_ngram_lm", "lm_model_broadcasts",
+         "BroadcastHashJoin" in plm)
+    )
     return spark.createDataFrame(
         checks, "query string, plan_property string, ok boolean"
     )

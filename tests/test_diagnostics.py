@@ -25,5 +25,5 @@ def test_plan_audit_all_green(spark):
     from blog_snapshotbackup_azuredatalake_spark.plans import diagnostics
 
     rows = diagnostics.diag_plan_audit(spark, SF_DIR).collect()
-    assert len(rows) == 4
+    assert len(rows) >= 7
     assert all(r["ok"] for r in rows), rows

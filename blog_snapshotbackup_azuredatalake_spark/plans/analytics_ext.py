@@ -929,7 +929,58 @@ FROM combined JOIN direct USING (day, event_type)
 """
 
 
+def q_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth: yearly totals (decimal-exact),
+    then a lag window over the AGGREGATED series — the window runs on
+    |years| rows, so the single-partition global sort that would be a
+    red flag on raw data is free here (aggregate first, window the
+    aggregate; the raw table meets only one hash shuffle). Growth is a
+    double division of two exact decimals — bit-portable."""
+    orders = load_table(spark, sf_dir, "orders")
+    yearly = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev"),
+    )
+    w = Window.orderBy("o_year")
+    return (
+        yearly.withColumn("prev_rev", F.lag("rev").over(w))
+        .select(
+            "o_year",
+            "n_orders",
+            F.col("rev").cast("double").alias("revenue"),
+            F.col("prev_rev").cast("double").alias("prev_revenue"),
+            (
+                (F.col("rev").cast("double") - F.col("prev_rev").cast("double"))
+                / F.col("prev_rev").cast("double")
+            ).alias("yoy_growth"),
+        )
+    )
+
+
+_Q_YOY_SQL = """
+WITH yearly AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+  FROM orders GROUP BY o_year
+), lagged AS (
+  SELECT o_year, n_orders, rev,
+         LAG(rev) OVER (ORDER BY o_year) AS prev_rev
+  FROM yearly
+)
+SELECT o_year, n_orders,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(prev_rev AS DOUBLE) AS prev_revenue,
+       (CAST(rev AS DOUBLE) - CAST(prev_rev AS DOUBLE))
+         / CAST(prev_rev AS DOUBLE) AS yoy_growth
+FROM lagged
+"""
+
+
 QUERIES = {
+    "q_revenue_yoy": q_revenue_yoy,
     "q_events_continuous_agg": q_events_continuous_agg,
     "q_events_disorder": q_events_disorder,
     "q_events_markov": q_events_markov,
@@ -952,6 +1003,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_revenue_yoy": _Q_YOY_SQL,
     "q_events_continuous_agg": _Q_CONT_AGG_SQL,
     "q_events_disorder": _Q_DISORDER_SQL,
     "q_events_markov": _Q_MARKOV_SQL,

@@ -605,6 +605,131 @@ QUALIFY rank <= {EMB_DIM_TOPK}
 """
 
 
+def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension whitening (standardization) of the embedding
+    corpus — the preprocessing that makes cosine/L2 comparable across
+    dims when a model ships anisotropic embeddings (the condition
+    emb_dim_stats diagnoses; this op fixes it). Two corpus passes: one
+    d-cell moment aggregation (mean/σ per dim), then a map-side
+    standardize against the broadcast 64-row stats table, re-aggregated
+    into a self-certifying report — whitened mean ≡ 0 and variance ≡ 1
+    per dim to double precision. Dead dims (σ=0) pass through
+    unscaled rather than dividing by zero. Decimal-exact sums keep the
+    certificate layout-independent (SURVEY.md §4)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(F.posexplode("embedding").alias("dim", "x")).select(
+        "dim", F.col("x").cast("double").alias("x")
+    )
+    # moments via fixed-point floors, not decimal casts: double→decimal
+    # of arbitrary doubles rounds differently in Spark (shortest-string)
+    # vs DuckDB (exact expansion); floor(x·2³⁰) of identical doubles is
+    # identical everywhere, and the ≤2⁻³⁰ bias is irrelevant to a
+    # whitening transform
+    mfp = 1 << 30
+    per_dim = dims.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("x") * mfp).cast("bigint")).alias("sx_fp"),
+        F.sum(
+            F.floor(F.col("x") * F.col("x") * mfp).cast("bigint")
+        ).alias("sx2_fp"),
+    )
+    mnfp = (F.col("n") * mfp).cast("double")
+    mu_c = F.col("sx_fp").cast("double") / mnfp
+    stats = per_dim.select(
+        "dim",
+        "n",
+        mu_c.alias("mu"),
+        F.sqrt(
+            F.col("sx2_fp").cast("double") / mnfp - mu_c * mu_c
+        ).alias("sigma"),
+    )
+    safe_sigma = F.when(F.col("sigma") > 0, F.col("sigma")).otherwise(
+        F.lit(1.0)
+    )
+    whitened = dims.join(F.broadcast(stats), "dim").select(
+        "dim", ((F.col("x") - F.col("mu")) / safe_sigma).alias("wx")
+    )
+    # certificate sums are fixed-point floors, NOT decimal casts: a
+    # double→decimal cast of an arbitrary quotient rounds differently
+    # in Spark (shortest-string) vs DuckDB (exact expansion) at the
+    # scale boundary, while floor(x·2²⁰) of identical doubles is
+    # identical everywhere — the LM/PQ quantization pattern
+    fp = 1 << 20
+    wagg = whitened.groupBy("dim").agg(
+        F.sum(F.floor(F.col("wx") * fp).cast("bigint")).alias("swx_fp"),
+        F.sum(
+            F.floor(F.col("wx") * F.col("wx") * fp).cast("bigint")
+        ).alias("swx2_fp"),
+    )
+    nfp = (F.col("n") * fp).cast("double")
+    mean_w = F.col("swx_fp").cast("double") / nfp
+    var_w = F.col("swx2_fp").cast("double") / nfp - mean_w * mean_w
+    return (
+        stats.join(wagg, "dim")
+        .select(
+            "dim",
+            "n",
+            "mu",
+            "sigma",
+            mean_w.alias("mean_w"),
+            var_w.alias("var_w"),
+        )
+        .select(
+            "*",
+            (
+                (F.abs(F.col("mean_w")) < 1e-4)
+                & (
+                    (F.abs(F.col("var_w") - 1.0) < 1e-3)
+                    | (F.col("sigma") == 0)
+                )
+            ).alias("well_conditioned"),
+        )
+    )
+
+
+_EMB_WHITEN_SQL = """
+WITH dims AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), per_dim AS (
+  SELECT dim, COUNT(*) AS n,
+         SUM(CAST(floor(x * 1073741824) AS BIGINT)) AS sx_fp,
+         SUM(CAST(floor(x * x * 1073741824) AS BIGINT)) AS sx2_fp
+  FROM dims GROUP BY dim
+), stats AS (
+  SELECT dim, n,
+         CAST(sx_fp AS DOUBLE) / CAST(n * 1073741824 AS DOUBLE) AS mu,
+         sqrt(CAST(sx2_fp AS DOUBLE) / CAST(n * 1073741824 AS DOUBLE)
+              - (CAST(sx_fp AS DOUBLE) / CAST(n * 1073741824 AS DOUBLE))
+                * (CAST(sx_fp AS DOUBLE) / CAST(n * 1073741824 AS DOUBLE)))
+           AS sigma
+  FROM per_dim
+), whitened AS (
+  SELECT d.dim,
+         (x - mu) / (CASE WHEN sigma > 0 THEN sigma ELSE 1.0 END) AS wx
+  FROM dims d JOIN stats USING (dim)
+), wagg AS (
+  SELECT dim,
+         SUM(CAST(floor(wx * 1048576) AS BIGINT)) AS swx_fp,
+         SUM(CAST(floor(wx * wx * 1048576) AS BIGINT)) AS swx2_fp
+  FROM whitened GROUP BY dim
+)
+SELECT s.dim, n, mu, sigma,
+       CAST(swx_fp AS DOUBLE) / CAST(n * 1048576 AS DOUBLE) AS mean_w,
+       CAST(swx2_fp AS DOUBLE) / CAST(n * 1048576 AS DOUBLE)
+         - (CAST(swx_fp AS DOUBLE) / CAST(n * 1048576 AS DOUBLE))
+           * (CAST(swx_fp AS DOUBLE) / CAST(n * 1048576 AS DOUBLE)) AS var_w,
+       (abs(CAST(swx_fp AS DOUBLE) / CAST(n * 1048576 AS DOUBLE)) < 1e-4
+        AND (abs(CAST(swx2_fp AS DOUBLE) / CAST(n * 1048576 AS DOUBLE)
+                 - (CAST(swx_fp AS DOUBLE) / CAST(n * 1048576 AS DOUBLE))
+                   * (CAST(swx_fp AS DOUBLE) / CAST(n * 1048576 AS DOUBLE))
+                 - 1.0) < 1e-3
+             OR sigma = 0)) AS well_conditioned
+FROM stats s JOIN wagg w ON s.dim = w.dim
+"""
+
+
 QUOTA_N = 16  # max docs kept per source
 
 
@@ -724,6 +849,7 @@ FROM agg
 
 
 QUERIES = {
+    "emb_whiten": emb_whiten,
     "corpus_padding_waste": corpus_padding_waste,
     "corpus_quota_cap": corpus_quota_cap,
     "emb_dim_stats": emb_dim_stats,
@@ -737,6 +863,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_whiten": _EMB_WHITEN_SQL,
     "corpus_padding_waste": _PADDING_WASTE_SQL,
     "corpus_quota_cap": _QUOTA_CAP_SQL,
     "emb_dim_stats": _EMB_DIM_STATS_SQL,

@@ -929,7 +929,56 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COMPRESS_FP = 10_000  # fixed-point scale for compression ratios
+COMPRESS_BOILERPLATE_FP = 3_000  # ratio < 0.30 ⇒ highly repetitive
+
+
+def text_compress_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (the Gopher/CCNet heuristic):
+    highly compressible text is repetitive boilerplate, nearly
+    incompressible text is noise — the cheap single-number filter
+    production pipelines run beside the stopword/length heuristics.
+    zlib runs in an Arrow-batched pandas UDF (the documented slow-path
+    pattern: no SQL equivalent exists, so this is exactly the kind of
+    kernel that belongs in Python); each doc yields an integer
+    fixed-point ratio so every aggregate is an exact BIGINT sum —
+    layout-independent like the LM scores. Rows-only: no zlib in SQL
+    engines."""
+    import zlib
+
+    import pandas as pd
+
+    @F.pandas_udf("long")
+    def zratio_fp(texts):
+        def one(t: str) -> int:
+            raw = t.encode("utf-8")
+            if not raw:
+                return COMPRESS_FP
+            return len(zlib.compress(raw, 6)) * COMPRESS_FP // len(raw)
+
+        return texts.map(one)
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source", zratio_fp(F.col("text")).alias("ratio_fp")
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ratio_fp").alias("sum_ratio_fp"),
+        (
+            F.sum("ratio_fp").cast("double")
+            / (F.lit(COMPRESS_FP) * F.count(F.lit(1))).cast("double")
+        ).alias("avg_compress_ratio"),
+        F.sum(
+            (F.col("ratio_fp") < COMPRESS_BOILERPLATE_FP).cast("long")
+        ).alias("boilerplate_docs"),
+        F.min("ratio_fp").alias("min_ratio_fp"),
+        F.max("ratio_fp").alias("max_ratio_fp"),
+    )
+
+
 QUERIES = {
+    "text_compress_quality": text_compress_quality,
     "text_bpe_train": text_bpe_train,
     "text_ngram_lm": text_ngram_lm,
     "text_tfidf_keywords": text_tfidf_keywords,

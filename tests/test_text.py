@@ -61,3 +61,41 @@ def test_bpe_train_semantics(spark):
         assert r["n_merges"] == text.BPE_MERGES
     again = text.text_bpe_train(spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_compress_quality_bounds(spark):
+    rows = text.text_compress_quality(spark, SF_DIR).collect()
+    assert rows and sum(r["n_docs"] for r in rows) == 500
+    for r in rows:
+        # space-separated 31-word vocab text compresses hard
+        assert 0.0 < r["avg_compress_ratio"] < 1.0
+        assert r["min_ratio_fp"] <= r["max_ratio_fp"]
+        assert 0 <= r["boilerplate_docs"] <= r["n_docs"]
+    again = text.text_compress_quality(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_bpe_train_properties():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.lists(
+        st.tuples(st.text(alphabet="abcd", min_size=1, max_size=6),
+                  st.integers(min_value=1, max_value=50)),
+        min_size=1, max_size=12, unique_by=lambda t: t[0],
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(words)
+    def prop(freqs):
+        merges, seqs = text._bpe_train(sorted(freqs), 8)
+        for w, seq in seqs.items():
+            # segmentation always reconstructs the word + end marker
+            assert "".join(seq) == w + text._BPE_EOW
+            # merging never lengthens a sequence
+            assert len(seq) <= len(w) + 1
+        # deterministic
+        merges2, seqs2 = text._bpe_train(sorted(freqs), 8)
+        assert merges == merges2 and seqs == seqs2
+
+    prop()

@@ -191,11 +191,15 @@ def emb_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return best.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_members"),
-        # decimal pre-agg: double SUM is association-order-dependent and
-        # the engines fold in different orders (SURVEY.md §4)
-        F.sum(F.col("best_cos").cast("decimal(18,12)"))
-        .cast("double")
-        .alias("sum_cos"),
+        # fixed-point pre-agg: exact, order-independent, AND portable —
+        # a decimal cast of an arbitrary cosine double rounds
+        # differently in Spark vs DuckDB at the scale boundary
+        # (SURVEY.md §4)
+        (
+            F.sum(F.floor(F.col("best_cos") * (1 << 30)).cast("bigint"))
+            .cast("double")
+            / F.lit(float(1 << 30))
+        ).alias("sum_cos"),
         F.count_distinct("label").alias("n_labels"),
     )
 
@@ -216,7 +220,8 @@ WITH centroids AS (
   WHERE rn = 1
 )
 SELECT centroid_id, COUNT(*) AS n_members,
-       CAST(SUM(CAST(best_cos AS DECIMAL(18,12))) AS DOUBLE) AS sum_cos,
+       CAST(SUM(CAST(floor(best_cos * 1073741824) AS BIGINT)) AS DOUBLE)
+         / 1073741824.0 AS sum_cos,
        COUNT(DISTINCT label) AS n_labels
 FROM best GROUP BY centroid_id
 """.format(
@@ -548,28 +553,35 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominant-dimension audit run before trusting cosine distances on a
     new embedding model. Scale shape: posexplode keys the shuffle by
     dim, so the reduce state is d cells regardless of corpus size
-    (partial aggs collapse map-side). Sums are decimal-exact at scale
-    10 (unscaled values stay < 2^53, so the decimal→double conversion
-    is exact in both engines — higher scales silently double-round in
-    DuckDB); the variance arithmetic then runs in doubles with
-    identical association both sides."""
+    (partial aggs collapse map-side). Moments are fixed-point floor
+    sums (floor(x·2³⁰) BIGINTs): exact, order-independent, and — unlike
+    a decimal cast of an arbitrary double — rounded identically by
+    both engines (SURVEY.md §4); the variance arithmetic then runs in
+    doubles with identical association both sides."""
     emb = load_table(spark, sf_dir, "embeddings")
     dims = emb.select(F.posexplode("embedding").alias("dim", "x")).select(
         "dim", F.col("x").cast("double").alias("x")
     )
+    # fixed-point floors, not decimal casts (SURVEY.md §4): exact
+    # integer sums that round identically in both engines even for
+    # arbitrary doubles; ≤2⁻³⁰ bias is noise for a variance audit
+    mfp = 1 << 30
     per_dim = dims.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("x").cast("decimal(28,10)")).alias("sx"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(28,10)")).alias("sx2"),
+        F.sum(F.floor(F.col("x") * mfp).cast("bigint")).alias("sx_fp"),
+        F.sum(
+            F.floor(F.col("x") * F.col("x") * mfp).cast("bigint")
+        ).alias("sx2_fp"),
     )
-    sxd = F.col("sx").cast("double")
-    sx2d = F.col("sx2").cast("double")
-    n = F.col("n")
+    nfp = (F.col("n") * mfp).cast("double")
+    mean_c = F.col("sx_fp").cast("double") / nfp
     stats = per_dim.select(
         "dim",
         "n",
-        (sxd / n).alias("mean"),
-        ((sx2d - sxd * sxd / n) / n).alias("variance"),
+        mean_c.alias("mean"),
+        (
+            F.col("sx2_fp").cast("double") / nfp - mean_c * mean_c
+        ).alias("variance"),
     )
     from pyspark.sql import Window
 
@@ -588,14 +600,16 @@ WITH dims AS (
   FROM embeddings
 ), per_dim AS (
   SELECT dim, COUNT(*) AS n,
-         SUM(CAST(x AS DECIMAL(28,10))) AS sx,
-         SUM(CAST(x * x AS DECIMAL(28,10))) AS sx2
+         SUM(CAST(floor(x * 1073741824) AS BIGINT)) AS sx_fp,
+         SUM(CAST(floor(x * x * 1073741824) AS BIGINT)) AS sx2_fp
   FROM dims GROUP BY dim
 ), stats AS (
   SELECT dim, n,
-         CAST(sx AS DOUBLE) / n AS mean,
-         (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-           / n AS variance
+         CAST(sx_fp AS DOUBLE) / CAST(n * 1073741824 AS DOUBLE) AS mean,
+         CAST(sx2_fp AS DOUBLE) / CAST(n * 1073741824 AS DOUBLE)
+           - (CAST(sx_fp AS DOUBLE) / CAST(n * 1073741824 AS DOUBLE))
+             * (CAST(sx_fp AS DOUBLE) / CAST(n * 1073741824 AS DOUBLE))
+           AS variance
   FROM per_dim
 )
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY variance DESC, dim) AS INT) AS rank,

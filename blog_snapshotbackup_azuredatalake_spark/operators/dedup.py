@@ -821,7 +821,91 @@ FROM per_doc GROUP BY source
 """
 
 
+def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-configuration calibration: measure, as data, what the
+    16-perm/8-band MinHash index actually buys — candidate volume,
+    recall, and precision against brute-force ground truth. The n²
+    all-pairs Jaccard is EXPLICITLY the certificate side (run at audit
+    scale to pick band counts, never on the production path — the same
+    exact-companion pattern as the sketch certificates); the candidate
+    and verified sides are exactly the production operators, so the
+    audited numbers are the deployed numbers. One row out: recall is
+    the escalate-or-not signal (more bands) and precision prices the
+    verify join."""
+    docs = grams_for(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=True)
+    bands = mh_bands(docs)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band_id", "band_hash"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    hits = minhash_pairs(docs)  # candidates that verify ≥ threshold
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    truth = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    counts = (
+        docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_true_pairs")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+    )
+    h, t, c = (
+        F.col("n_hits").cast("double"),
+        F.col("n_true_pairs"),
+        F.col("n_candidates"),
+    )
+    return counts.select(
+        "n_docs",
+        "n_candidates",
+        "n_true_pairs",
+        "n_hits",
+        F.when(t > 0, h / t.cast("double")).otherwise(F.lit(1.0)).alias(
+            "recall"
+        ),
+        F.when(c > 0, h / c.cast("double")).otherwise(F.lit(1.0)).alias(
+            "precision"
+        ),
+    )
+
+
+_LSH_CALIBRATION_SQL = f"""
+WITH {sql_minhash_pair_ctes()},
+truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
+)
+SELECT (SELECT COUNT(*) FROM sh) AS n_docs,
+       (SELECT COUNT(*) FROM cand) AS n_candidates,
+       (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+       (SELECT COUNT(*) FROM pairs) AS n_hits,
+       CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+            THEN CAST((SELECT COUNT(*) FROM pairs) AS DOUBLE)
+                 / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE)
+            ELSE 1.0 END AS recall,
+       CASE WHEN (SELECT COUNT(*) FROM cand) > 0
+            THEN CAST((SELECT COUNT(*) FROM pairs) AS DOUBLE)
+                 / CAST((SELECT COUNT(*) FROM cand) AS DOUBLE)
+            ELSE 1.0 END AS precision
+"""
+
+
 QUERIES = {
+    "dedup_lsh_calibration": dedup_lsh_calibration,
     "dedup_substring": dedup_substring,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -832,6 +916,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_lsh_calibration": _LSH_CALIBRATION_SQL,
     "dedup_substring": _DEDUP_SUBSTRING_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,

@@ -862,7 +862,103 @@ FROM agg
 """
 
 
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: the numbers a released corpus documents —
+    size (docs / sources / chars / whitespace tokens), exact-duplicate
+    rate, labeled-language breadth, and the train/val/test sizes the
+    hash split produces. Composes the split rule and the exact-dedup
+    hash group into a single statement (two scans: one doc-level pass,
+    one 16-byte-hash group), so the card is always consistent with the
+    operators it summarizes — no drift between documentation and
+    pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    slot = _hash60(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(slot < TRAIN_PCT, F.lit("train"))
+        .when(slot < TRAIN_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_toks"),
+        F.md5("text").alias("content_md5"),
+        split.alias("split"),
+    )
+    dup_docs = (
+        per_doc.groupBy("content_md5")
+        .agg(F.count(F.lit(1)).alias("copies"))
+        .agg(
+            F.sum(F.col("copies") - 1).alias("exact_dup_docs"),
+        )
+    )
+    card = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_toks").alias("total_ws_tokens"),
+        F.sum((F.col("split") == "train").cast("long")).alias("train_docs"),
+        F.sum((F.col("split") == "val").cast("long")).alias("val_docs"),
+        F.sum((F.col("split") == "test").cast("long")).alias("test_docs"),
+    )
+    return card.crossJoin(dup_docs).select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "total_chars",
+        "total_ws_tokens",
+        "train_docs",
+        "val_docs",
+        "test_docs",
+        "exact_dup_docs",
+        (
+            F.col("exact_dup_docs").cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("exact_dup_rate"),
+    )
+
+
+def _dataset_card_sql() -> str:
+    h = (
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
+        " AS BIGINT) % 100"
+    )
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id, source, lang, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         md5(text) AS content_md5,
+         CASE WHEN {h} < {TRAIN_PCT} THEN 'train'
+              WHEN {h} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), dup AS (
+  SELECT SUM(copies - 1) AS exact_dup_docs
+  FROM (SELECT COUNT(*) AS copies FROM per_doc GROUP BY content_md5)
+), card AS (
+  SELECT COUNT(*) AS n_docs,
+         COUNT(DISTINCT source) AS n_sources,
+         COUNT(DISTINCT lang) AS n_langs,
+         SUM(n_chars) AS total_chars,
+         SUM(n_toks) AS total_ws_tokens,
+         SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS train_docs,
+         SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS val_docs,
+         SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS test_docs
+  FROM per_doc
+)
+SELECT n_docs, n_sources, n_langs, total_chars, total_ws_tokens,
+       train_docs, val_docs, test_docs, exact_dup_docs,
+       CAST(exact_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         AS exact_dup_rate
+FROM card, dup
+"""
+
+
 QUERIES = {
+    "corpus_dataset_card": corpus_dataset_card,
     "emb_whiten": emb_whiten,
     "corpus_padding_waste": corpus_padding_waste,
     "corpus_quota_cap": corpus_quota_cap,
@@ -877,6 +973,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_dataset_card": _dataset_card_sql(),
     "emb_whiten": _EMB_WHITEN_SQL,
     "corpus_padding_waste": _PADDING_WASTE_SQL,
     "corpus_quota_cap": _QUOTA_CAP_SQL,

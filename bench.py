@@ -1,8 +1,15 @@
 """Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) and print ONE JSON line:
+(default /root/testdata/sf0.1).
 
-    {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+Output contract: the driver keeps only a bounded tail of stdout, so the
+LAST line must be a SHORT summary JSON (<200 bytes) —
+
+    {"metric": "...", "value": <total sec>, "unit": "sec", "sf": 0.1,
+     "queries": {...top-5 slowest only...}}
+
+The full per-query timing map (131 entries, ~4 KB — what overflowed the
+driver tail in round 1) is printed on an EARLIER stdout line and written
+to bench_timings.json next to this script.
 
 Each query is forced with a noop-format write so the full plan executes
 (scan → shuffle → sink) without driver-side collect overhead — the same
@@ -55,14 +62,33 @@ def main() -> None:
             timings[name] = -1.0
             print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
 
+    full = {
+        "metric": "total wall-clock over all registered queries",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failed": sum(1 for v in timings.values() if v < 0),
+    }
+    # full map first (earlier line + sidecar file), short summary LAST
+    print(json.dumps(full))
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_timings.json"
+    )
+    with open(sidecar, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+    top5 = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    )
     print(
         json.dumps(
             {
-                "metric": "total wall-clock over all registered queries",
+                "metric": "total_sec_all_queries",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "queries": top5,
             }
         )
     )

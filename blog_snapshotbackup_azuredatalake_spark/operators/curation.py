@@ -70,7 +70,8 @@ WITH assigned AS (
          END AS split
   FROM documents
 )
-SELECT source, split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+SELECT source, split, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM assigned GROUP BY source, split
 """
 
@@ -343,9 +344,9 @@ _SAMPLE_STRATIFIED_SQL = f"""
 SELECT source,
        CAST({_H60.format(x="source")} % 60 + 20 AS INT) AS rate_pct,
        COUNT(*) AS n_docs,
-       SUM(CASE WHEN {_H60.format(x="CAST(doc_id AS VARCHAR)")} % 100
-                     < {_H60.format(x="source")} % 60 + 20
-                THEN 1 ELSE 0 END) AS n_kept
+       CAST(SUM(CASE WHEN {_H60.format(x="CAST(doc_id AS VARCHAR)")} % 100
+                          < {_H60.format(x="source")} % 60 + 20
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM documents
 GROUP BY source
 """
@@ -449,9 +450,9 @@ thr2 AS (SELECT *,
                            / CAST(n_docs AS DOUBLE)) AS BIGINT) AS thresh
          FROM thr)
 SELECT t.source, t.n_docs, t.weight, t.target_n,
-       SUM(CASE WHEN {_H60.format(x="CAST(doc_id AS VARCHAR)")}
-                     % {MIX_SLOTS} < t.thresh
-                THEN 1 ELSE 0 END) AS n_kept
+       CAST(SUM(CASE WHEN {_H60.format(x="CAST(doc_id AS VARCHAR)")}
+                          % {MIX_SLOTS} < t.thresh
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM documents d JOIN thr2 t ON d.source = t.source
 GROUP BY t.source, t.n_docs, t.weight, t.target_n
 """
@@ -537,9 +538,11 @@ WITH toks AS (
                   THEN 1 ELSE 0 END) AS n_boundary_docs
   FROM pos GROUP BY source, shard
 )
-SELECT source, SUM(n_docs) AS n_docs, SUM(shard_tokens) AS total_tokens,
-       SUM((shard_tokens + {PACK_TOKENS - 1}) // {PACK_TOKENS}) AS n_seqs,
-       SUM(n_boundary_docs) AS n_boundary_docs
+SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(shard_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM((shard_tokens + {PACK_TOKENS - 1}) // {PACK_TOKENS})
+            AS BIGINT) AS n_seqs,
+       CAST(SUM(n_boundary_docs) AS BIGINT) AS n_boundary_docs
 FROM per_shard GROUP BY source
 """
 
@@ -653,8 +656,15 @@ def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim",
         "n",
         mu_c.alias("mu"),
+        # clamp before the root: floor-quantized variance can be a hair
+        # negative for constant dims — Spark sqrt would give NaN (and
+        # NaN > 0 is true here, taking the wrong branch) while the
+        # DuckDB oracle would throw Out of Range
         F.sqrt(
-            F.col("sx2_fp").cast("double") / mnfp - mu_c * mu_c
+            F.greatest(
+                F.col("sx2_fp").cast("double") / mnfp - mu_c * mu_c,
+                F.lit(0.0),
+            )
         ).alias("sigma"),
     )
     safe_sigma = F.when(F.col("sigma") > 0, F.col("sigma")).otherwise(
@@ -694,7 +704,7 @@ def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.abs(F.col("mean_w")) < 1e-4)
                 & (
                     (F.abs(F.col("var_w") - 1.0) < 1e-3)
-                    | (F.col("sigma") == 0)
+                    | (F.col("sigma") <= 0)
                 )
             ).alias("well_conditioned"),
         )
@@ -714,9 +724,11 @@ WITH dims AS (
 ), stats AS (
   SELECT dim, n,
          CAST(sx_fp AS DOUBLE) / CAST(n * 1073741824 AS DOUBLE) AS mu,
-         sqrt(CAST(sx2_fp AS DOUBLE) / CAST(n * 1073741824 AS DOUBLE)
+         sqrt(GREATEST(
+              CAST(sx2_fp AS DOUBLE) / CAST(n * 1073741824 AS DOUBLE)
               - (CAST(sx_fp AS DOUBLE) / CAST(n * 1073741824 AS DOUBLE))
-                * (CAST(sx_fp AS DOUBLE) / CAST(n * 1073741824 AS DOUBLE)))
+                * (CAST(sx_fp AS DOUBLE) / CAST(n * 1073741824 AS DOUBLE)),
+              0))
            AS sigma
   FROM per_dim
 ), whitened AS (
@@ -739,7 +751,7 @@ SELECT s.dim, n, mu, sigma,
                  - (CAST(swx_fp AS DOUBLE) / CAST(n * 1048576 AS DOUBLE))
                    * (CAST(swx_fp AS DOUBLE) / CAST(n * 1048576 AS DOUBLE))
                  - 1.0) < 1e-3
-             OR sigma = 0)) AS well_conditioned
+             OR sigma <= 0)) AS well_conditioned
 FROM stats s JOIN wagg w ON s.dim = w.dim
 """
 
@@ -844,8 +856,10 @@ WITH per_doc AS (
   SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
   FROM documents
 ), agg AS (
-  SELECT source, COUNT(*) AS n_docs, SUM(n) AS total_tokens,
-         SUM((n + {PAD_BUCKET - 1}) // {PAD_BUCKET}) AS sum_buckets,
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS total_tokens,
+         CAST(SUM((n + {PAD_BUCKET - 1}) // {PAD_BUCKET}) AS BIGINT)
+           AS sum_buckets,
          MAX(n) AS max_tokens
   FROM per_doc GROUP BY source
 )
@@ -936,17 +950,20 @@ WITH per_doc AS (
               ELSE 'test' END AS split
   FROM documents
 ), dup AS (
-  SELECT SUM(copies - 1) AS exact_dup_docs
+  SELECT CAST(SUM(copies - 1) AS BIGINT) AS exact_dup_docs
   FROM (SELECT COUNT(*) AS copies FROM per_doc GROUP BY content_md5)
 ), card AS (
   SELECT COUNT(*) AS n_docs,
          COUNT(DISTINCT source) AS n_sources,
          COUNT(DISTINCT lang) AS n_langs,
-         SUM(n_chars) AS total_chars,
-         SUM(n_toks) AS total_ws_tokens,
-         SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS train_docs,
-         SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS val_docs,
-         SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS test_docs
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(n_toks) AS BIGINT) AS total_ws_tokens,
+         CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+           AS train_docs,
+         CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+           AS val_docs,
+         CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+           AS test_docs
   FROM per_doc
 )
 SELECT n_docs, n_sources, n_langs, total_chars, total_ws_tokens,

@@ -272,8 +272,8 @@ crossing AS (
   GROUP BY sa.split
 )
 SELECT p.split, p.n_docs, p.n_groups,
-       COALESCE(c.cross_pairs_safe, 0) AS cross_pairs_safe,
-       COALESCE(c.cross_pairs_naive, 0) AS cross_pairs_naive
+       CAST(COALESCE(c.cross_pairs_safe, 0) AS BIGINT) AS cross_pairs_safe,
+       CAST(COALESCE(c.cross_pairs_naive, 0) AS BIGINT) AS cross_pairs_naive
 FROM per_split p LEFT JOIN crossing c ON p.split = c.split
 """
 

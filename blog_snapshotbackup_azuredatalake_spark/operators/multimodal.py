@@ -197,10 +197,10 @@ WITH synth AS (
   FROM synth
 )
 SELECT meta_format AS fmt, COUNT(*) AS n_payloads,
-       SUM(CASE WHEN hdr_width <> meta_width OR hdr_height <> meta_height
-                  OR hdr_format <> meta_format THEN 1 ELSE 0 END)
-         AS n_mismatch,
-       SUM(n_bytes) AS total_bytes,
+       CAST(SUM(CASE WHEN hdr_width <> meta_width OR hdr_height <> meta_height
+                       OR hdr_format <> meta_format THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mismatch,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
        MAX(hdr_width) AS max_width,
        MAX(hdr_height) AS max_height
 FROM parsed GROUP BY meta_format

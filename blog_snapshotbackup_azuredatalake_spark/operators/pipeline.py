@@ -100,7 +100,8 @@ assigned AS (
          END AS split
   FROM unique_docs
 )
-SELECT source, split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+SELECT source, split, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(SUM(CAST(quality_score AS DECIMAL(18,12))) AS DOUBLE)
          AS sum_quality
 FROM assigned GROUP BY source, split

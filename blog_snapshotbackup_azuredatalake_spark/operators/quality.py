@@ -122,8 +122,8 @@ WITH files AS (
          l_returnflag AS flag,
          -- strlen = DuckDB's byte length over VARCHAR (its octet_length
          -- is BLOB-only); ≡ Spark octet_length
-         COUNT(*) * 48 + SUM(strlen(l_returnflag))
-           + SUM(strlen(l_linestatus)) AS file_bytes
+         CAST(COUNT(*) * 48 + SUM(strlen(l_returnflag))
+              + SUM(strlen(l_linestatus)) AS BIGINT) AS file_bytes
   FROM lineitem GROUP BY 1, 2
 )
 SELECT month, flag, file_bytes,
@@ -248,9 +248,9 @@ WITH scored AS (
   FROM embeddings
 )
 SELECT COUNT(*) AS n_vecs,
-       SUM(CASE WHEN has_nan THEN 1 ELSE 0 END) AS n_nan,
-       SUM(CASE WHEN NOT has_nan AND norm2 = 0.0 THEN 1 ELSE 0 END)
-         AS n_zero_norm,
+       CAST(SUM(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+       CAST(SUM(CASE WHEN NOT has_nan AND norm2 = 0.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_zero_norm,
        COUNT(DISTINCT dim) AS n_dims_seen,
        MIN(CASE WHEN NOT has_nan THEN norm2 END) AS min_norm2,
        MAX(CASE WHEN NOT has_nan THEN norm2 END) AS max_norm2

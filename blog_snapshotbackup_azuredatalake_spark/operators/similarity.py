@@ -743,8 +743,8 @@ WITH queries AS (
   FROM scored
 )
 SELECT q_id, {TOP_K} AS k,
-       SUM(CASE WHEN rf <= {TOP_K} AND rt <= {TOP_K} THEN 1 ELSE 0 END)
-         AS n_overlap,
+       CAST(SUM(CASE WHEN rf <= {TOP_K} AND rt <= {TOP_K} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overlap,
        CAST(SUM(CASE WHEN rf <= {TOP_K} AND rt <= {TOP_K} THEN 1 ELSE 0 END)
             AS DOUBLE) / {float(TOP_K)} AS overlap_frac
 FROM ranked GROUP BY q_id

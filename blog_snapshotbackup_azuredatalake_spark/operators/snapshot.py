@@ -480,10 +480,12 @@ WITH backup AS (
   FROM probed
 )
 SELECT COUNT(*) AS n_source,
-       SUM(CASE WHEN NOT maybe THEN 1 ELSE 0 END) AS n_definite_new,
-       SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS n_maybe,
-       SUM(CASE WHEN NOT in_bk THEN 1 ELSE 0 END) AS n_truly_new,
-       SUM(CASE WHEN maybe AND NOT in_bk THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN NOT maybe THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_definite_new,
+       CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+       CAST(SUM(CASE WHEN NOT in_bk THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_truly_new,
+       CAST(SUM(CASE WHEN maybe AND NOT in_bk THEN 1 ELSE 0 END) AS BIGINT)
          AS n_false_positive
 FROM flagged
 """
@@ -652,11 +654,15 @@ j AS (SELECT * FROM (SELECT * FROM src WHERE {_SAMPLE_PRED}) s
       USING (key)),
 agg AS (
   SELECT COUNT(h_src) AS n_src_sampled, COUNT(h_bkp) AS n_bkp_sampled,
-         SUM(CASE WHEN h_src = h_bkp THEN 1 ELSE 0 END) AS n_match,
-         SUM(CASE WHEN h_src IS NOT NULL AND h_bkp IS NOT NULL
-                       AND h_src <> h_bkp THEN 1 ELSE 0 END) AS n_changed,
-         SUM(CASE WHEN h_bkp IS NULL THEN 1 ELSE 0 END) AS n_removed,
-         SUM(CASE WHEN h_src IS NULL THEN 1 ELSE 0 END) AS n_added
+         CAST(SUM(CASE WHEN h_src = h_bkp THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_match,
+         CAST(SUM(CASE WHEN h_src IS NOT NULL AND h_bkp IS NOT NULL
+                       AND h_src <> h_bkp THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_changed,
+         CAST(SUM(CASE WHEN h_bkp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed,
+         CAST(SUM(CASE WHEN h_src IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_added
   FROM j
 )
 SELECT CAST({SAMPLE_SLOTS} AS INT) AS sample_pct, n_src_sampled,
@@ -832,8 +838,10 @@ rebased AS (
          o_orderpriority
   FROM latest WHERE NOT is_delete
 ),
-bs AS (SELECT SUM(CASE WHEN is_delete THEN 0 ELSE 1 END) AS n_upserts,
-              SUM(CASE WHEN is_delete THEN 1 ELSE 0 END) AS n_deletes,
+bs AS (SELECT CAST(SUM(CASE WHEN is_delete THEN 0 ELSE 1 END) AS BIGINT)
+                AS n_upserts,
+              CAST(SUM(CASE WHEN is_delete THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_deletes,
               COUNT(DISTINCT version) AS n_batches
        FROM batches),
 rs AS (SELECT COUNT(*) AS n_rebased,
@@ -972,7 +980,7 @@ def _merkle_sql(src_expr: str, hash_expr: str, tag: str) -> str:
         ctes.append(
             f"""{tag}_l{lvl} AS (
   SELECT {lvl} AS level, CAST(idx // 2 AS BIGINT) AS idx,
-         SUM(n_rows) AS n_rows,
+         CAST(SUM(n_rows) AS BIGINT) AS n_rows,
          md5(concat_ws(':',
            COALESCE(MAX(CASE WHEN idx % 2 = 0 THEN digest END), ''),
            COALESCE(MAX(CASE WHEN idx % 2 = 1 THEN digest END), '')))
@@ -1198,8 +1206,8 @@ UNION ALL
 ),
 delta AS (
   SELECT o_orderpriority,
-         SUM(CASE WHEN change_type IN ('insert', 'update_postimage')
-                  THEN 1 ELSE -1 END) AS dn,
+         CAST(SUM(CASE WHEN change_type IN ('insert', 'update_postimage')
+                       THEN 1 ELSE -1 END) AS BIGINT) AS dn,
          SUM((CASE WHEN change_type IN ('insert', 'update_postimage')
                    THEN 1 ELSE -1 END)
              * CAST(o_totalprice AS DECIMAL(12,2))) AS drev

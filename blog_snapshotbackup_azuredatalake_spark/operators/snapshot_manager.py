@@ -24,10 +24,12 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from blog_snapshotbackup_azuredatalake_spark.scratch import scratch_dir
 from blog_snapshotbackup_azuredatalake_spark.functions.hashing import row_hash
 from blog_snapshotbackup_azuredatalake_spark.operators.txnlog import TransactionLog
 
@@ -264,12 +266,25 @@ class SnapshotManager:
         return stats
 
     # -- vacuum -----------------------------------------------------------
-    def vacuum(self, dry_run: bool = False) -> list[dict]:
+    VACUUM_MIN_AGE_SECONDS = 3600.0
+
+    def vacuum(
+        self,
+        dry_run: bool = False,
+        min_age_seconds: float = VACUUM_MIN_AGE_SECONDS,
+    ) -> list[dict]:
         """Delta-style VACUUM: delete snapshot directories present on
         storage but absent from the transaction log's live set — the
         debris a writer leaves when it dies between the data write and
         the log commit (the log commit is the atomic publish point, so
         an uncommitted directory is garbage by definition).
+
+        An unlisted directory younger than `min_age_seconds` (newest
+        file mtime) is reported as 'recent' and NOT deleted: snapshot()
+        writes data/manifest/meta BEFORE its log commit, so a vacuum
+        racing an in-flight writer would otherwise delete its
+        not-yet-committed directory. Same guard as Delta's VACUUM
+        retention threshold; pass 0 only when no writer can be active.
 
         Listing goes through Spark's binaryFile reader selecting only
         (path, length) — file METADATA, content never read — so the
@@ -286,7 +301,7 @@ class SnapshotManager:
             self.spark.read.format("binaryFile")
             .option("recursiveFileLookup", "true")
             .load(self.root)
-            .select("path", "length")
+            .select("path", "length", "modificationTime")
             .filter(~F.col("path").contains("/_txn_log/"))
             .withColumn(
                 "snap_dir",
@@ -299,14 +314,22 @@ class SnapshotManager:
             .agg(
                 F.count(F.lit(1)).alias("files"),
                 F.sum("length").alias("bytes"),
+                F.max("modificationTime").alias("newest_mod"),
             )
             .collect()
         )
         live = set(self.log.state().keys())
+        now = time.time()
         report = []
         removed = []
         for r in sorted(listing, key=lambda r: r["snap_dir"]):
-            orphan = r["snap_dir"] not in live
+            unlisted = r["snap_dir"] not in live
+            recent = (
+                unlisted
+                and r["newest_mod"] is not None
+                and now - r["newest_mod"].timestamp() < min_age_seconds
+            )
+            orphan = unlisted and not recent
             if orphan and not dry_run:
                 shutil.rmtree(
                     os.path.join(self.root, r["snap_dir"]), ignore_errors=True
@@ -317,7 +340,11 @@ class SnapshotManager:
                     "path": r["snap_dir"],
                     "files": r["files"],
                     "bytes": r["bytes"],
-                    "status": "orphan" if orphan else "live",
+                    "status": (
+                        "orphan"
+                        if orphan
+                        else ("recent" if recent else "live")
+                    ),
                     "deleted": orphan and not dry_run,
                 }
             )
@@ -358,7 +385,6 @@ def snap_txn_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain), retention purge — and return the commit log joined with
     liveness at HEAD. Deterministic for a given sf dir; rows-only (the
     log is JSON files, not a SQL-visible table)."""
-    import tempfile
 
     from blog_snapshotbackup_azuredatalake_spark.operators.snapshot import (
         _perturbed_orders,
@@ -371,7 +397,7 @@ def snap_txn_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     # purge) is what's demonstrated; writing the whole table 3× is not
     keyed = F.col("o_orderkey") % 10 == 0
     orders = load_table(spark, sf_dir, "orders").filter(keyed)
-    work = tempfile.mkdtemp(prefix="snap_txn_log_")
+    work = scratch_dir("snap_txn_log_")
     mgr = SnapshotManager(spark, work)
     mgr.snapshot(orders, "orders", "o_orderkey")
     perturbed = _perturbed_orders(spark, sf_dir).filter(keyed)
@@ -408,7 +434,6 @@ def snap_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot restores to the same row count after the vacuum, and the
     vacuum itself lands in the log as an audited commit. Rows-only:
     the store is scratch filesystem state, not a SQL-visible table."""
-    import tempfile
 
     from blog_snapshotbackup_azuredatalake_spark.operators.snapshot import (
         _perturbed_orders,
@@ -419,7 +444,7 @@ def snap_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     keyed = F.col("o_orderkey") % 10 == 0
     orders = load_table(spark, sf_dir, "orders").filter(keyed)
-    work = tempfile.mkdtemp(prefix="snap_vacuum_")
+    work = scratch_dir("snap_vacuum_")
     mgr = SnapshotManager(spark, work)
     mgr.snapshot(orders, "orders", "o_orderkey")
     last = mgr.snapshot(
@@ -431,7 +456,9 @@ def snap_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stray temp upload inside an otherwise-live table dir
     orders.limit(10).write.parquet(f"{work}/orders/snap_000098/data")
 
-    report = mgr.vacuum()
+    # min_age 0: this drill's "crashed writer" debris is seconds old by
+    # construction; no concurrent writer exists in the scratch store
+    report = mgr.vacuum(min_age_seconds=0.0)
     restored = mgr.restore("orders", last).count()
     head, _ = mgr.log.read_commit(mgr.log.latest_version())
     rows = [

@@ -393,8 +393,10 @@ WITH ev AS (
                  AS BIGINT) AS is_new
   FROM lagged
 ), sess AS (
-  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_id
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id
+                                   ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS session_id
   FROM marked
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,

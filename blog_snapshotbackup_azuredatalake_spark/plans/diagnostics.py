@@ -55,7 +55,7 @@ WITH per_key AS (
   FROM per_key
 )
 SELECT COUNT(*) AS n_keys,
-       SUM(cnt) AS n_rows,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
        MAX(cnt) AS max_cnt,
        CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS avg_cnt,
        CAST(SUM(CASE WHEN rnk <= {TOP_HEAVY} THEN cnt ELSE 0 END) AS DOUBLE)

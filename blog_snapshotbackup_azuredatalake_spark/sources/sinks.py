@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from blog_snapshotbackup_azuredatalake_spark.scratch import scratch_dir
 from blog_snapshotbackup_azuredatalake_spark.functions.hashing import (
     row_hash,
     row_hash_int,
@@ -171,13 +172,12 @@ def snap_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
         load_table,
     )
-    import tempfile
 
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "order_month",
         F.trunc(F.col("o_orderdate").cast("date"), "month").cast("string"),
     )
-    work = tempfile.mkdtemp(prefix="copy_roundtrip_")
+    work = scratch_dir("copy_roundtrip_")
     target = f"{work}/orders_backup"
     copy_table(
         orders,

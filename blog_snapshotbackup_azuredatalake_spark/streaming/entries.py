@@ -9,13 +9,13 @@ DataFrame whose content is deterministic for a given sf dir.
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from blog_snapshotbackup_azuredatalake_spark.scratch import scratch_dir
 from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
 from blog_snapshotbackup_azuredatalake_spark.streaming.incremental import (
     dedup_events_stream,
@@ -71,7 +71,7 @@ def stream_incr_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch backup dir; returns the synced rows (count must equal the
     source count — the rows-only invariant)."""
     events = load_table(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="stream_incr_sync_")
+    work = scratch_dir("stream_incr_sync_")
     src, dst, ckpt = f"{work}/landing", f"{work}/backup", f"{work}/ckpt"
     events.coalesce(DEMO_STATE_PARTITIONS).write.parquet(src)
     incremental_sync(spark, src, dst, ckpt, events.schema)
@@ -84,7 +84,7 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window event counts, driven as a real stream
     into an in-memory sink."""
     events = load_table(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="stream_windowed_")
+    work = scratch_dir("stream_windowed_")
     src = f"{work}/events_src"
     events.coalesce(DEMO_STATE_PARTITIONS).write.parquet(src)
     name = f"wc_{uuid.uuid4().hex[:8]}"
@@ -106,7 +106,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "user_id", F.expr("ts div 1000").alias("ts_us")
     )
-    work = tempfile.mkdtemp(prefix="stream_sessionize_")
+    work = scratch_dir("stream_sessionize_")
     src = f"{work}/events_src"
     n_rows = events.count()
     events.coalesce(DEMO_STATE_PARTITIONS).write.parquet(src)
@@ -134,7 +134,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only invariant is count == distinct event count."""
     events = load_table(spark, sf_dir, "events")
     doubled = events.unionAll(events)
-    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    work = scratch_dir("stream_dedup_")
     src = f"{work}/events_src"
     doubled.coalesce(DEMO_STATE_PARTITIONS).write.parquet(src)
     stream = spark.readStream.schema(doubled.schema).parquet(src)
@@ -170,7 +170,7 @@ def stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("v"), "user_id"
     )
-    work = tempfile.mkdtemp(prefix="stream_cms_")
+    work = scratch_dir("stream_cms_")
     src = f"{work}/events_src"
     events.coalesce(DEMO_STATE_PARTITIONS).write.parquet(src)
     stream = spark.readStream.schema(events.schema).parquet(src)
@@ -204,7 +204,7 @@ def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = events.groupBy("user_id").agg(
         F.min("ts_us").alias("first_seen_us")
     )
-    work = tempfile.mkdtemp(prefix="stream_enrich_")
+    work = scratch_dir("stream_enrich_")
     src = f"{work}/events_src"
     events.coalesce(DEMO_STATE_PARTITIONS).write.parquet(src)
     stream = spark.readStream.schema(events.schema).parquet(src)
@@ -245,7 +245,7 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_type", F.col("user_id").alias("v")
     )
-    work = tempfile.mkdtemp(prefix="stream_hll_")
+    work = scratch_dir("stream_hll_")
     src = f"{work}/events_src"
     events.coalesce(DEMO_STATE_PARTITIONS).write.parquet(src)
     stream = spark.readStream.schema(events.schema).parquet(src)
@@ -294,7 +294,7 @@ def stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_cdc_pair(v1, v2, 2))
         .select("change_type", "o_orderpriority", "o_totalprice")
     )
-    work = tempfile.mkdtemp(prefix="stream_ivm_")
+    work = scratch_dir("stream_ivm_")
     src = f"{work}/feed_src"
     feed.coalesce(DEMO_STATE_PARTITIONS).write.parquet(src)
 

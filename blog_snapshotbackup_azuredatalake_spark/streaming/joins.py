@@ -10,12 +10,12 @@ property that lets this run forever on a 100 TB/day event feed.
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from blog_snapshotbackup_azuredatalake_spark.scratch import scratch_dir
 from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
 
 JOIN_WINDOW = "30 minutes"
@@ -74,7 +74,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
     )
-    work = tempfile.mkdtemp(prefix="stream_ivjoin_")
+    work = scratch_dir("stream_ivjoin_")
     # one scan, one write: hive-partition by type, streams read subdirs
     events.filter(
         F.col("event_type").isin("click", "purchase")

@@ -92,4 +92,11 @@ def test_leakage_safe_split_semantics(spark):
     # zero leakage by construction; the naive split would have leaked
     assert all(r["cross_pairs_safe"] == 0 for r in rows)
     assert sum(r["cross_pairs_naive"] for r in rows) > 0
-    assert sum(r["n_docs"] for r in rows) == 500 * 1  # sf0.001 corpus
+    # every document lands in exactly one split, at whatever SF the
+    # suite is pointed at (SPARK_GRAFT_TEST_SF_DIR)
+    from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
+        load_table,
+    )
+
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs

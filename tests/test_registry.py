@@ -46,3 +46,33 @@ def test_survey_oracle_markers_match():
             assert key in oracles, f"{key} marked sql but has no oracle"
         else:
             assert key not in oracles, f"{key} marked rows but has an oracle"
+
+
+def test_no_oracle_emits_hugeint():
+    """DuckDB widens integer SUMs to HUGEINT, which has no int64
+    representation — the driver's typed value-hash then diverges from
+    Spark's LongType even when every value matches (root cause of the 7
+    round-1 hash_match failures). Every integer aggregate in an oracle
+    must be CAST(... AS BIGINT)."""
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    _, oracles = _registry()
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    offenders = {}
+    for key, sql in sorted(oracles.items()):
+        rel = con.sql(sql)
+        cols = [
+            (c, str(ty))
+            for c, ty in zip(rel.columns, rel.types)
+            if "HUGEINT" in str(ty).upper()
+        ]
+        if cols:
+            offenders[key] = cols
+    assert not offenders, offenders

@@ -76,7 +76,7 @@ def test_vacuum_removes_only_orphans(spark, mgr):
     # crashed writer: data written, log commit never happened
     orders.limit(50).write.parquet(f"{mgr.root}/t/snap_000099/data")
 
-    dry = mgr.vacuum(dry_run=True)
+    dry = mgr.vacuum(dry_run=True, min_age_seconds=0.0)
     assert {r["path"]: r["status"] for r in dry} == {
         "t/snap_000000": "live",
         "t/snap_000001": "live",
@@ -85,7 +85,7 @@ def test_vacuum_removes_only_orphans(spark, mgr):
     assert not any(r["deleted"] for r in dry)
     assert os.path.isdir(f"{mgr.root}/t/snap_000099")  # dry run: untouched
 
-    report = mgr.vacuum()
+    report = mgr.vacuum(min_age_seconds=0.0)
     deleted = [r["path"] for r in report if r["deleted"]]
     assert deleted == ["t/snap_000099"]
     assert not os.path.isdir(f"{mgr.root}/t/snap_000099")
@@ -96,7 +96,7 @@ def test_vacuum_removes_only_orphans(spark, mgr):
     assert head["op"] == "vacuum"
     assert [a["remove"]["path"] for a in actions] == ["t/snap_000099"]
     # idempotent: nothing left to collect
-    assert not any(r["deleted"] for r in mgr.vacuum())
+    assert not any(r["deleted"] for r in mgr.vacuum(min_age_seconds=0.0))
 
 
 def test_snap_vacuum_query_shape(spark):
@@ -112,3 +112,23 @@ def test_snap_vacuum_query_shape(spark):
     assert all(r["deleted"] for r in by_path.values() if r["status"] == "orphan")
     assert all(not r["deleted"] for r in by_path.values() if r["status"] == "live")
     assert all(r["restore_intact"] and r["vacuum_logged"] for r in rows)
+
+
+def test_vacuum_grace_window_protects_inflight_writer(spark, mgr):
+    """An unlisted dir younger than min_age_seconds is an in-flight
+    writer until proven otherwise: reported 'recent', never deleted
+    (snapshot() writes data before its log commit, so a zero-grace
+    vacuum racing it would destroy the not-yet-published snapshot)."""
+    orders = load_table(spark, SF_DIR, "orders").limit(100)
+    mgr.snapshot(orders, "t", "o_orderkey")
+    # a writer mid-flight: data landed seconds ago, log commit pending
+    orders.limit(50).write.parquet(f"{mgr.root}/t/snap_000099/data")
+
+    report = mgr.vacuum()  # default nonzero grace window
+    by_path = {r["path"]: r for r in report}
+    assert by_path["t/snap_000099"]["status"] == "recent"
+    assert not by_path["t/snap_000099"]["deleted"]
+    assert os.path.isdir(f"{mgr.root}/t/snap_000099")
+    # once old enough it is debris and goes
+    gone = mgr.vacuum(min_age_seconds=0.0)
+    assert {r["path"] for r in gone if r["deleted"]} == {"t/snap_000099"}

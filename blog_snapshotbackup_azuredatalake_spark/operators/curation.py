@@ -974,7 +974,92 @@ FROM card, dup
 """
 
 
+SHUFFLE_SHARDS = 16  # training shard count for the shuffle certificate
+
+
+def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every doc gets a
+    hash-derived shuffle key, `shard = key mod {SHUFFLE_SHARDS}` picks
+    its training shard, and ordering by key within the shard is the
+    write order. This is the step a 100 TB pipeline runs right before
+    writing tokenized shards: reproducible (pure function of doc_id, no
+    RNG state), balanced (hash-uniform shard sizes), and
+    source-interleaved (hash order breaks up source runs so a training
+    epoch doesn't read one source for an hour).
+
+    Returns the per-shard certificate a writer would log instead of
+    the shards themselves: size, source coverage, an order-sensitive
+    adjacency count (how many consecutive pairs in write order share a
+    source — the interleaving metric; windowed lag over the exact write
+    order), and an order-insensitive XOR content checksum.
+
+    Plan shape: ONE hash shuffle keyed by shard (exactly the exchange
+    `df.repartition(shard).sortWithinPartitions(key)` would do for the
+    real write), a window walk inside each shard, and a
+    shard-cardinality aggregate. No driver-side state."""
+    from pyspark.sql import Window
+
+    from blog_snapshotbackup_azuredatalake_spark.functions.hashing import (
+        md5_int60,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        md5_int60(F.col("doc_id").cast("string")).alias("key"),
+    ).withColumn("shard", F.col("key") % SHUFFLE_SHARDS)
+    w = Window.partitionBy("shard").orderBy("key", "doc_id")
+    ordered = keyed.withColumn("prev_source", F.lag("source").over(w))
+    return (
+        ordered.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum(
+                (F.col("prev_source") == F.col("source")).cast("bigint")
+            ).alias("n_adjacent_same_source"),
+            F.expr("bit_xor(key)").alias("xor_keys"),
+        )
+        .select(
+            "*",
+            (
+                F.col("n_adjacent_same_source").cast("double")
+                / F.greatest(F.col("n_docs") - 1, F.lit(1)).cast("double")
+            ).alias("adjacent_same_source_frac"),
+        )
+    )
+
+
+_SHARD_SHUFFLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         {_H60.format(x="CAST(doc_id AS VARCHAR)")} AS key
+  FROM documents
+), sharded AS (
+  SELECT doc_id, source, key, key % {SHUFFLE_SHARDS} AS shard
+  FROM keyed
+), ordered AS (
+  SELECT shard, source, key,
+         LAG(source) OVER (PARTITION BY shard ORDER BY key, doc_id)
+           AS prev_source
+  FROM sharded
+)
+SELECT shard, COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       CAST(SUM(CASE WHEN prev_source = source THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_adjacent_same_source,
+       BIT_XOR(key) AS xor_keys,
+       CAST(SUM(CASE WHEN prev_source = source THEN 1 ELSE 0 END)
+            AS DOUBLE)
+         / CAST(GREATEST(COUNT(*) - 1, 1) AS DOUBLE)
+           AS adjacent_same_source_frac
+FROM ordered GROUP BY shard
+"""
+
+
 QUERIES = {
+    "corpus_shard_shuffle": corpus_shard_shuffle,
     "corpus_dataset_card": corpus_dataset_card,
     "emb_whiten": emb_whiten,
     "corpus_padding_waste": corpus_padding_waste,
@@ -990,6 +1075,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_shard_shuffle": _SHARD_SHUFFLE_SQL,
     "corpus_dataset_card": _dataset_card_sql(),
     "emb_whiten": _EMB_WHITEN_SQL,
     "corpus_padding_waste": _PADDING_WASTE_SQL,

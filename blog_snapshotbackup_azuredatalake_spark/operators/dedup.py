@@ -824,14 +824,22 @@ FROM per_doc GROUP BY source
 def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH band-configuration calibration: measure, as data, what the
     16-perm/8-band MinHash index actually buys — candidate volume,
-    recall, and precision against brute-force ground truth. The n²
-    all-pairs Jaccard is EXPLICITLY the certificate side (run at audit
-    scale to pick band counts, never on the production path — the same
-    exact-companion pattern as the sketch certificates); the candidate
-    and verified sides are exactly the production operators, so the
-    audited numbers are the deployed numbers. One row out: recall is
-    the escalate-or-not signal (more bands) and precision prices the
-    verify join."""
+    recall, and precision against EXACT ground truth. The candidate and
+    verified sides are exactly the production operators, so the audited
+    numbers are the deployed numbers. One row out: recall is the
+    escalate-or-not signal (more bands) and precision prices the
+    verify join.
+
+    Ground truth is exact without an all-pairs scan: any pair with
+    Jaccard ≥ {JACCARD_THRESHOLD} > 0 shares at least one shingle, so
+    the inverted-index self-join enumerates a superset of the truth
+    set, the per-pair group count IS |A∩B| exactly (shingle sets are
+    distinct by construction), and |A∪B| = |A|+|B|−|A∩B| closes the
+    formula. Cost is Σ_g df(g)² over shared shingles — the same shape
+    as dedup_ngram_jaccard but UNcapped, because a calibration
+    certificate must not drop the high-df shingles that production
+    caps. (The naive n²·|sh| array-intersect version measured 156 s at
+    sf0.1 vs ~3 s for this plan — same row, same values.)"""
     docs = grams_for(
         load_table(spark, sf_dir, "documents")
     ).localCheckpoint(eager=True)
@@ -846,16 +854,36 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     hits = minhash_pairs(docs)  # candidates that verify ≥ threshold
-    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    truth = (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+    ex = docs.select("doc_id", F.explode("sh").alias("g"))
+    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
+    inter = (
+        ex.alias("x")
+        .join(ex.alias("y"), "g")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .agg(F.count(F.lit(1)).alias("n_int"))
+    )
+    truth = (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
+            ),
+            "doc_b",
+        )
+        .filter(
+            F.col("n_int").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_int"))
+            >= JACCARD_THRESHOLD
+        )
     )
     counts = (
         docs.agg(F.count(F.lit(1)).alias("n_docs"))

@@ -121,8 +121,8 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def mm_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: synthesize payloads, then decode/extract
-    via Arrow-batched mapInPandas. Rows-only correctness check (the
-    decode stub is Python-side by design)."""
+    via Arrow-batched mapInPandas; the deterministic stub makes the
+    whole batch contract SQL-checkable (see ORACLES note below)."""
     from blog_snapshotbackup_azuredatalake_spark.session import (
         ensure_package_on_workers,
     )
@@ -256,8 +256,9 @@ def _frame_sample_batches(
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling over a video-flavored binary column: every
     FRAME_SAMPLE_EVERY-th frame of each payload becomes an output row
-    (1:N mapInPandas). Rows-only: the frame split is Python-side by
-    design (a real pipeline swaps in pyav/ffmpeg here)."""
+    (1:N mapInPandas); the deterministic split is SQL-checkable, so
+    the 1:N batch contract is driver-verified (a real pipeline swaps
+    in pyav/ffmpeg here and retires the oracle)."""
     from blog_snapshotbackup_azuredatalake_spark.session import (
         ensure_package_on_workers,
     )
@@ -419,8 +420,8 @@ def mm_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap) via 1:N mapInPandas — the front-end every speech/audio
     training pipeline runs before feature extraction, here with the
     Spark-side contract (schema, batch shape, typed metadata driving
-    the split) real and the waveform decode stubbed deterministically.
-    Rows-only: the chunk split is Python-side by design."""
+    the split) real and the waveform decode stubbed deterministically
+    — which makes the chunk emission rule itself SQL-checkable."""
     from blog_snapshotbackup_azuredatalake_spark.session import (
         ensure_package_on_workers,
     )
@@ -436,6 +437,97 @@ def mm_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The decode/split stubs are deterministic string math over md5
+# keystreams, so the Python-side batch contracts are themselves
+# SQL-checkable: DuckDB reproduces the same headers, byte slices, and
+# md5s (payloads are ASCII by construction — see module docstring), and
+# the driver gate then verifies the mapInPandas plumbing end-to-end
+# (batch iteration, 1:N expansion, schema) instead of trusting a
+# rows-only count. A real decoder swap (MM_REAL_DECODE) would retire
+# these oracles back to rows-only — that is the expected trade.
+
+_MM_DECODE_SQL = """
+WITH synth AS (
+  SELECT doc_id,
+         ['png','jpeg','webp'][CAST(doc_id % 3 + 1 AS INT)] AS fmt,
+         CAST((doc_id % 8 + 1) * 32 AS INT) AS width,
+         CAST((doc_id % 5 + 1) * 32 AS INT) AS height,
+         substr(repeat(md5(text), 2), 1, 64) AS body
+  FROM documents
+)
+SELECT doc_id, fmt, width, height,
+       CAST(76 AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(range(1, 65),
+                                    i -> unicode(substr(body, CAST(i AS INT), 1))))
+            AS DOUBLE) / 64.0 AS mean_byte,
+       CAST(floor(width / (GREATEST(width, height) / 32.0)) AS INT)
+         AS thumb_width,
+       CAST(floor(height / (GREATEST(width, height) / 32.0)) AS INT)
+         AS thumb_height,
+       md5(body) AS frame_hash
+FROM synth
+"""
+
+_MM_FRAME_SAMPLE_SQL = f"""
+WITH vids AS (
+  SELECT doc_id, CAST(doc_id % 7 + 2 AS INT) AS n_frames,
+         substr(repeat(md5(text), 4), 1,
+                CAST(doc_id % 7 + 2 AS INT) * {FRAME_BYTES}) AS payload
+  FROM documents
+), frames AS (
+  SELECT doc_id, payload,
+         CAST(unnest(range(0, n_frames, {FRAME_SAMPLE_EVERY})) AS INT)
+           AS frame_no
+  FROM vids
+)
+SELECT doc_id, frame_no, frame_no * {FRAME_MS} AS ts_ms,
+       md5(substr(payload, frame_no * {FRAME_BYTES} + 1, {FRAME_BYTES}))
+         AS frame_md5
+FROM frames
+"""
+
+_AUDIO_STEP_MS = AUDIO_CHUNK_MS - AUDIO_OVERLAP_MS
+
+_MM_AUDIO_CHUNK_SQL = f"""
+WITH auds AS (
+  SELECT doc_id, CAST((doc_id % 10 + 3) * 500 AS INT) AS duration_ms,
+         substr(repeat(md5(text), 4), 1,
+                CAST((doc_id % 10 + 3) * 500 * {AUDIO_BYTES_PER_SEC}
+                     / 1000 AS INT)) AS payload
+  FROM documents
+), ks AS (
+  SELECT doc_id, duration_ms, payload,
+         CAST(unnest(range(0, 1 + duration_ms // {_AUDIO_STEP_MS})) AS INT)
+           AS k
+  FROM auds
+), ok AS (
+  -- the worker's break rule: a window is emitted iff it starts inside
+  -- the clip AND (it is the first window OR it adds more than the
+  -- overlapped {AUDIO_OVERLAP_MS} ms of new audio). end-start is
+  -- non-increasing in k, so this filter is exactly the prefix the
+  -- imperative loop emits, and chunk_idx = k.
+  SELECT doc_id, duration_ms, payload, k,
+         k * {_AUDIO_STEP_MS} AS start_ms,
+         LEAST(k * {_AUDIO_STEP_MS} + {AUDIO_CHUNK_MS}, duration_ms)
+           AS end_ms
+  FROM ks
+  WHERE k * {_AUDIO_STEP_MS} < duration_ms
+    AND (k = 0
+         OR LEAST(k * {_AUDIO_STEP_MS} + {AUDIO_CHUNK_MS}, duration_ms)
+            - k * {_AUDIO_STEP_MS} > {AUDIO_OVERLAP_MS})
+)
+SELECT doc_id, k AS chunk_idx,
+       CAST(start_ms AS INT) AS start_ms, CAST(end_ms AS INT) AS end_ms,
+       CAST(end_ms * strlen(payload) // duration_ms
+            - start_ms * strlen(payload) // duration_ms AS INT) AS n_bytes,
+       md5(substr(payload,
+                  CAST(start_ms * strlen(payload) // duration_ms + 1 AS INT),
+                  CAST(end_ms * strlen(payload) // duration_ms
+                       - start_ms * strlen(payload) // duration_ms AS INT)))
+         AS chunk_md5
+FROM ok
+"""
+
 QUERIES = {
     "mm_audio_chunk": mm_audio_chunk,
     "mm_decode_pipeline": mm_decode_pipeline,
@@ -446,4 +538,7 @@ QUERIES = {
 ORACLES: dict[str, str] = {
     "mm_meta_audit": _MM_META_AUDIT_SQL,
     "mm_payload_dedup": _MM_PAYLOAD_DEDUP_SQL,
+    "mm_decode_pipeline": _MM_DECODE_SQL,
+    "mm_frame_sample": _MM_FRAME_SAMPLE_SQL,
+    "mm_audio_chunk": _MM_AUDIO_CHUNK_SQL,
 }

@@ -1016,7 +1016,169 @@ def text_compress_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REP_FP = 1 << 20  # fixed-point scale for repetition fractions
+REP_TOP_BIGRAM_FP = int(0.18 * REP_FP)  # Gopher-style top-2-gram cap
+REP_DUP_TRIGRAM_FP = int(0.30 * REP_FP)  # duplicate-3-gram mass cap
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters per source: the fraction of a
+    doc's bigram mass held by its single most frequent bigram, and the
+    fraction of its trigram occurrences whose trigram repeats — the two
+    signals that catch boilerplate loops and degenerate generations
+    that plain length/stopword quality scores miss.
+
+    Plan shape (scale contract): one explode of tagged (n, gram) rows —
+    bigrams and trigrams concatenated BEFORE the explode so the corpus
+    shuffles once, not twice — then two hash aggregations keyed by
+    (doc_id, n, gram) and (doc_id, n). Both keys extend doc_id, so the
+    second agg reuses the first's partitioning (no extra exchange), and
+    map-side partial aggregation absorbs the per-doc gram skew. All JVM
+    built-ins; per-doc work is local, output is source-cardinality.
+
+    Fractions are fixed-point `(count · 2^20) div n_grams` BIGINTs (the
+    floor-quantization pattern from SURVEY §4) so Spark and the DuckDB
+    oracle agree bit-for-bit; doubles are derived from the exact sums
+    only at the end."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        "source",
+        F.filter(_tokens(), lambda t: t != "").alias("t"),
+    )
+    # tagged n-gram structs; sequence() is guarded because Spark's
+    # sequence(0, -1) counts DOWN instead of returning empty
+    grams = toked.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.concat(
+                F.when(
+                    F.size("t") >= 2,
+                    F.expr(
+                        "transform(sequence(0, size(t)-2),"
+                        " i -> struct(2 AS n,"
+                        " concat(t[i], ' ', t[i+1]) AS g))"
+                    ),
+                ).otherwise(F.expr("array()")),
+                F.when(
+                    F.size("t") >= 3,
+                    F.expr(
+                        "transform(sequence(0, size(t)-3),"
+                        " i -> struct(3 AS n,"
+                        " concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS g))"
+                    ),
+                ).otherwise(F.expr("array()")),
+            )
+        ).alias("gr"),
+    ).select("doc_id", "source", F.col("gr.n").alias("n"), F.col("gr.g").alias("g"))
+    per_gram = grams.groupBy("doc_id", "source", "n", "g").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_doc_n = per_gram.groupBy("doc_id", "source", "n").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.max("cnt").alias("top_cnt"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+            "dup_cnt"
+        ),
+    )
+    per_doc = (
+        per_doc_n.groupBy("doc_id", "source")
+        .agg(
+            F.max(F.when(F.col("n") == 2, F.col("n_grams"))).alias("b_n"),
+            F.max(F.when(F.col("n") == 2, F.col("top_cnt"))).alias("b_top"),
+            F.max(F.when(F.col("n") == 3, F.col("n_grams"))).alias("t_n"),
+            F.max(F.when(F.col("n") == 3, F.col("dup_cnt"))).alias("t_dup"),
+        )
+        .select(
+            "source",
+            F.coalesce(
+                F.expr(f"CAST(b_top * {REP_FP} DIV b_n AS BIGINT)"), F.lit(0)
+            ).alias("top_bigram_fp"),
+            F.coalesce(
+                F.expr(f"CAST(t_dup * {REP_FP} DIV t_n AS BIGINT)"), F.lit(0)
+            ).alias("dup_trigram_fp"),
+        )
+    )
+    flagged = per_doc.withColumn(
+        "repetitive",
+        (F.col("top_bigram_fp") > REP_TOP_BIGRAM_FP)
+        | (F.col("dup_trigram_fp") > REP_DUP_TRIGRAM_FP),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("repetitive").cast("bigint")).alias("n_repetitive"),
+            F.sum("top_bigram_fp").alias("sum_top_bigram_fp"),
+            F.sum("dup_trigram_fp").alias("sum_dup_trigram_fp"),
+            F.max("top_bigram_fp").alias("max_top_bigram_fp"),
+            F.max("dup_trigram_fp").alias("max_dup_trigram_fp"),
+        )
+        .select(
+            "*",
+            (
+                F.col("sum_top_bigram_fp").cast("double")
+                / (F.col("n_docs") * REP_FP).cast("double")
+            ).alias("avg_top_bigram_frac"),
+            (
+                F.col("sum_dup_trigram_fp").cast("double")
+                / (F.col("n_docs") * REP_FP).cast("double")
+            ).alias("avg_dup_trigram_frac"),
+        )
+    )
+
+
+_REPETITION_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, source, 2 AS n,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i+1])) AS g
+  FROM toked WHERE len(t) >= 2
+  UNION ALL
+  SELECT doc_id, source, 3 AS n,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+  FROM toked WHERE len(t) >= 3
+), per_gram AS (
+  SELECT doc_id, source, n, g, COUNT(*) AS cnt
+  FROM grams GROUP BY doc_id, source, n, g
+), per_doc_n AS (
+  SELECT doc_id, source, n, SUM(cnt) AS n_grams, MAX(cnt) AS top_cnt,
+         SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_cnt
+  FROM per_gram GROUP BY doc_id, source, n
+), per_doc AS (
+  SELECT doc_id, source,
+         COALESCE(CAST(MAX(CASE WHEN n = 2 THEN top_cnt END) * {REP_FP}
+                       // MAX(CASE WHEN n = 2 THEN n_grams END) AS BIGINT),
+                  0) AS top_bigram_fp,
+         COALESCE(CAST(MAX(CASE WHEN n = 3 THEN dup_cnt END) * {REP_FP}
+                       // MAX(CASE WHEN n = 3 THEN n_grams END) AS BIGINT),
+                  0) AS dup_trigram_fp
+  FROM per_doc_n GROUP BY doc_id, source
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN top_bigram_fp > {REP_TOP_BIGRAM_FP}
+                       OR dup_trigram_fp > {REP_DUP_TRIGRAM_FP}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+       CAST(SUM(top_bigram_fp) AS BIGINT) AS sum_top_bigram_fp,
+       CAST(SUM(dup_trigram_fp) AS BIGINT) AS sum_dup_trigram_fp,
+       MAX(top_bigram_fp) AS max_top_bigram_fp,
+       MAX(dup_trigram_fp) AS max_dup_trigram_fp,
+       CAST(SUM(top_bigram_fp) AS DOUBLE)
+         / CAST(COUNT(*) * {REP_FP} AS DOUBLE) AS avg_top_bigram_frac,
+       CAST(SUM(dup_trigram_fp) AS DOUBLE)
+         / CAST(COUNT(*) * {REP_FP} AS DOUBLE) AS avg_dup_trigram_frac
+FROM per_doc GROUP BY source
+"""
+
+
 QUERIES = {
+    "text_repetition": text_repetition,
     "text_compress_quality": text_compress_quality,
     "text_bpe_train": text_bpe_train,
     "text_ngram_lm": text_ngram_lm,
@@ -1032,6 +1194,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_repetition": _REPETITION_SQL,
     "text_ngram_lm": _NGRAM_LM_SQL,
     "text_tfidf_keywords": _TFIDF_SQL,
     "text_tokencount": _TOKENCOUNT_SQL,

@@ -89,9 +89,19 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.coalesce(DEMO_STATE_PARTITIONS).write.parquet(src)
     name = f"wc_{uuid.uuid4().hex[:8]}"
     with demo_state_partitions(spark):
-        return run_windowed_stream(
+        sink = run_windowed_stream(
             spark, src, f"{work}/ckpt", events.schema, name
         )
+    # window bounds as epoch-micros BIGINTs: integer-exact on both
+    # engines (a raw timestamp column would compare at different
+    # precisions — Spark micros vs DuckDB nanos)
+    return sink.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        F.unix_micros("window_end").alias("window_end_us"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
 
 
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,4 +376,110 @@ QUERIES = {
     "stream_dedup": stream_dedup,
 }
 
-ORACLES: dict[str, str] = {}  # rows-only: streaming is not SQL-expressible
+# A bounded availableNow drain is deterministic, so most stream entries
+# ARE SQL-expressible: the drained result must equal the batch answer
+# over the same input (the exactly-once contract, checked by the driver
+# gate, not just by local tests). stream_ivm / stream_cms_topk /
+# stream_hll_distinct reuse their batch counterparts' oracles verbatim
+# — the stream-maintained state certifying equal to the batch
+# computation is precisely the mergeability property those operators
+# claim. Only stream_incr_sync stays rows-only (its result is
+# filesystem state, not a SQL-visible table).
+
+_WINDOW_US = 10 * 60 * 1_000_000  # 10-minute tumbling window
+
+_STREAM_WINDOWED_SQL = f"""
+WITH ev AS (
+  SELECT (epoch_ns(ts) // 1000) AS ts_us, event_type,
+         CAST(value AS DECIMAL(18,6)) AS val_dec
+  FROM events
+)
+SELECT (ts_us // {_WINDOW_US}) * {_WINDOW_US} AS window_start_us,
+       (ts_us // {_WINDOW_US}) * {_WINDOW_US} + {_WINDOW_US}
+         AS window_end_us,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(val_dec) AS DOUBLE) AS total_value
+FROM ev GROUP BY 1, 2, 3
+"""
+
+# stream_sessionize's emission set for a bounded single-batch drain:
+# every gap-closed session, plus final open sessions whose event-time
+# timeout ((last_seen + gap) in ms) fell below the final watermark
+# (global max event time, ms-floored, minus the 30-min delay). The gap
+# split itself is q_events_sessionize's logic; only the emission filter
+# is streaming-specific. Boundary semantics (`<` on ms-floored values)
+# verified empirically against the drained stream at sf0.001 and
+# sf0.01 — the driver's gate SF.
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+_STREAM_SESSIONIZE_SQL = f"""
+WITH ev AS (
+  SELECT user_id, (epoch_ns(ts) // 1000) AS ts_us FROM events
+), lagged AS (
+  SELECT *, LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev
+  FROM ev
+), marked AS (
+  SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > {_SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM lagged
+), sess AS (
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS sid
+  FROM marked
+), agg AS (
+  SELECT user_id, sid,
+         MIN(ts_us) AS session_start_us,
+         MAX(ts_us) AS session_end_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY user_id, sid
+), mx AS (
+  SELECT user_id, MAX(sid) AS max_sid FROM agg GROUP BY user_id
+), wm AS (
+  SELECT MAX(ts_us) AS max_us FROM ev
+)
+SELECT a.user_id, session_start_us, session_end_us, n_events
+FROM agg a JOIN mx USING (user_id), wm
+WHERE a.sid < mx.max_sid
+   OR (session_end_us + {_SESSION_GAP_US}) // 1000
+      < max_us // 1000 - {30 * 60 * 1000}
+"""
+
+_STREAM_DEDUP_SQL = """
+SELECT event_id, user_id, event_type, (epoch_ns(ts) // 1000) AS ts_us
+FROM events
+"""
+
+_STREAM_ENRICH_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, (epoch_ns(ts) // 1000) AS ts_us, event_type
+  FROM events
+), dim AS (
+  SELECT user_id, MIN(ts_us) AS first_seen_us FROM ev GROUP BY user_id
+)
+SELECT event_id, user_id, event_type, ts_us - first_seen_us AS age_us
+FROM ev JOIN dim USING (user_id)
+"""
+
+
+def _oracles() -> dict[str, str]:
+    from blog_snapshotbackup_azuredatalake_spark.operators.sketch import (
+        _cms_sql,
+        _hll_grouped_sql,
+    )
+    from blog_snapshotbackup_azuredatalake_spark.operators.snapshot import (
+        _SNAP_IVM_SQL,
+    )
+
+    return {
+        "stream_windowed_agg": _STREAM_WINDOWED_SQL,
+        "stream_sessionize": _STREAM_SESSIONIZE_SQL,
+        "stream_dedup": _STREAM_DEDUP_SQL,
+        "stream_enrich_static": _STREAM_ENRICH_SQL,
+        "stream_ivm": _SNAP_IVM_SQL,
+        "stream_cms_topk": _cms_sql(),
+        "stream_hll_distinct": _hll_grouped_sql(),
+    }
+
+
+ORACLES: dict[str, str] = _oracles()

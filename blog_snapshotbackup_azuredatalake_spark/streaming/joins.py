@@ -109,4 +109,23 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {"stream_interval_join": stream_interval_join}
-ORACLES: dict[str, str] = {}  # rows-only: streaming
+
+# bounded two-stream drain ≡ the batch interval join over the same
+# input — the exactly-once claim, made driver-checkable (30 min =
+# 1_800_000_000 µs)
+_INTERVAL_JOIN_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, (epoch_ns(ts) // 1000) AS t_us
+  FROM events WHERE event_type IN ('click', 'purchase')
+)
+SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.t_us AS purchase_ts_us, c.t_us AS click_ts_us
+FROM ev p JOIN ev c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.t_us >= p.t_us - 1800000000
+ AND c.t_us < p.t_us
+"""
+
+ORACLES: dict[str, str] = {"stream_interval_join": _INTERVAL_JOIN_SQL}

@@ -59,6 +59,9 @@ QUERIES = [
     "corpus_split_leakage_safe",
     "emb_pq_adc",
     "snap_cdc",
+    "text_repetition",
+    "corpus_shard_shuffle",
+    "dedup_lsh_calibration",
 ]
 
 

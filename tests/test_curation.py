@@ -78,3 +78,24 @@ def test_quota_cap_caps_every_source(spark):
         assert r["n_kept"] <= QUOTA_N
         assert r["n_kept"] + r["n_dropped"] == r["n_docs"]
         assert r["n_kept"] == min(r["n_docs"], QUOTA_N)
+
+
+def test_shard_shuffle_covers_and_balances(spark):
+    from blog_snapshotbackup_azuredatalake_spark.operators.curation import (
+        SHUFFLE_SHARDS,
+        corpus_shard_shuffle,
+    )
+    from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = corpus_shard_shuffle(spark, SF_DIR).collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert {r["shard"] for r in rows} == set(range(SHUFFLE_SHARDS))
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # hash-uniform balance: no shard beyond 2x the mean
+    mean = n_docs / SHUFFLE_SHARDS
+    assert all(r["n_docs"] < 2 * mean for r in rows)
+    # deterministic: the certificate is a pure function of doc ids
+    again = corpus_shard_shuffle(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -197,3 +197,29 @@ def test_ngram_lm_model_broadcasts_onto_token_stream(spark):
     # the vocab²-bounded model must broadcast; a sort-merge join would
     # shuffle the exploded token stream a third time
     assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_single_generate_no_python(spark):
+    """text_repetition must explode the tagged (n, gram) union ONCE —
+    two separate explodes would shuffle the corpus token stream twice —
+    and stay entirely in JVM built-ins (no Python/Arrow eval nodes)."""
+    from blog_snapshotbackup_azuredatalake_spark.operators import text
+
+    plan = _plan(text.text_repetition(spark, SF_DIR))
+    # formatted explain lists each node twice (tree + detail); count
+    # the detail headers, which are unique per physical node
+    import re
+
+    generates = re.findall(r"^\(\d+\) Generate", plan, re.M)
+    assert len(generates) == 1, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_shard_shuffle_reads_only_needed_columns(spark):
+    """corpus_shard_shuffle keys on doc_id/source only; the scan must
+    not drag the text payload through the shard exchange."""
+    from blog_snapshotbackup_azuredatalake_spark.operators import curation
+
+    plan = _plan(curation.corpus_shard_shuffle(spark, SF_DIR))
+    read = [line for line in plan.splitlines() if "ReadSchema" in line][0]
+    assert "text" not in read, read

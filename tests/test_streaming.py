@@ -4,6 +4,7 @@ windowed aggregation, stateful sessionization."""
 import shutil
 
 import pyspark.sql.functions as F
+import pytest
 
 from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
 from blog_snapshotbackup_azuredatalake_spark.streaming.incremental import (
@@ -13,7 +14,8 @@ from blog_snapshotbackup_azuredatalake_spark.streaming.incremental import (
     windowed_event_counts,
 )
 from blog_snapshotbackup_azuredatalake_spark.streaming.sessions import sessionize_stream
-from tests.conftest import SF_DIR
+from blog_snapshotbackup_azuredatalake_spark.streaming import entries, joins
+from tests.conftest import SF_DIR, assert_matches_oracle
 
 
 def _events_schema(spark):
@@ -273,3 +275,14 @@ def test_stateful_state_survives_restart(spark, tmp_path):
         (r["j"], r["bucket"]): r["cnt"] for r in cms_cells(events).collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "name", sorted({**entries.ORACLES, **joins.ORACLES})
+)
+def test_stream_entries_match_oracle(spark, ddb, name):
+    """Every SQL-oracled stream entry: the bounded drain must equal the
+    batch answer cell-for-cell (mirrors the driver gate)."""
+    allq = {**entries.QUERIES, **joins.QUERIES}
+    allo = {**entries.ORACLES, **joins.ORACLES}
+    assert_matches_oracle(allq[name](spark, SF_DIR), ddb, allo[name])

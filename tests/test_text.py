@@ -99,3 +99,26 @@ def test_bpe_train_properties():
         assert merges == merges2 and seqs == seqs2
 
     prop()
+
+
+def test_repetition_flags_planted_boilerplate(spark, tmp_path):
+    """A degenerate 'a b a b …' doc must be flagged repetitive; varied
+    text must not. Planted corpus, since the synthetic testdata has no
+    guaranteed boilerplate."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b " * 64, "en", "s1", 256),
+            (2, "the quick brown fox jumps over the lazy dog and then "
+                "walks home across a very long winding road tonight",
+             "en", "s2", 110),
+        ],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    rows = {r["source"]: r for r in
+            text.text_repetition(spark, str(tmp_path)).collect()}
+    assert rows["s1"]["n_repetitive"] == 1  # top bigram 'a b' dominates
+    assert rows["s2"]["n_repetitive"] == 0
+    assert rows["s1"]["max_top_bigram_fp"] > text.REP_TOP_BIGRAM_FP
+    assert rows["s2"]["max_dup_trigram_fp"] <= text.REP_DUP_TRIGRAM_FP

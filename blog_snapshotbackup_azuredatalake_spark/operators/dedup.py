@@ -833,13 +833,19 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ground truth is exact without an all-pairs scan: any pair with
     Jaccard ≥ {JACCARD_THRESHOLD} > 0 shares at least one shingle, so
     the inverted-index self-join enumerates a superset of the truth
-    set, the per-pair group count IS |A∩B| exactly (shingle sets are
-    distinct by construction), and |A∪B| = |A|+|B|−|A∩B| closes the
-    formula. Cost is Σ_g df(g)² over shared shingles — the same shape
-    as dedup_ngram_jaccard but UNcapped, because a calibration
-    certificate must not drop the high-df shingles that production
-    caps. (The naive n²·|sh| array-intersect version measured 156 s at
-    sf0.1 vs ~3 s for this plan — same row, same values.)"""
+    set, the per-pair group count over DEDUPED postings IS the
+    set-intersection size (gram arrays can carry in-doc repeats, so
+    the explode goes through array_distinct — a raw count would
+    overcount Σ cnt_a·cnt_b and can even drive the union-size formula
+    negative), and the denominator |sh_a|+|sh_b|−|A∩B| reproduces
+    `_jaccard`'s exact semantics (distinct intersection over RAW sizes
+    — what array_intersect/size and the DuckDB oracle's
+    list_intersect/len both compute). Cost is Σ_g df(g)² over shared
+    shingles — the same shape as dedup_ngram_jaccard but UNcapped,
+    because a calibration certificate must not drop the high-df
+    shingles that production caps. (The naive n²·|sh| array-intersect
+    version measured 156 s at sf0.1 vs ~3 s for this plan — same row,
+    same values.)"""
     docs = grams_for(
         load_table(spark, sf_dir, "documents")
     ).localCheckpoint(eager=True)
@@ -854,7 +860,9 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     hits = minhash_pairs(docs)  # candidates that verify ≥ threshold
-    ex = docs.select("doc_id", F.explode("sh").alias("g"))
+    ex = docs.select(
+        "doc_id", F.explode(F.array_distinct("sh")).alias("g")
+    )
     sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
     inter = (
         ex.alias("x")

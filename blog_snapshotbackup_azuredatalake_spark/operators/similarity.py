@@ -410,7 +410,23 @@ def ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_GRAPH_K = 3
-KNN_GRAPH_DIMS = 6  # 64 sign buckets
+KNN_GRAPH_DIMS = 6  # minimum sign dims (64 buckets)
+KNN_TARGET_BUCKET = 256  # target vectors per bucket at scale
+
+
+def _knn_graph_dims(n: int) -> int:
+    """Scale-adaptive sign-LSH width: enough bucket bits that the
+    expected bucket holds ~{KNN_TARGET_BUCKET} vectors, never fewer
+    than {KNN_GRAPH_DIMS}. Fixed bucket count means Σ bucket² ∝ n²;
+    constant expected occupancy makes the candidate join ∝ n — the
+    documented log(n)-bucket escalation, as code. The oracle computes
+    the identical formula in SQL (exact for the clamped range at gate
+    SFs; log2 of a power of two is exact in both engines)."""
+    import math
+
+    return max(
+        KNN_GRAPH_DIMS, math.ceil(math.log2(max(n, 1) / KNN_TARGET_BUCKET))
+    )
 
 
 def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,18 +435,23 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup clustering seeds, label propagation, diversity sampling.
 
     Unlike the query-set ANN ops, BOTH sides are the whole corpus, so
-    blocking is what makes it feasible: a {2**KNN_GRAPH_DIMS}-bucket
-    sign-pattern LSH self-join bounds candidate cost to Σ bucket² —
-    linear-ish in corpus size under uniform hashing — and a per-vector
-    rank window keeps only the top-{KNN_GRAPH_K} edges. Recall follows
-    the LSH trade (same-bucket neighbors only); the escalation is
-    multi-probe or IVF blocking, both shipped for the query-set case.
-    Deterministic: ties broken by neighbor id; cosine is the codegen
-    double fold, bit-identical to the oracle's list_reduce."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    blocking is what makes it feasible: a sign-pattern LSH self-join
+    whose bucket-bit count GROWS with the corpus (``_knn_graph_dims`` —
+    constant expected bucket occupancy, so the candidate join is ∝ n,
+    not Σ bucket² ∝ n² as a fixed bucket count would be) and a
+    per-vector rank window keeping only the top-{KNN_GRAPH_K} edges.
+    Recall follows the LSH trade (same-bucket neighbors only; more
+    bits = finer buckets = lower recall per bucket) — the recall
+    escalation is multi-probe or IVF blocking, both shipped for the
+    query-set case. Deterministic: ties broken by neighbor id; cosine
+    is the codegen double fold, bit-identical to the oracle's
+    list_reduce."""
+    base = load_table(spark, sf_dir, "embeddings")
+    dims = _knn_graph_dims(base.count())
+    emb = base.select(
         "vec_id",
         "embedding",
-        _sign_bucket(F.col("embedding"), KNN_GRAPH_DIMS).alias("bucket"),
+        _sign_bucket(F.col("embedding"), dims).alias("bucket"),
     )
     pairs = (
         emb.alias("x")
@@ -453,13 +474,18 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_BUCKET_K = (
-    "list_aggregate(list_transform(embedding[1:"
-    + str(KNN_GRAPH_DIMS)
-    + "], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '')"
+    "list_aggregate(list_transform(embedding[1:(SELECT dims FROM nd)],"
+    " x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '')"
 )
 
 _ANN_KNN_GRAPH_SQL = f"""
-WITH emb AS (
+WITH nd AS (
+  SELECT GREATEST({KNN_GRAPH_DIMS},
+                  CAST(CEIL(LOG2(GREATEST(COUNT(*), 1)
+                                 / {KNN_TARGET_BUCKET}.0)) AS INT)) AS dims
+  FROM embeddings
+),
+emb AS (
   SELECT vec_id, embedding, {_SQL_BUCKET_K} AS bucket FROM embeddings
 ),
 pairs AS (

@@ -58,20 +58,43 @@ def main() -> None:
             f"{out}/{t}.parquet"
         )
 
+    # one GLOBAL stride above every existing key: a fixed KEY_OFFSET
+    # collides when the source is itself a generated dir (copy shifts
+    # stack additively — base + 3·OFF + 2·OFF ≡ base + 1·OFF + 4·OFF —
+    # which silently duplicated doc_ids in two-stage sf10 builds). The
+    # stride must be the SAME for every column so FK pairs
+    # (o_custkey ↔ c_custkey) shift in lockstep.
+    gmax = 0
+    for t, keys in SHIFTS.items():
+        row = (
+            load_table(spark, src, t)
+            .agg(*[F.max(k).alias(k) for k in keys])
+            .collect()[0]
+        )
+        gmax = max([gmax] + [v for v in row if v is not None])
+    stride = KEY_OFFSET * (gmax // KEY_OFFSET + 1)
+
     for t, keys in SHIFTS.items():
         base = load_table(spark, src, t)
         copies = []
         for i in range(factor):
             df = base
             for k in keys:
-                df = df.withColumn(k, F.col(k) + F.lit(i * KEY_OFFSET))
+                df = df.withColumn(k, F.col(k) + F.lit(i * stride))
             if t == "documents" and i > 0:
-                # rewrite every token boundary so copy i's shingle/minhash
-                # space is disjoint from copy 0's: planted near-dups stay
-                # near-dups WITHIN a copy, no cross-copy cliques form
+                # tag every TOKEN with the copy id so copy i's
+                # shingle/minhash space is disjoint from copy 0's:
+                # planted near-dups stay near-dups WITHIN a copy, no
+                # cross-copy cliques form. Tagging (suffix on each
+                # token) — NOT inserting separator tokens — keeps token
+                # count and gram diversity proportional to corpus size;
+                # the previous ` v{i} `-insertion halved gram diversity
+                # and doubled tokens per generation, which made sf10
+                # text degenerate (max gram df 8839 vs 345 at sf3) and
+                # faked a super-linear dedup curve.
                 df = df.withColumn(
                     "text",
-                    F.regexp_replace(F.col("text"), " ", f" v{i} "),
+                    F.regexp_replace(F.col("text"), r"(\S+)", f"$1{i}"),
                 )
             copies.append(df)
         full = copies[0]

@@ -54,3 +54,26 @@ def test_sfbig_generator_invariants(spark):
         .count()
     )
     assert overlap == 0
+
+
+def test_sfbig_two_stage_ids_stay_unique(spark):
+    """Chained generation (sf0.1 → sf1 → sf10) must keep ids unique:
+    a fixed per-copy offset stacks additively across stages and
+    collides (caught at sf10 — duplicate doc_ids corrupted every
+    per-doc self-join); the generator now strides above the source's
+    actual key range."""
+    work = tempfile.mkdtemp(prefix="sfbig_test2_")
+    mid, out = f"{work}/mid", f"{work}/out"
+    for src, dst, f in [(SF_DIR, mid, "2"), (mid, out, "3")]:
+        subprocess.run(
+            [sys.executable, "scripts/make_sfbig.py", src, dst, f],
+            check=True,
+            capture_output=True,
+            cwd="/root/repo",
+        )
+    base_n = load_table(spark, SF_DIR, "documents").count()
+    docs = load_table(spark, out, "documents")
+    assert docs.count() == 6 * base_n
+    assert docs.select("doc_id").distinct().count() == docs.count()
+    orders = load_table(spark, out, "orders")
+    assert orders.select("o_orderkey").distinct().count() == orders.count()

@@ -468,7 +468,148 @@ FROM per_file GROUP BY layout
 """
 
 
+DRIFT_BUCKETS = 16
+DRIFT_FP = 1 << 30  # fixed-point scale for per-bucket drift terms
+DRIFT_ALERT_FP = DRIFT_FP // 1000  # flag columns whose stat > 0.001
+
+
+def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift gate between snapshot versions (v0 = orders,
+    v1 = the deterministic perturbed state): per monitored column, a
+    bucketed symmetric chi-square statistic Σ_b (p_b−q_b)²/(p_b+q_b)
+    over the two versions' bucket shares — the PSI-style check a backup
+    pipeline runs before promoting an incremental, catching silent
+    upstream corruption (unit changes, truncated feeds, swapped
+    columns) that per-row hash diffs cannot see.
+
+    Chi-square instead of PSI on purpose: PSI's ln(p/q) is a libm call
+    whose last ulp differs across engines, while this statistic is pure
+    rational arithmetic of exact integer counts — each bucket term is
+    one double expression over two exact ratios (bit-identical in Spark
+    and DuckDB), floor-quantized to a BIGINT before the order-sensitive
+    sum (SURVEY §4 pattern).
+
+    Plan shape: each side is one scan → explode of {DRIFT_BUCKETS}-way
+    bucket tags (3 tags/row) → count by (col, bucket) — cells, not
+    rows, cross the wire; the final join is cell-table sized. Linear,
+    partial-agg friendly, no Python."""
+    from blog_snapshotbackup_azuredatalake_spark.operators.snapshot import (
+        _perturbed_orders,
+    )
+
+    def tags(df: DataFrame) -> DataFrame:
+        ent = F.array(
+            F.struct(
+                F.lit("o_totalprice").alias("col"),
+                F.least(
+                    F.lit(DRIFT_BUCKETS - 1),
+                    F.floor(F.col("o_totalprice") / 25000.0),
+                )
+                .cast("bigint")
+                .alias("bucket"),
+            ),
+            F.struct(
+                F.lit("o_orderpriority").alias("col"),
+                F.substring(F.col("o_orderpriority"), 1, 1)
+                .cast("bigint")
+                .alias("bucket"),
+            ),
+            F.struct(
+                F.lit("o_custkey").alias("col"),
+                (F.col("o_custkey") % DRIFT_BUCKETS).alias("bucket"),
+            ),
+        )
+        return (
+            df.select(F.explode(ent).alias("e"))
+            .select("e.col", "e.bucket")
+            .groupBy("col", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    a = tags(load_table(spark, sf_dir, "orders"))
+    b = tags(_perturbed_orders(spark, sf_dir))
+    ta = a.groupBy("col").agg(F.sum("cnt").alias("tot_a"))
+    tb = b.groupBy("col").agg(F.sum("cnt").alias("tot_b"))
+    cells = (
+        a.withColumnRenamed("cnt", "cnt_a")
+        .join(b.withColumnRenamed("cnt", "cnt_b"), ["col", "bucket"], "full_outer")
+        .na.fill({"cnt_a": 0, "cnt_b": 0})
+        .join(ta, "col")
+        .join(tb, "col")
+    )
+    p = F.col("cnt_a").cast("double") / F.col("tot_a").cast("double")
+    q = F.col("cnt_b").cast("double") / F.col("tot_b").cast("double")
+    term_fp = F.floor((p - q) * (p - q) / (p + q) * DRIFT_FP).cast("bigint")
+    return (
+        cells.select("col", "tot_a", "tot_b", term_fp.alias("term_fp"))
+        .groupBy("col")
+        .agg(
+            F.max("tot_a").alias("n_v0"),
+            F.max("tot_b").alias("n_v1"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("term_fp").alias("drift_fp"),
+        )
+        .select(
+            "*",
+            (F.col("drift_fp") > DRIFT_ALERT_FP).alias("drifted"),
+            (
+                F.col("drift_fp").cast("double") / DRIFT_FP
+            ).alias("drift_stat"),
+        )
+    )
+
+
+def _drift_sql() -> str:
+    from blog_snapshotbackup_azuredatalake_spark.operators.snapshot import (
+        _PERTURBED_SQL,
+    )
+
+    tag_cells = """
+  SELECT col, bucket, COUNT(*) AS cnt FROM (
+    SELECT unnest([
+      {{'col': 'o_totalprice',
+        'bucket': LEAST({nb1}, CAST(floor(o_totalprice / 25000.0) AS BIGINT))}},
+      {{'col': 'o_orderpriority',
+        'bucket': CAST(substr(o_orderpriority, 1, 1) AS BIGINT)}},
+      {{'col': 'o_custkey', 'bucket': o_custkey % {nb}}}
+    ], recursive := true)
+    FROM {src}
+  ) GROUP BY col, bucket
+"""
+    return f"""
+WITH v1 AS ({_PERTURBED_SQL}),
+a AS ({tag_cells.format(src="orders", nb=DRIFT_BUCKETS, nb1=DRIFT_BUCKETS - 1)}),
+b AS ({tag_cells.format(src="v1", nb=DRIFT_BUCKETS, nb1=DRIFT_BUCKETS - 1)}),
+ta AS (SELECT col, CAST(SUM(cnt) AS BIGINT) AS tot_a FROM a GROUP BY col),
+tb AS (SELECT col, CAST(SUM(cnt) AS BIGINT) AS tot_b FROM b GROUP BY col),
+cells AS (
+  SELECT col, bucket, COALESCE(a.cnt, 0) AS cnt_a, COALESCE(b.cnt, 0) AS cnt_b
+  FROM a FULL OUTER JOIN b USING (col, bucket)
+),
+terms AS (
+  SELECT col, tot_a, tot_b,
+         CAST(floor(
+           (CAST(cnt_a AS DOUBLE) / CAST(tot_a AS DOUBLE)
+            - CAST(cnt_b AS DOUBLE) / CAST(tot_b AS DOUBLE))
+           * (CAST(cnt_a AS DOUBLE) / CAST(tot_a AS DOUBLE)
+              - CAST(cnt_b AS DOUBLE) / CAST(tot_b AS DOUBLE))
+           / (CAST(cnt_a AS DOUBLE) / CAST(tot_a AS DOUBLE)
+              + CAST(cnt_b AS DOUBLE) / CAST(tot_b AS DOUBLE))
+           * {DRIFT_FP}) AS BIGINT) AS term_fp
+  FROM cells JOIN ta USING (col) JOIN tb USING (col)
+)
+SELECT col, MAX(tot_a) AS n_v0, MAX(tot_b) AS n_v1,
+       COUNT(*) AS n_buckets,
+       CAST(SUM(term_fp) AS BIGINT) AS drift_fp,
+       CAST(SUM(term_fp) AS BIGINT) > {DRIFT_ALERT_FP} AS drifted,
+       CAST(CAST(SUM(term_fp) AS BIGINT) AS DOUBLE) / {DRIFT_FP}
+         AS drift_stat
+FROM terms GROUP BY col
+"""
+
+
 QUERIES = {
+    "dq_drift": dq_drift,
     "dq_profile": dq_profile,
     "dq_embeddings": dq_embeddings,
     "dq_referential": dq_referential,
@@ -479,6 +620,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dq_drift": _drift_sql(),
     "dq_profile": _DQ_PROFILE_SQL,
     "dq_embeddings": _DQ_EMBEDDINGS_SQL,
     "dq_referential": _DQ_REFERENTIAL_SQL,

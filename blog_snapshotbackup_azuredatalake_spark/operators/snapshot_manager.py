@@ -141,9 +141,56 @@ class SnapshotManager:
         return snap_id
 
     # -- restore ----------------------------------------------------------
+    # -- clone ------------------------------------------------------------
+    def clone(self, table: str, snap_id: int, new_table: str) -> int:
+        """Delta-style SHALLOW CLONE: publish `new_table`'s snapshot 0
+        as a POINTER to (table, snap_id) — one meta.json written, zero
+        data or manifest bytes copied or moved. Restore resolves
+        through the pointer; the clone is an independent logical table
+        for reads (dev/test forks, blue-green promotion, a restore
+        rehearsal against production data) at metadata cost. The clone
+        is its own log commit, so vacuum treats the clone dir as live,
+        and the pointed-at data stays live through the SOURCE table's
+        own log entry — deleting the source snapshot while clones point
+        at it is the same referential hazard Delta documents for
+        shallow clones."""
+        self._read_meta(table, snap_id)  # must exist
+        ids = self.snapshot_ids(new_table)
+        new_id = (ids[-1] + 1) if ids else 0
+        d = self._dir(new_table, new_id)
+        os.makedirs(d, exist_ok=True)
+        meta = {
+            "id": new_id,
+            "base": None,
+            "kind": "clone",
+            "src_table": table,
+            "src_snap": snap_id,
+        }
+        with open(self._meta_path(new_table, new_id), "w") as f:
+            json.dump(meta, f)
+        self.log.commit(
+            "clone",
+            [
+                {
+                    "add": {
+                        "path": f"{new_table}/snap_{new_id:06d}",
+                        "table": new_table,
+                        "snap_id": new_id,
+                        "kind": "clone",
+                        "src": f"{table}/snap_{snap_id:06d}",
+                    }
+                }
+            ],
+        )
+        return new_id
+
     def restore(self, table: str, snap_id: int) -> DataFrame:
         """Materialize the table state at `snap_id`: replay deltas onto
-        the base full snapshot, newest version per key winning."""
+        the base full snapshot, newest version per key winning; shallow
+        clones resolve through their pointer first."""
+        meta = self._read_meta(table, snap_id)
+        if meta.get("kind") == "clone":
+            return self.restore(meta["src_table"], meta["src_snap"])
         chain: list[dict] = []
         cur: int | None = snap_id
         while cur is not None:
@@ -480,5 +527,62 @@ def snap_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"snap_txn_log": snap_txn_log, "snap_vacuum": snap_vacuum}
+def snap_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow-clone drill: snapshot a table slice, clone it zero-copy,
+    perturb-and-snapshot the ORIGINAL further, and certify that (a)
+    the clone still restores the exact pre-perturbation state (pointer
+    isolation), (b) the clone directory holds metadata only — no data
+    or manifest bytes were copied, and (c) vacuum leaves both tables
+    intact (the clone is log-live). One row per certificate check;
+    rows-only (the store is scratch filesystem state)."""
+    from blog_snapshotbackup_azuredatalake_spark.operators.snapshot import (
+        _perturbed_orders,
+    )
+    from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
+        load_table,
+    )
+
+    keyed = F.col("o_orderkey") % 10 == 0
+    orders = load_table(spark, sf_dir, "orders").filter(keyed)
+    work = scratch_dir("snap_clone_")
+    mgr = SnapshotManager(spark, work)
+    src_id = mgr.snapshot(orders, "orders", "o_orderkey")
+    n_at_clone = mgr.restore("orders", src_id).count()
+    clone_id = mgr.clone("orders", src_id, "orders_dev")
+
+    # source moves on; the clone must not
+    mgr.snapshot(
+        _perturbed_orders(spark, sf_dir).filter(keyed),
+        "orders",
+        "o_orderkey",
+    )
+    clone_dir = mgr._dir("orders_dev", clone_id)
+    clone_files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(clone_dir)
+        for f in fs
+    ]
+    vacuum_report = mgr.vacuum()
+    checks = [
+        # restored AFTER the source advanced — this IS the isolation
+        # proof: the pointer resolves to the pinned snapshot, not HEAD
+        ("clone_restores_source_state",
+         mgr.restore("orders_dev", clone_id).count() == n_at_clone),
+        ("clone_is_metadata_only",
+         [os.path.basename(p) for p in clone_files] == ["meta.json"]),
+        ("source_advanced_past_clone",
+         mgr.snapshot_ids("orders")[-1] > src_id),
+        ("vacuum_keeps_clone_and_source",
+         not any(r["deleted"] for r in vacuum_report)),
+        ("clone_commit_logged",
+         any(h["op"] == "clone" for h in mgr.log.history())),
+    ]
+    return spark.createDataFrame(checks, "check string, ok boolean")
+
+
+QUERIES = {
+    "snap_txn_log": snap_txn_log,
+    "snap_vacuum": snap_vacuum,
+    "snap_clone": snap_clone,
+}
 ORACLES: dict[str, str] = {}  # rows-only: the log is filesystem metadata

@@ -9,6 +9,8 @@ DataFrame whose content is deterministic for a given sf dir.
 
 from __future__ import annotations
 
+import os
+import time
 import uuid
 from contextlib import contextmanager
 
@@ -365,7 +367,143 @@ def stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LATE_DELAY_US = 30 * 60 * 1_000_000  # watermark delay
+LATE_WINDOW_US = 10 * 60 * 1_000_000  # tumbling window
+
+
+def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics, driven for real and certified:
+    feed the event stream as THREE ordered micro-batches — the on-time
+    prefix (ts ≤ t_split at the 3/4 point of the span), the fresh
+    remainder, then a replay of clearly-old events (ts ≤ t_split −
+    2·delay) — into a watermarked tumbling-window count in APPEND
+    mode. By the replay batch the late windows' state has already been
+    finalized and evicted, so Spark MUST drop the replays (re-emitting
+    a finalized window would violate append mode); the entry asserts
+    the drop really happened via the progress metrics
+    (numRowsDroppedByWatermark > 0). Measured nuance that shaped this
+    design: a late row arriving while its window state still lives is
+    MERGED, not dropped (a two-batch feed showed replays counted,
+    drops = 0) — lateness alone doesn't drop a row, eviction does.
+
+    Batch order is deterministic: one file per batch
+    (maxFilesPerTrigger=1), mtimes pinned with os.utime so the file
+    source's (mtime, path) ordering cannot tie. That makes the
+    emission SQL-derivable — dropped replays never count, and a window
+    is emitted iff its end clears the final watermark (ms-floored
+    global max minus the delay) — so the driver gate checks real
+    streaming semantics, not just row counts."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+    )
+    lo, hi = events.agg(F.min("ts_us"), F.max("ts_us")).first()
+    t_split = lo + (hi - lo) * 3 // 4
+    on_time = events.filter(F.col("ts_us") <= t_split)
+    fresh = events.filter(F.col("ts_us") > t_split)
+    replay = events.filter(
+        F.col("ts_us") <= t_split - 2 * LATE_DELAY_US
+    ).withColumn("event_id", F.col("event_id") + F.lit(1_000_000_000))
+
+    work = scratch_dir("stream_late_")
+    src = f"{work}/src"
+    os.makedirs(src)
+    now = time.time()
+    for sub, df, mtime in (
+        ("b0", on_time, now - 180),
+        ("b1", fresh, now - 120),
+        ("b2", replay, now - 60),
+    ):
+        df.coalesce(1).write.parquet(f"{work}/{sub}")
+        for f in os.listdir(f"{work}/{sub}"):
+            if f.endswith(".parquet"):
+                dst = f"{src}/{sub}_{f}"
+                os.rename(f"{work}/{sub}/{f}", dst)
+                os.utime(dst, (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withColumn(
+            "event_time", F.timestamp_micros(F.col("ts_us"))
+        )
+        .withWatermark("event_time", "30 minutes")
+        .groupBy(
+            F.window("event_time", "10 minutes"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros("window.start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    with demo_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+        q.stop()
+    n_replay = replay.count()
+    if n_replay and dropped == 0:
+        raise AssertionError(
+            f"late replays were not dropped ({n_replay} fed, 0 dropped)"
+        )
+    return spark.table(name)
+
+
+# the oracle re-derives the drain, pinning the EXACT eviction-based
+# drop rule (measured, not the folk "older than watermark" rule): a
+# replay is dropped iff its window was already evicted when the replay
+# arrived — eviction at the end of the fresh batch removes windows
+# whose end ≤ wm1 (ms-floored max ON-TIME event time minus the delay).
+# A replay whose window end > wm1 merges into the still-live state and
+# counts (observed on sparse sf0.001 data, where the last on-time
+# event sits well before t_split). Emission: window end ≤ the final
+# watermark. Verified against the drained stream at sf0.001 and
+# sf0.01.
+_STREAM_LATE_DROP_SQL = f"""
+WITH ev AS (
+  SELECT event_type, (epoch_ns(ts) // 1000) AS ts_us FROM events
+), bounds AS (
+  SELECT MIN(ts_us) + (MAX(ts_us) - MIN(ts_us)) * 3 // 4 AS t_split
+  FROM ev
+), wm AS (
+  SELECT (SELECT MAX(ts_us) FROM ev, bounds
+          WHERE ts_us <= t_split) // 1000
+           - {LATE_DELAY_US // 1000} AS wm1_ms,
+         (SELECT MAX(ts_us) FROM ev) // 1000
+           - {LATE_DELAY_US // 1000} AS wm_final_ms
+), kept AS (
+  SELECT ts_us, event_type FROM ev
+  UNION ALL
+  SELECT ts_us, event_type FROM ev, bounds, wm
+  WHERE ts_us <= t_split - {2 * LATE_DELAY_US}
+    AND ((ts_us // {LATE_WINDOW_US}) * {LATE_WINDOW_US}
+         + {LATE_WINDOW_US}) // 1000 > wm1_ms
+)
+SELECT (ts_us // {LATE_WINDOW_US}) * {LATE_WINDOW_US} AS window_start_us,
+       event_type, COUNT(*) AS n_events
+FROM kept, wm
+GROUP BY 1, 2, wm_final_ms
+HAVING (window_start_us + {LATE_WINDOW_US}) // 1000 <= wm_final_ms
+"""
+
+
 QUERIES = {
+    "stream_late_drop": stream_late_drop,
     "stream_ivm": stream_ivm,
     "stream_hll_distinct": stream_hll_distinct,
     "stream_incr_sync": stream_incr_sync,
@@ -473,6 +611,7 @@ def _oracles() -> dict[str, str]:
 
     return {
         "stream_windowed_agg": _STREAM_WINDOWED_SQL,
+        "stream_late_drop": _STREAM_LATE_DROP_SQL,
         "stream_sessionize": _STREAM_SESSIONIZE_SQL,
         "stream_dedup": _STREAM_DEDUP_SQL,
         "stream_enrich_static": _STREAM_ENRICH_SQL,

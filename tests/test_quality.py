@@ -105,3 +105,30 @@ def test_schema_drift_report(spark):
     assert rows["o_comment"]["change"] == "added"
     assert rows["o_totalprice"]["change"] == "type_changed"
     assert rows["o_orderkey"]["change"] == "unchanged"
+
+
+def test_dq_drift_matches_oracle(spark, ddb):
+    assert_matches_oracle(
+        quality.dq_drift(spark, SF_DIR), ddb, quality.ORACLES["dq_drift"]
+    )
+
+
+def test_dq_drift_semantics(spark):
+    """The deterministic perturbation moves ~1% of rows, so drift must
+    be positive but far below the alert line on every column; totals
+    must match the actual v0/v1 row counts."""
+    from blog_snapshotbackup_azuredatalake_spark.operators.snapshot import (
+        _perturbed_orders,
+    )
+    from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = {r["col"]: r for r in quality.dq_drift(spark, SF_DIR).collect()}
+    assert set(rows) == {"o_totalprice", "o_orderpriority", "o_custkey"}
+    n0 = load_table(spark, SF_DIR, "orders").count()
+    n1 = _perturbed_orders(spark, SF_DIR).count()
+    for r in rows.values():
+        assert (r["n_v0"], r["n_v1"]) == (n0, n1)
+        assert 0 <= r["drift_fp"] <= quality.DRIFT_ALERT_FP
+        assert not r["drifted"]

@@ -132,3 +132,29 @@ def test_vacuum_grace_window_protects_inflight_writer(spark, mgr):
     # once old enough it is debris and goes
     gone = mgr.vacuum(min_age_seconds=0.0)
     assert {r["path"] for r in gone if r["deleted"]} == {"t/snap_000099"}
+
+
+def test_shallow_clone_zero_copy_and_isolated(spark, mgr):
+    orders = load_table(spark, SF_DIR, "orders").limit(200)
+    sid = mgr.snapshot(orders, "t", "o_orderkey")
+    cid = mgr.clone("t", sid, "t_dev")
+    # pointer restore == source state, no bytes copied
+    assert mgr.restore("t_dev", cid).count() == 200
+    clone_dir = mgr._dir("t_dev", cid)
+    files = [f for _, _, fs in os.walk(clone_dir) for f in fs]
+    assert files == ["meta.json"]
+    # source evolves; clone must keep the old state
+    v2 = orders.limit(150)
+    mgr.snapshot(v2, "t", "o_orderkey", force_full=True)
+    assert mgr.restore("t_dev", cid).count() == 200
+    # the clone is log-live: vacuum deletes nothing
+    assert not any(r["deleted"] for r in mgr.vacuum(min_age_seconds=0.0))
+
+
+def test_snap_clone_certificate(spark):
+    from blog_snapshotbackup_azuredatalake_spark.operators.snapshot_manager import (
+        snap_clone,
+    )
+
+    rows = {r["check"]: r["ok"] for r in snap_clone(spark, SF_DIR).collect()}
+    assert rows and all(rows.values()), rows

@@ -974,6 +974,198 @@ FROM card, dup
 """
 
 
+SEM_BENCH_MOD = 20  # every 20th vector plays the held-out benchmark
+SEM_TAU = 0.9  # cosine threshold for "semantically contaminated"
+SEM_FP = 1 << 20  # fixed-point scale for the max-cos aggregate
+
+
+def corpus_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination: flag corpus vectors whose
+    best cosine against the held-out set reaches {SEM_TAU} — the
+    embedding-space complement of `corpus_decontaminate`'s exact
+    n-gram overlap, catching paraphrased/translated eval leakage that
+    shares no shingles.
+
+    Plan shape is the one this problem actually has at 100 TB: the
+    bench side is an eval suite (thousands of vectors, KBs–MBs), so it
+    BROADCASTS and the corpus is scanned once, map-only — n·|bench|
+    dot products, no corpus shuffle, and the per-vector max folds in
+    the same pass. If the bench set ever outgrows broadcast, the
+    escalation is the sign-bucket LSH prefilter already shipped for
+    `dedup_embedding`. Cosine is the sequential double fold — the same
+    left-associative reduction DuckDB's list_reduce performs, so the
+    comparison against {SEM_TAU} and the floor-quantized aggregate are
+    bit-identical to the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % SEM_BENCH_MOD == 0).select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") % SEM_BENCH_MOD != 0)
+    from blog_snapshotbackup_azuredatalake_spark.operators.dedup import (
+        _dot_cos,
+    )
+
+    per_vec = (
+        corpus.crossJoin(F.broadcast(bench))
+        .select(
+            "vec_id",
+            "label",
+            _dot_cos(F.col("embedding"), F.col("b_emb")).alias("cos"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.max("cos").alias("max_cos"))
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_corpus"),
+        F.sum((F.col("max_cos") >= SEM_TAU).cast("bigint")).alias(
+            "n_contaminated"
+        ),
+        F.sum(
+            F.floor(F.col("max_cos") * SEM_FP).cast("bigint")
+        ).alias("sum_maxcos_fp"),
+        F.max("max_cos").alias("top_cos"),
+    )
+
+
+def _decontaminate_semantic_sql() -> str:
+    from blog_snapshotbackup_azuredatalake_spark.operators.dedup import (
+        _SQL_COS,
+    )
+
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % {SEM_BENCH_MOD} = 0
+), a AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  WHERE vec_id % {SEM_BENCH_MOD} <> 0
+), per_vec AS (
+  SELECT a.vec_id, a.label, MAX({_SQL_COS}) AS max_cos
+  FROM a, b GROUP BY a.vec_id, a.label
+)
+SELECT label, COUNT(*) AS n_corpus,
+       CAST(SUM(CASE WHEN max_cos >= {SEM_TAU} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       CAST(SUM(CAST(floor(max_cos * {SEM_FP}) AS BIGINT)) AS BIGINT)
+         AS sum_maxcos_fp,
+       MAX(max_cos) AS top_cos
+FROM per_vec GROUP BY label
+"""
+
+
+OUT_MFP = 1 << 30  # fixed-point scale for the moment sums
+OUT_SFP = 1 << 20  # fixed-point scale for the per-dim z² terms
+OUT_TAU = 2.0  # mean squared z-score above this ⇒ outlier
+
+
+def emb_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier gate: per-vector diagonal Mahalanobis score —
+    the mean squared per-dimension z-score against the corpus — and
+    per-label outlier counts at mean-z² > {OUT_TAU}. The curation step
+    that drops corrupt/degenerate vectors (encoder NaN-adjacent
+    outputs, wrong-model embeddings, truncation artifacts) before
+    clustering or ANN indexing amplifies them.
+
+    Two linear passes, the emb_whiten shape: pass 1 reduces to d
+    per-dimension moment cells (fixed-point floor sums — exact,
+    order-free); the d-row stats table broadcasts back onto pass 2,
+    where each vector's score is an integer sum of floor-quantized
+    per-dim z² terms — order-free again, so the aggregate is
+    bit-identical in the DuckDB oracle. Nothing vector-count-sized is
+    ever shuffled."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "xf"),
+    ).select("vec_id", "label", "dim", F.col("xf").cast("double").alias("x"))
+    per_dim = dims.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("x") * OUT_MFP).cast("bigint")).alias("sx_fp"),
+        F.sum(
+            F.floor(F.col("x") * F.col("x") * OUT_MFP).cast("bigint")
+        ).alias("sx2_fp"),
+    )
+    mnfp = (F.col("n") * OUT_MFP).cast("double")
+    mu = F.col("sx_fp").cast("double") / mnfp
+    stats = per_dim.select(
+        "dim",
+        mu.alias("mu"),
+        F.sqrt(
+            F.greatest(
+                F.col("sx2_fp").cast("double") / mnfp - mu * mu,
+                F.lit(0.0),
+            )
+        ).alias("sigma"),
+    )
+    safe_sigma = F.when(F.col("sigma") > 0, F.col("sigma")).otherwise(
+        F.lit(1.0)
+    )
+    z = (F.col("x") - F.col("mu")) / safe_sigma
+    per_vec = (
+        dims.join(F.broadcast(stats), "dim")
+        .select(
+            "vec_id",
+            "label",
+            F.floor(z * z * OUT_SFP).cast("bigint").alias("z2_fp"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum("z2_fp").alias("score_fp"),
+            F.count(F.lit(1)).alias("d"),
+        )
+    )
+    is_out = (
+        F.col("score_fp").cast("double")
+        > OUT_TAU * OUT_SFP * F.col("d").cast("double")
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(is_out.cast("bigint")).alias("n_outliers"),
+        F.max("score_fp").alias("max_score_fp"),
+        F.sum("score_fp").alias("sum_score_fp"),
+    )
+
+
+_EMB_OUTLIER_SQL = f"""
+WITH dims AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), per_dim AS (
+  SELECT dim, COUNT(*) AS n,
+         SUM(CAST(floor(x * {OUT_MFP}) AS BIGINT)) AS sx_fp,
+         SUM(CAST(floor(x * x * {OUT_MFP}) AS BIGINT)) AS sx2_fp
+  FROM dims GROUP BY dim
+), stats AS (
+  SELECT dim,
+         CAST(sx_fp AS DOUBLE) / CAST(n * {OUT_MFP} AS DOUBLE) AS mu,
+         sqrt(GREATEST(
+           CAST(sx2_fp AS DOUBLE) / CAST(n * {OUT_MFP} AS DOUBLE)
+           - (CAST(sx_fp AS DOUBLE) / CAST(n * {OUT_MFP} AS DOUBLE))
+             * (CAST(sx_fp AS DOUBLE) / CAST(n * {OUT_MFP} AS DOUBLE)),
+           0)) AS sigma
+  FROM per_dim
+), per_vec AS (
+  SELECT vec_id, label,
+         CAST(SUM(CAST(floor(
+           ((x - mu) / (CASE WHEN sigma > 0 THEN sigma ELSE 1.0 END))
+           * ((x - mu) / (CASE WHEN sigma > 0 THEN sigma ELSE 1.0 END))
+           * {OUT_SFP}) AS BIGINT)) AS BIGINT) AS score_fp,
+         COUNT(*) AS d
+  FROM dims JOIN stats USING (dim)
+  GROUP BY vec_id, label
+)
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(SUM(CASE WHEN CAST(score_fp AS DOUBLE)
+                          > {OUT_TAU} * {OUT_SFP} * CAST(d AS DOUBLE)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       MAX(score_fp) AS max_score_fp,
+       CAST(SUM(score_fp) AS BIGINT) AS sum_score_fp
+FROM per_vec GROUP BY label
+"""
+
+
 SHUFFLE_SHARDS = 16  # training shard count for the shuffle certificate
 
 
@@ -1059,6 +1251,8 @@ FROM ordered GROUP BY shard
 
 
 QUERIES = {
+    "emb_outlier_zscore": emb_outlier_zscore,
+    "corpus_decontaminate_semantic": corpus_decontaminate_semantic,
     "corpus_shard_shuffle": corpus_shard_shuffle,
     "corpus_dataset_card": corpus_dataset_card,
     "emb_whiten": emb_whiten,
@@ -1075,6 +1269,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_outlier_zscore": _EMB_OUTLIER_SQL,
+    "corpus_decontaminate_semantic": _decontaminate_semantic_sql(),
     "corpus_shard_shuffle": _SHARD_SHUFFLE_SQL,
     "corpus_dataset_card": _dataset_card_sql(),
     "emb_whiten": _EMB_WHITEN_SQL,

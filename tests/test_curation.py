@@ -99,3 +99,56 @@ def test_shard_shuffle_covers_and_balances(spark):
     # deterministic: the certificate is a pure function of doc ids
     again = corpus_shard_shuffle(spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_semantic_decontamination_flags_planted_leak(spark, tmp_path):
+    """A corpus vector nearly identical to a bench vector must be
+    flagged; orthogonal vectors must not. Planted embeddings, since
+    the synthetic table's random vectors never reach the threshold."""
+    from blog_snapshotbackup_azuredatalake_spark.operators.curation import (
+        corpus_decontaminate_semantic,
+    )
+
+    dim = 8
+    e1 = [1.0] + [0.0] * (dim - 1)
+    e1_noisy = [0.99] + [0.01] * (dim - 1)  # cos ≈ 0.999 vs e1
+    e2 = [0.0, 1.0] + [0.0] * (dim - 2)
+    rows = [
+        (20, e1, 7),        # bench (vec_id % 20 == 0)
+        (1, e1_noisy, 7),   # corpus: planted leak of the bench vector
+        (2, e2, 7),         # corpus: orthogonal, clean
+        (3, e2, 8),         # corpus: clean, other label
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    out = {r["label"]: r for r in
+           corpus_decontaminate_semantic(spark, str(tmp_path)).collect()}
+    assert out[7]["n_corpus"] == 2 and out[7]["n_contaminated"] == 1
+    assert out[8]["n_contaminated"] == 0
+    assert out[7]["top_cos"] > 0.99
+
+
+def test_emb_outlier_flags_planted_corrupt_vector(spark, tmp_path):
+    """A vector far outside the corpus distribution must be flagged;
+    in-distribution vectors must not (random synthetic embeddings
+    never cross the threshold, so the outlier is planted)."""
+    import random
+
+    from blog_snapshotbackup_azuredatalake_spark.operators.curation import (
+        emb_outlier_zscore,
+    )
+
+    rng = random.Random(7)
+    dim = 8
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)], 1) for i in range(40)
+    ]
+    rows.append((99, [50.0] * dim, 1))  # corrupt: ~50σ out on every dim
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    out = {r["label"]: r for r in
+           emb_outlier_zscore(spark, str(tmp_path)).collect()}
+    assert out[1]["n_vecs"] == 41
+    assert out[1]["n_outliers"] == 1

@@ -223,3 +223,13 @@ def test_shard_shuffle_reads_only_needed_columns(spark):
     plan = _plan(curation.corpus_shard_shuffle(spark, SF_DIR))
     read = [line for line in plan.splitlines() if "ReadSchema" in line][0]
     assert "text" not in read, read
+
+
+def test_semantic_decontamination_broadcasts_bench(spark):
+    """The bench side must broadcast (BroadcastNestedLoopJoin) — a
+    shuffled corpus here would be the 100 TB scale-killer."""
+    from blog_snapshotbackup_azuredatalake_spark.operators import curation
+
+    plan = _plan(curation.corpus_decontaminate_semantic(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -16,6 +16,8 @@ the physical strategy, chosen so the plan survives pathological data:
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -149,14 +151,93 @@ GROUP BY p.event_id, p.user_id, p.ts_us
 """
 
 
+BUCKETS = 8  # bucket count for the co-located join demo
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-bucketed co-located join: orders and lineitem persisted
+    with `bucketBy({BUCKETS}, orderkey)` into the session catalog, then
+    joined WITHOUT either side shuffling — the reader exposes the
+    bucketing as the join's required distribution, so the exchange that
+    dominates every large fact⋈fact join simply disappears from the
+    plan (guarded in tests/test_plans.py: no Exchange keyed on
+    orderkey). This is the storage-layout contract a 100 TB pipeline
+    sets up ONCE at ingest and then amortizes over every downstream
+    join and aggregation on the same key; salting (q_salted_join)
+    handles the skew you didn't plan for, bucketing removes the
+    shuffle you can plan for.
+
+    The RESULT is deliberately plain (revenue + line count per order
+    priority — same rows as joining the raw parquet), so the oracle is
+    ordinary SQL; the bucketed tables are the physical strategy, not
+    the semantics. Scratch tables are uniquely named per call and
+    previous runs' tables are dropped first — the warehouse dir is
+    session-scoped scratch, mirroring a real pipeline's managed-table
+    namespace."""
+    prefix = "graft_bkt_"
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    tag = uuid.uuid4().hex[:8]
+    t_orders, t_line = f"{prefix}o_{tag}", f"{prefix}l_{tag}"
+    # explicit scratch paths (external tables): the default managed
+    # location is <cwd>/spark-warehouse, and this operator must not
+    # depend on the caller's working directory being writable
+    from blog_snapshotbackup_azuredatalake_spark.scratch import scratch_dir
+
+    work = scratch_dir("bucketed_join_")
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    ).write.bucketBy(BUCKETS, "o_orderkey").sortBy("o_orderkey").option(
+        "path", f"{work}/{t_orders}"
+    ).mode("overwrite").saveAsTable(t_orders)
+    load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    ).write.bucketBy(BUCKETS, "l_orderkey").sortBy("l_orderkey").option(
+        "path", f"{work}/{t_line}"
+    ).mode("overwrite").saveAsTable(t_line)
+    o = spark.table(t_orders)
+    li = spark.table(t_line)
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)")
+        - F.col("l_discount").cast("decimal(18,2)")
+    )
+    # merge hint: at demo SFs the dim side fits a broadcast, which would
+    # sidestep the bucketed path entirely; at 100 TB both sides are
+    # fact-sized and SMJ is what the planner picks anyway — the hint
+    # pins the plan this operator exists to demonstrate (bucketed SMJ,
+    # zero join-key exchanges)
+    return (
+        li.join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+_BUCKETED_JOIN_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_lines,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2))
+                         - CAST(l_discount AS DECIMAL(18,2)))), 2)
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q_salted_join": q_salted_join,
     "q_skew_two_phase": q_skew_two_phase,
     "q_range_join": q_range_join,
+    "q_bucketed_join": q_bucketed_join,
 }
 
 ORACLES = {
     "q_salted_join": _SALTED_JOIN_SQL,
     "q_skew_two_phase": _SKEW_TWO_PHASE_SQL,
     "q_range_join": _RANGE_JOIN_SQL,
+    "q_bucketed_join": _BUCKETED_JOIN_SQL,
 }

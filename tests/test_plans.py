@@ -233,3 +233,21 @@ def test_semantic_decontamination_broadcasts_bench(spark):
     plan = _plan(curation.corpus_decontaminate_semantic(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_has_no_join_key_exchange(spark):
+    """q_bucketed_join's whole point: both sides are bucketed on the
+    join key, so the sort-merge join runs with ZERO exchanges keyed on
+    orderkey — the only allowed Exchange is the final groupBy on
+    o_orderpriority."""
+    from blog_snapshotbackup_azuredatalake_spark.operators import scale
+
+    plan = _plan(scale.q_bucketed_join(spark, SF_DIR))
+    assert "SortMergeJoin" in plan, plan[:800]
+    exchanges = [
+        line for line in plan.splitlines()
+        if "hashpartitioning" in line
+    ]
+    assert exchanges and all(
+        "orderkey" not in line for line in exchanges
+    ), exchanges

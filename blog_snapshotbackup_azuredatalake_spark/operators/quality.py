@@ -468,6 +468,109 @@ FROM per_file GROUP BY layout
 """
 
 
+GDPR_MOD = 997  # deterministic "forget me" subject selector
+GDPR_REM = 3
+
+
+def snap_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten purge with an audit certificate — the
+    Delta DELETE counterpart a backup/lake pipeline must run across
+    every table holding a data subject's rows. The subject set arrives
+    as an explicit request table (here the deterministic slice
+    c_custkey ≡ {GDPR_REM} mod {GDPR_MOD}) and each affected table is
+    purged by BROADCAST ANTI-JOIN against it — the request set is
+    human-sized, so no fact table ever shuffles; the purge cost is one
+    scan per table.
+
+    Certificate row per table: rows before/purged/after, an
+    order-insensitive xor checksum of the SURVIVING keys (what a
+    post-purge verify re-computes), and the zero-remaining proof (an
+    inner join back to the subject set must be empty). customer purges
+    by its own key, orders cascades via o_custkey (FK), events via
+    user_id ∩ the subject key range."""
+    from blog_snapshotbackup_azuredatalake_spark.functions.hashing import (
+        md5_int60,
+    )
+
+    subjects = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % GDPR_MOD == GDPR_REM)
+        .select(F.col("c_custkey").alias("subject_key"))
+    )
+    plans = [
+        ("customer", load_table(spark, sf_dir, "customer"), "c_custkey"),
+        ("orders", load_table(spark, sf_dir, "orders"), "o_custkey"),
+        ("events", load_table(spark, sf_dir, "events"), "user_id"),
+    ]
+    certs = None
+    for name, df, key in plans:
+        keyed = df.select(F.col(key).alias("k"))
+        kept = keyed.join(
+            F.broadcast(subjects),
+            keyed["k"] == subjects["subject_key"],
+            "left_anti",
+        )
+        # the proof runs on the PURGED output: any subject row still
+        # joinable after the purge is a compliance failure
+        remaining = kept.join(
+            F.broadcast(subjects),
+            kept["k"] == subjects["subject_key"],
+            "left_semi",
+        )
+        cert = (
+            keyed.agg(F.count(F.lit(1)).alias("n_before"))
+            .crossJoin(
+                kept.select(
+                    md5_int60(F.col("k").cast("string")).alias("h")
+                ).agg(
+                    F.count(F.lit(1)).alias("n_after"),
+                    F.expr("bit_xor(h)").alias("survivors_xor"),
+                )
+            )
+            .crossJoin(
+                remaining.agg(
+                    F.count(F.lit(1)).alias("n_remaining_subject_rows")
+                )
+            )
+            .select(
+                F.lit(name).alias("table_name"),
+                "n_before",
+                (F.col("n_before") - F.col("n_after")).alias("n_purged"),
+                "n_after",
+                "survivors_xor",
+                (F.col("n_remaining_subject_rows") == 0).alias(
+                    "zero_remaining"
+                ),
+            )
+        )
+        certs = cert if certs is None else certs.unionByName(cert)
+    return certs
+
+
+def _gdpr_sql() -> str:
+    h = (
+        "CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+    parts = []
+    for name, table, key in [
+        ("customer", "customer", "c_custkey"),
+        ("orders", "orders", "o_custkey"),
+        ("events", "events", "user_id"),
+    ]:
+        parts.append(f"""
+SELECT '{name}' AS table_name,
+       (SELECT COUNT(*) FROM {table}) AS n_before,
+       (SELECT COUNT(*) FROM {table}
+        WHERE {key} % {GDPR_MOD} = {GDPR_REM}) AS n_purged,
+       (SELECT COUNT(*) FROM {table}
+        WHERE {key} % {GDPR_MOD} <> {GDPR_REM}) AS n_after,
+       (SELECT BIT_XOR({h})
+        FROM (SELECT {key} AS k FROM {table}
+              WHERE {key} % {GDPR_MOD} <> {GDPR_REM})) AS survivors_xor,
+       TRUE AS zero_remaining""")
+    return "\nUNION ALL\n".join(parts)
+
+
 DRIFT_BUCKETS = 16
 DRIFT_FP = 1 << 30  # fixed-point scale for per-bucket drift terms
 DRIFT_ALERT_FP = DRIFT_FP // 1000  # flag columns whose stat > 0.001
@@ -609,6 +712,7 @@ FROM terms GROUP BY col
 
 
 QUERIES = {
+    "snap_gdpr_delete": snap_gdpr_delete,
     "dq_drift": dq_drift,
     "dq_profile": dq_profile,
     "dq_embeddings": dq_embeddings,
@@ -620,6 +724,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "snap_gdpr_delete": _gdpr_sql(),
     "dq_drift": _drift_sql(),
     "dq_profile": _DQ_PROFILE_SQL,
     "dq_embeddings": _DQ_EMBEDDINGS_SQL,

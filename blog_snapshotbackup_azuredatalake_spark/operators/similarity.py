@@ -777,7 +777,56 @@ FROM ranked GROUP BY q_id
 """
 
 
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall certificate for the scale ANN path: how many of
+    the exact brute-force top-{TOP_K} the map-only IVF search actually
+    returned — recall@{TOP_K} as DATA, per query, driver-checked. This
+    promotes the repo's headline ANN quality claim (recall ≈ 0.87 at
+    sf0.1, scripts/ann_quality.py) from a script readout to an
+    oracle-gated operator: both sides are the deployed operators
+    themselves, joined on (q_id, vec_id). Cost is the two searches plus
+    a query-set-sized join — the brute-force side is the labeled audit
+    companion, bounded by the broadcast query set exactly as
+    ann_topk_bruteforce documents."""
+    exact = ann_topk_bruteforce(spark, sf_dir).select("q_id", "vec_id")
+    approx = ann_topk_ivf(spark, sf_dir).select(
+        "q_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["q_id", "vec_id"], "left_outer")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)).cast("bigint")).alias(
+                "n_hit"
+            ),
+        )
+        .select(
+            "q_id",
+            "k",
+            "n_hit",
+            (
+                F.col("n_hit").cast("double") / F.col("k").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
+_ANN_RECALL_SQL = f"""
+WITH ex AS ({_ANN_BRUTE_SQL}),
+ap AS ({_ANN_IVF_SQL})
+SELECT ex.q_id, COUNT(*) AS k,
+       CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+GROUP BY ex.q_id
+"""
+
+
 QUERIES = {
+    "ann_recall_audit": ann_recall_audit,
     "emb_truncation_audit": emb_truncation_audit,
     "emb_pq_adc": emb_pq_adc,
     "ann_knn_graph": ann_knn_graph,
@@ -789,6 +838,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_recall_audit": _ANN_RECALL_SQL,
     "emb_truncation_audit": _TRUNC_AUDIT_SQL,
     "emb_pq_adc": _PQ_ADC_SQL,
     "ann_knn_graph": _ANN_KNN_GRAPH_SQL,

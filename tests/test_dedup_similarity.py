@@ -126,3 +126,17 @@ def test_pq_adc_recall_and_shape(spark, ddb):
     )
     # quantize+refine keeps most true neighbors (0.80 measured here)
     assert len(pq_pairs & ex_pairs) / len(ex_pairs) > 0.6
+
+
+def test_ann_recall_audit_quality_floor(spark):
+    from blog_snapshotbackup_azuredatalake_spark.operators.similarity import (
+        N_QUERIES,
+        ann_recall_audit,
+    )
+
+    rows = ann_recall_audit(spark, SF_DIR).collect()
+    assert len(rows) == N_QUERIES
+    mean_recall = sum(r["recall"] for r in rows) / len(rows)
+    # the IVF path's whole reason to exist: usable recall at map-only cost
+    assert mean_recall >= 0.5, mean_recall
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rows)

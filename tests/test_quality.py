@@ -132,3 +132,22 @@ def test_dq_drift_semantics(spark):
         assert (r["n_v0"], r["n_v1"]) == (n0, n1)
         assert 0 <= r["drift_fp"] <= quality.DRIFT_ALERT_FP
         assert not r["drifted"]
+
+
+def test_gdpr_delete_matches_oracle(spark, ddb):
+    assert_matches_oracle(
+        quality.snap_gdpr_delete(spark, SF_DIR),
+        ddb,
+        quality.ORACLES["snap_gdpr_delete"],
+    )
+
+
+def test_gdpr_delete_purges_all_subject_rows(spark):
+    rows = {r["table_name"]: r for r in
+            quality.snap_gdpr_delete(spark, SF_DIR).collect()}
+    assert set(rows) == {"customer", "orders", "events"}
+    for r in rows.values():
+        assert r["zero_remaining"]
+        assert r["n_before"] == r["n_purged"] + r["n_after"]
+    # subjects exist in the testdata, so the purge is non-trivial
+    assert sum(r["n_purged"] for r in rows.values()) > 0

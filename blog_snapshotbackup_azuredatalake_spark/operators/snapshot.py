@@ -1239,7 +1239,116 @@ FROM m JOIN direct ON m.o_orderpriority = direct.o_orderpriority
 """
 
 
+def snap_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history built from the snapshot chain (v0 → v1 → v2):
+    per key, consecutive versions with identical row content collapse
+    into one history interval [valid_from, valid_to]; a content change
+    OR a version gap (the key was deleted and later a key re-appeared)
+    opens a new interval; is_current marks intervals alive at HEAD.
+    This is the warehouse-dimension answer to "what did this row look
+    like on day N" — the query-side complement of snap_restore_asof's
+    state materialization and snap_cdc's change feed.
+
+    Shape: the three states union (tagged by version), one window walk
+    per key (lag over ≤3 rows/key), then interval aggregation — all
+    linear, one hash shuffle on the key. Returned as the compact
+    certificate a migration would log: one row per (valid_from,
+    valid_to, is_current) bucket with the interval count and an
+    order-insensitive xor of member keys — small enough to eyeball,
+    strong enough that a single misplaced interval flips the hash."""
+    states = None
+    for ver, df in enumerate(
+        (
+            load_table(spark, sf_dir, "orders"),
+            _perturbed_orders(spark, sf_dir),
+            _perturbed_orders_v2(spark, sf_dir),
+        )
+    ):
+        s = df.select(
+            F.lit(ver).alias("version"),
+            F.col("o_orderkey").alias("key"),
+            _orders_hash_expr().alias("h"),
+        )
+        states = s if states is None else states.unionByName(s)
+    w = Window.partitionBy("key").orderBy("version")
+    marked = states.select(
+        "key",
+        "version",
+        "h",
+        (
+            F.col("h") != F.coalesce(F.lag("h").over(w), F.lit(""))
+        ).alias("h_changed"),
+        (
+            F.col("version")
+            != F.coalesce(F.lag("version").over(w), F.lit(-99)) + 1
+        ).alias("gap"),
+    ).select(
+        "key",
+        "version",
+        (F.col("h_changed") | F.col("gap")).cast("bigint").alias("new_run"),
+    )
+    runs = marked.withColumn(
+        "run_id",
+        F.sum("new_run").over(
+            Window.partitionBy("key")
+            .orderBy("version")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    intervals = runs.groupBy("key", "run_id").agg(
+        F.min("version").alias("valid_from"),
+        F.max("version").alias("valid_to"),
+    )
+    return (
+        intervals.select(
+            "key",
+            "valid_from",
+            "valid_to",
+            (F.col("valid_to") == 2).alias("is_current"),
+        )
+        .groupBy("valid_from", "valid_to", "is_current")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.expr("bit_xor(key)").alias("xor_keys"),
+        )
+    )
+
+
+_SCD2_SQL = f"""
+WITH v1 AS ({_PERTURBED_SQL}),
+v2 AS ({_PERTURBED_V2_SQL}),
+states AS (
+  SELECT 0 AS version, o_orderkey AS key, {_ORDERS_HASH_SQL} AS h
+  FROM orders
+  UNION ALL
+  SELECT 1, o_orderkey, {_ORDERS_HASH_SQL} FROM v1
+  UNION ALL
+  SELECT 2, o_orderkey, {_ORDERS_HASH_SQL} FROM v2
+), marked AS (
+  SELECT key, version,
+         CAST(h <> COALESCE(LAG(h) OVER w, '')
+              OR version <> COALESCE(LAG(version) OVER w, -99) + 1
+              AS BIGINT) AS new_run
+  FROM states
+  WINDOW w AS (PARTITION BY key ORDER BY version)
+), runs AS (
+  SELECT key, version,
+         CAST(SUM(new_run) OVER (PARTITION BY key ORDER BY version
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS run_id
+  FROM marked
+), intervals AS (
+  SELECT key, run_id, MIN(version) AS valid_from, MAX(version) AS valid_to
+  FROM runs GROUP BY key, run_id
+)
+SELECT valid_from, valid_to, valid_to = 2 AS is_current,
+       COUNT(*) AS n_intervals, BIT_XOR(key) AS xor_keys
+FROM intervals GROUP BY valid_from, valid_to, valid_to = 2
+"""
+
+
 QUERIES = {
+    "snap_scd2_history": snap_scd2_history,
     "snap_cdc": snap_cdc,
     "snap_ivm": snap_ivm,
     "snap_row_manifest": snap_row_manifest,
@@ -1258,6 +1367,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "snap_scd2_history": _SCD2_SQL,
     "snap_cdc": _SNAP_CDC_SQL,
     "snap_ivm": _SNAP_IVM_SQL,
     "snap_row_manifest": _SNAP_ROW_MANIFEST_SQL,

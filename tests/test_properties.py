@@ -218,3 +218,26 @@ def test_zorder_interleave_bijective_and_axis_monotone(x1, y1, x2, y2):
         assert z1 < z2
     if x1 == x2 and y1 < y2:
         assert z1 < z2
+
+
+def test_knn_graph_dims_formula_matches_duckdb():
+    """The adaptive bucket-width formula runs in Python (operator) and
+    SQL (oracle); they must agree for every corpus size, including the
+    exact power-of-two boundaries where a sloppy log2 would diverge."""
+    import duckdb
+
+    from blog_snapshotbackup_azuredatalake_spark.operators.similarity import (
+        KNN_GRAPH_DIMS,
+        KNN_TARGET_BUCKET,
+        _knn_graph_dims,
+    )
+
+    con = duckdb.connect()
+    sizes = [1, 2, 255, 256, 257, 511, 512, 16384, 16385, 32768, 65536,
+             131072, 131073, 1 << 20, (1 << 20) + 1, 10**9]
+    for n in sizes:
+        sql_dims = con.sql(
+            f"SELECT GREATEST({KNN_GRAPH_DIMS}, CAST(CEIL(LOG2("
+            f"GREATEST({n}, 1) / {KNN_TARGET_BUCKET}.0)) AS INT))"
+        ).fetchone()[0]
+        assert sql_dims == _knn_graph_dims(n), (n, sql_dims)

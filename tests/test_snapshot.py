@@ -93,3 +93,31 @@ def test_ivm_maintains_exactly(spark):
     assert all(r["is_consistent"] for r in rows)
     # the feed really changed things: some group moved
     assert any(r["dn"] != 0 for r in rows)
+
+
+def test_scd2_intervals_cover_every_state_row(spark):
+    """Conservation law: Σ interval_length × count over the history
+    equals the total number of (key, version) state rows — every
+    observed row lives in exactly one interval."""
+    from blog_snapshotbackup_azuredatalake_spark.operators.snapshot import (
+        _perturbed_orders,
+        _perturbed_orders_v2,
+        snap_scd2_history,
+    )
+    from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = snap_scd2_history(spark, SF_DIR).collect()
+    covered = sum(
+        (r["valid_to"] - r["valid_from"] + 1) * r["n_intervals"]
+        for r in rows
+    )
+    total = (
+        load_table(spark, SF_DIR, "orders").count()
+        + _perturbed_orders(spark, SF_DIR).count()
+        + _perturbed_orders_v2(spark, SF_DIR).count()
+    )
+    assert covered == total
+    # current intervals are exactly those ending at HEAD
+    assert all(r["is_current"] == (r["valid_to"] == 2) for r in rows)

@@ -20,7 +20,7 @@ and mirror bit-for-bit in the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from blog_snapshotbackup_azuredatalake_spark.operators.dedup import _hash60
@@ -1053,6 +1053,108 @@ FROM per_vec GROUP BY label
 """
 
 
+BUDGET_MULT = 3  # plan a training run of 3× the corpus token count
+BUDGET_FP = 1 << 20  # fixed-point scale for repeat factors
+BUDGET_MAX_EPOCHS_FP = 4 * BUDGET_FP  # >4 epochs ⇒ data-constrained
+
+
+def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixing plan: given each source's available tokens
+    and its temperature weight (α = 0.5, the corpus_mix_temperature
+    rule), allocate a {BUDGET_MULT}× -corpus-tokens training budget
+    across sources and report the REPEAT FACTOR each source would run
+    at — the planning table a data-constrained training run reads to
+    see which sources exceed the ~4-epoch repetition ceiling and need
+    either down-weighting or new data. sqrt flattening boosts small
+    sources' shares above their token shares, so THEY are the ones
+    that trip the ceiling — exactly the over-repetition the table
+    exists to surface.
+
+    One aggregation over the corpus (per-source token counts), then
+    source-cardinality arithmetic: weights are floor-quantized sqrt
+    (exact both engines), allocations and repeat factors are
+    fixed-point integers from exact division — every column the oracle
+    hashes is integer-exact or a double derived from one exact ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select(
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("n_tokens"))
+    )
+    w = per_src.select(
+        "source",
+        "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * MIX_SCALE)
+        .cast("bigint")
+        .alias("weight"),
+    )
+    tot = w.select(
+        "*",
+        F.sum("n_tokens").over(Window.partitionBy()).alias("tok_total"),
+        F.sum("weight").over(Window.partitionBy()).alias("w_total"),
+    )
+    budget = F.col("tok_total") * BUDGET_MULT
+    target = F.floor(
+        F.col("weight").cast("double")
+        / F.col("w_total").cast("double")
+        * budget.cast("double")
+    ).cast("bigint")
+    out = tot.select(
+        "source",
+        "n_tokens",
+        "weight",
+        target.alias("target_tokens"),
+    ).select(
+        "*",
+        F.expr(f"CAST(target_tokens * {BUDGET_FP} DIV n_tokens AS BIGINT)")
+        .alias("repeat_fp"),
+    )
+    return out.select(
+        "*",
+        (F.col("repeat_fp") > BUDGET_MAX_EPOCHS_FP).alias(
+            "data_constrained"
+        ),
+        (
+            F.col("repeat_fp").cast("double") / BUDGET_FP
+        ).alias("repeat_factor"),
+    )
+
+
+_TOKEN_BUDGET_SQL = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * {MIX_SCALE}) AS BIGINT)
+           AS weight
+  FROM per_src
+), tot AS (
+  SELECT source, n_tokens, weight,
+         CAST(SUM(n_tokens) OVER () AS BIGINT) AS tok_total,
+         CAST(SUM(weight) OVER () AS BIGINT) AS w_total
+  FROM w
+), planned AS (
+  SELECT source, n_tokens, weight,
+         CAST(floor(CAST(weight AS DOUBLE) / CAST(w_total AS DOUBLE)
+                    * CAST(tok_total * {BUDGET_MULT} AS DOUBLE))
+              AS BIGINT) AS target_tokens
+  FROM tot
+)
+SELECT source, n_tokens, weight, target_tokens,
+       CAST(target_tokens * {BUDGET_FP} // n_tokens AS BIGINT) AS repeat_fp,
+       CAST(target_tokens * {BUDGET_FP} // n_tokens AS BIGINT)
+         > {BUDGET_MAX_EPOCHS_FP} AS data_constrained,
+       CAST(CAST(target_tokens * {BUDGET_FP} // n_tokens AS BIGINT)
+            AS DOUBLE) / {BUDGET_FP} AS repeat_factor
+FROM planned
+"""
+
+
 OUT_MFP = 1 << 30  # fixed-point scale for the moment sums
 OUT_SFP = 1 << 20  # fixed-point scale for the per-dim z² terms
 OUT_TAU = 2.0  # mean squared z-score above this ⇒ outlier
@@ -1251,6 +1353,7 @@ FROM ordered GROUP BY shard
 
 
 QUERIES = {
+    "corpus_token_budget_plan": corpus_token_budget_plan,
     "emb_outlier_zscore": emb_outlier_zscore,
     "corpus_decontaminate_semantic": corpus_decontaminate_semantic,
     "corpus_shard_shuffle": corpus_shard_shuffle,
@@ -1269,6 +1372,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_token_budget_plan": _TOKEN_BUDGET_SQL,
     "emb_outlier_zscore": _EMB_OUTLIER_SQL,
     "corpus_decontaminate_semantic": _decontaminate_semantic_sql(),
     "corpus_shard_shuffle": _SHARD_SHUFFLE_SQL,

@@ -152,3 +152,27 @@ def test_emb_outlier_flags_planted_corrupt_vector(spark, tmp_path):
            emb_outlier_zscore(spark, str(tmp_path)).collect()}
     assert out[1]["n_vecs"] == 41
     assert out[1]["n_outliers"] == 1
+
+
+def test_token_budget_flags_small_source_over_repetition(spark, tmp_path):
+    """sqrt flattening boosts a tiny source's share above its token
+    share, so under a 3x budget the tiny source exceeds the 4-epoch
+    ceiling while the big one stays under it."""
+    from blog_snapshotbackup_azuredatalake_spark.operators.curation import (
+        corpus_token_budget_plan,
+    )
+
+    big = [(i, "w " * 99 + "w", "en", "big", 200) for i in range(100)]
+    tiny = [(1000, "w " * 99 + "w", "en", "tiny", 200)]
+    spark.createDataFrame(
+        big + tiny,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    rows = {r["source"]: r for r in
+            corpus_token_budget_plan(spark, str(tmp_path)).collect()}
+    # weights: big=sqrt(10000)=100, tiny=sqrt(100)=10 → tiny gets ~9.1%
+    # of a 30300-token budget ≈ 2754 tokens on 100 available ≈ 27 epochs
+    assert rows["tiny"]["data_constrained"]
+    assert not rows["big"]["data_constrained"]
+    assert rows["tiny"]["repeat_factor"] > rows["big"]["repeat_factor"]

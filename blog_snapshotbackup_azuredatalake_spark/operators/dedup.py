@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
@@ -236,13 +236,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = docs.select("doc_id", F.explode_outer("sh").alias("g")).filter(
         F.col("g").isNotNull()
     )
-    hot = (
-        postings.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > MAX_GRAM_DF)
-        .select("g")
+    # df as a WINDOW over g, not a separate aggregate branch anti-joined
+    # back: the window's shuffle-by-g is the exact partitioning the
+    # candidate self-join needs, so Catalyst reuses one exchange for
+    # both sides — and there is no hot-gram side table to move at all.
+    # (The previous F.broadcast(hot) anti-join was a scale bug found at
+    # sf30: the hot set GROWS with the corpus — 1.5 M docs pushed it
+    # past broadcastable and the query died with "not enough memory to
+    # broadcast". A df-capped set is only small when the corpus is.)
+    wg = Window.partitionBy("g")
+    idx = (
+        postings.withColumn("df", F.count(F.lit(1)).over(wg))
+        .filter(F.col("df") <= MAX_GRAM_DF)
+        .drop("df")
     )
-    idx = postings.join(F.broadcast(hot), "g", "left_anti")
     cand = (
         idx.alias("x")
         .join(idx.alias("y"), "g")

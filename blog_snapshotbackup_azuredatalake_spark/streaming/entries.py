@@ -1,10 +1,13 @@
 """Driver-facing wrappers for the streaming operators (SURVEY.md §2A/§2D).
 
-Streaming semantics can't be expressed as a single DuckDB SQL statement,
-so these are rows-only entries: each wrapper drives the real Structured
-Streaming query to completion with ``Trigger.AvailableNow`` against the
-sf-dir's ``events`` table, then returns the drained result as a bounded
-DataFrame whose content is deterministic for a given sf dir.
+Each wrapper drives a real Structured Streaming query to completion
+against the sf-dir's tables and returns the drained result as a bounded
+DataFrame whose content is deterministic for a given sf dir. Because
+the drains are bounded and deterministic, most entries carry full SQL
+oracles (see the ORACLES note below) — the driver gate value-checks
+real streaming semantics (watermark eviction, sketch-state merges,
+sessionization timeouts), not just row counts. Only entries whose
+result is filesystem state remain rows-only.
 """
 
 from __future__ import annotations
@@ -622,3 +625,104 @@ def _oracles() -> dict[str, str]:
 
 
 ORACLES: dict[str, str] = _oracles()
+
+
+def stream_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's continuous-sync loop closed end-to-end: a CDC
+    feed (snap_cdc's typed change stream, one file per source version)
+    arrives as a STREAM, and foreachBatch applies each micro-batch
+    TRANSACTIONALLY to the backup store — read current state, apply
+    deletes (anti-join) and upserts (postimages + inserts), commit as
+    the next snapshot in SnapshotManager's log. Exactly-once comes
+    from the pairing the Delta docs prescribe: the streaming
+    checkpoint dedupes batch REPLAY, the store's transactional commit
+    makes each apply atomic. Rows-only certificate: after the drain,
+    the restored head state must equal the directly-computed final
+    state (count + order-insensitive key-hash xor), and the log must
+    show one commit per change batch in order."""
+    from blog_snapshotbackup_azuredatalake_spark.functions.hashing import (
+        md5_int60,
+    )
+    from blog_snapshotbackup_azuredatalake_spark.operators.snapshot import (
+        _cdc_pair,
+        _perturbed_orders,
+        _perturbed_orders_v2,
+    )
+    from blog_snapshotbackup_azuredatalake_spark.operators.snapshot_manager import (
+        SnapshotManager,
+    )
+
+    keyed = F.col("o_orderkey") % 10 == 0  # lifecycle demo slice
+    base = load_table(spark, sf_dir, "orders").filter(keyed)
+    v1 = _perturbed_orders(spark, sf_dir).filter(keyed)
+    v2 = _perturbed_orders_v2(spark, sf_dir).filter(keyed)
+
+    work = scratch_dir("stream_apply_cdc_")
+    src = f"{work}/feed"
+    os.makedirs(src)
+    now = time.time()
+    for i, (prev, curr) in enumerate(((base, v1), (v1, v2))):
+        batch = _cdc_pair(prev, curr, i + 1).filter(
+            F.col("change_type") != "update_preimage"
+        )
+        batch.coalesce(1).write.parquet(f"{work}/b{i}")
+        for f in os.listdir(f"{work}/b{i}"):
+            if f.endswith(".parquet"):
+                dst = f"{src}/b{i}_{f}"
+                os.rename(f"{work}/b{i}/{f}", dst)
+                os.utime(dst, (now - 120 + 60 * i, now - 120 + 60 * i))
+        if i == 0:
+            feed_schema = batch.schema
+
+    mgr = SnapshotManager(spark, f"{work}/store")
+    mgr.snapshot(base, "orders", "o_orderkey")
+
+    def _apply(batch_df, batch_id):
+        cur = mgr.restore("orders", mgr.snapshot_ids("orders")[-1])
+        changes = batch_df.localCheckpoint(eager=True)
+        deletes = changes.filter(
+            F.col("change_type") == "delete"
+        ).select("o_orderkey")
+        upserts = changes.filter(
+            F.col("change_type").isin("insert", "update_postimage")
+        ).drop("version", "change_type")
+        nxt = (
+            cur.join(deletes, "o_orderkey", "left_anti")
+            .join(upserts.select("o_orderkey"), "o_orderkey", "left_anti")
+            .unionByName(upserts)
+        )
+        mgr.snapshot(nxt, "orders", "o_orderkey", force_full=True)
+
+    stream = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    head = mgr.restore("orders", mgr.snapshot_ids("orders")[-1])
+    hx = lambda df: df.select(  # noqa: E731
+        md5_int60(F.col("o_orderkey").cast("string")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("x"))
+    got = hx(head).first()
+    want = hx(v2).first()
+    ops = [h["op"] for h in mgr.log.history()]
+    checks = [
+        ("head_equals_direct_final_state",
+         (got["n"], got["x"]) == (want["n"], want["x"])),
+        ("one_commit_per_change_batch",
+         ops == ["snapshot", "snapshot", "snapshot"]),
+        ("applied_both_batches",
+         len(mgr.snapshot_ids("orders")) == 3),
+    ]
+    return spark.createDataFrame(checks, "check string, ok boolean")
+
+
+# defined below the registry block, so registered here
+QUERIES["stream_apply_cdc"] = stream_apply_cdc

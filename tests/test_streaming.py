@@ -286,3 +286,9 @@ def test_stream_entries_match_oracle(spark, ddb, name):
     allq = {**entries.QUERIES, **joins.QUERIES}
     allo = {**entries.ORACLES, **joins.ORACLES}
     assert_matches_oracle(allq[name](spark, SF_DIR), ddb, allo[name])
+
+
+def test_stream_apply_cdc_certificate(spark):
+    rows = {r["check"]: r["ok"] for r in
+            entries.stream_apply_cdc(spark, SF_DIR).collect()}
+    assert rows and all(rows.values()), rows

@@ -678,11 +678,15 @@ FROM agg
 # ---------------------------------------------------------------------------
 
 
-def _perturbed_orders_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _perturbed_orders_v2(
+    spark: SparkSession, sf_dir: str, v1: DataFrame | None = None
+) -> DataFrame:
     """Second deterministic 'day' on top of ``_perturbed_orders``:
     every 93rd key's totalprice changes again, every 83rd key (mod 1)
-    is deleted, and 30 new keys appear at +200M."""
-    v1 = _perturbed_orders(spark, sf_dir)
+    is deleted, and 30 new keys appear at +200M. Pass a materialized
+    ``v1`` to avoid re-deriving day 1 inside this plan."""
+    if v1 is None:
+        v1 = _perturbed_orders(spark, sf_dir)
     changed = v1.withColumn(
         "o_totalprice",
         F.when(

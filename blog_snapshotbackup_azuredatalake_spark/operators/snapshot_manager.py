@@ -140,6 +140,61 @@ class SnapshotManager:
         )
         return snap_id
 
+    # -- delta commit (the O(|changes|) CDC-apply path) --------------------
+    def commit_delta(self, changes: DataFrame, table: str, key: str) -> int:
+        """Commit a pre-computed change batch as a CHAINED delta
+        snapshot: data written ∝ |changes|; the current table state is
+        never read, joined, or rewritten. ``changes`` must carry the
+        full table schema plus a boolean ``_tombstone`` column
+        (tombstone rows may leave non-key columns null). Unlike the
+        differential ``snapshot()`` path — which diffs full table
+        STATES and so costs O(|table|) per call — the delta's base is
+        the PREVIOUS snapshot (full or delta), so ``restore`` folds the
+        whole chain newest-version-per-key and ``rebase`` compacts long
+        chains back to one full snapshot. The manifest stored alongside
+        covers only the delta's live rows (a chain head's full manifest
+        is derivable by restore; storing one per delta would itself be
+        an O(|table|) write)."""
+        ids = self.snapshot_ids(table)
+        if not ids:
+            raise ValueError("commit_delta needs an existing base snapshot")
+        snap_id = ids[-1] + 1
+        d = self._dir(table, snap_id)
+        changes.write.mode("errorifexists").parquet(f"{d}/data")
+        live = changes.filter(~F.col("_tombstone")).drop("_tombstone")
+        self._manifest(live, key).write.parquet(f"{d}/manifest")
+        meta = {"id": snap_id, "base": ids[-1], "kind": "delta", "key": key}
+        os.makedirs(d, exist_ok=True)
+        with open(self._meta_path(table, snap_id), "w") as f:
+            json.dump(meta, f)
+        self.log.commit(
+            "snapshot",
+            [
+                {
+                    "add": {
+                        "path": f"{table}/snap_{snap_id:06d}",
+                        "table": table,
+                        "snap_id": snap_id,
+                        "kind": "delta",
+                    }
+                }
+            ],
+        )
+        return snap_id
+
+    def rebase(self, table: str) -> int:
+        """Compact the head delta chain into a fresh FULL snapshot (the
+        manager form of ``snap_chain_rebase``): restore the head once
+        and write it as a new full, so later restores are
+        single-snapshot reads and ``purge`` can drop the old chain.
+        Cost: one O(|table|) fold — scheduled periodically, it
+        amortizes over the many O(|changes|) ``commit_delta`` calls in
+        between (the Delta Lake checkpoint/compaction pattern)."""
+        head = self.snapshot_ids(table)[-1]
+        key = self._read_meta(table, head)["key"]
+        df = self.restore(table, head)
+        return self.snapshot(df, table, key, force_full=True)
+
     # -- restore ----------------------------------------------------------
     # -- clone ------------------------------------------------------------
     def clone(self, table: str, snap_id: int, new_table: str) -> int:

@@ -158,3 +158,72 @@ def test_snap_clone_certificate(spark):
 
     rows = {r["check"]: r["ok"] for r in snap_clone(spark, SF_DIR).collect()}
     assert rows and all(rows.values()), rows
+
+
+def _dir_bytes(path):
+    return sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(path)
+        for f in fs
+    )
+
+
+def test_commit_delta_chain_and_rebase(spark, mgr):
+    """The O(|changes|) CDC-apply path: chained delta commits restore
+    exactly, write only change-sized data (byte-audited), and rebase
+    compacts the chain back to a single full snapshot."""
+    orders = load_table(spark, SF_DIR, "orders")
+    mgr.snapshot(orders, "t", "o_orderkey")
+
+    # day 1: update every 10th price, delete every 13th key
+    upd1 = (
+        orders.filter(
+            (F.col("o_orderkey") % 10 == 0) & (F.col("o_orderkey") % 13 != 0)
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+        .withColumn("_tombstone", F.lit(False))
+    )
+    del1 = (
+        orders.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("_tombstone", F.lit(True))
+    )
+    s1 = mgr.commit_delta(upd1.unionByName(del1), "t", "o_orderkey")
+
+    # day 2: insert shifted copies of every 17th key
+    ins2 = (
+        orders.filter(F.col("o_orderkey") % 17 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+        .withColumn("_tombstone", F.lit(False))
+    )
+    s2 = mgr.commit_delta(ins2, "t", "o_orderkey")
+
+    v1 = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice")),
+    ).filter(F.col("o_orderkey") % 13 != 0)
+    v2 = v1.unionByName(
+        orders.filter(F.col("o_orderkey") % 17 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 10_000_000
+        )
+    )
+    assert _sorted_rows(mgr.restore("t", s1)) == _sorted_rows(v1)
+    assert _sorted_rows(mgr.restore("t", s2)) == _sorted_rows(v2)
+
+    # write volume ∝ |changes|: each delta dir is a small fraction of
+    # the full snapshot dir on disk (rows AND bytes)
+    full_b = _dir_bytes(mgr._dir("t", 0))
+    for sid, batch in ((s1, upd1.unionByName(del1)), (s2, ins2)):
+        data = spark.read.parquet(f"{mgr._dir('t', sid)}/data")
+        assert data.count() == batch.count()
+        assert _dir_bytes(mgr._dir("t", sid)) < full_b / 2
+
+    # rebase: one new FULL snapshot, same state, chain compacted
+    rid = mgr.rebase("t")
+    assert mgr._read_meta("t", rid)["kind"] == "full"
+    assert mgr._read_meta("t", rid)["base"] is None
+    assert _sorted_rows(mgr.restore("t", rid)) == _sorted_rows(v2)
+    # after rebase, purge can drop the old chain entirely
+    purged = mgr.purge("t", keep_last=1)
+    assert sorted(purged) == [0, s1, s2]
+    assert _sorted_rows(mgr.restore("t", rid)) == _sorted_rows(v2)

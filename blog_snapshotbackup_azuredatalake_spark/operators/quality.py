@@ -28,6 +28,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from blog_snapshotbackup_azuredatalake_spark.functions.hints import (
+    broadcast_if_bounded as bcast,
+)
 from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
 
 _DQ_COLS = (
@@ -279,7 +282,7 @@ def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(fk).alias("fk")
         )
         dim_df = load_table(spark, sf_dir, dim).select(F.col(pk).alias("fk"))
-        orphans = fact_df.join(F.broadcast(dim_df), "fk", "left_anti")
+        orphans = fact_df.join(bcast(dim_df), "fk", "left_anti")
         reports.append(
             orphans.agg(
                 F.lit(f"{fact}.{fk}->{dim}.{pk}").alias("fk_edge"),
@@ -506,14 +509,14 @@ def snap_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, df, key in plans:
         keyed = df.select(F.col(key).alias("k"))
         kept = keyed.join(
-            F.broadcast(subjects),
+            bcast(subjects),
             keyed["k"] == subjects["subject_key"],
             "left_anti",
         )
         # the proof runs on the PURGED output: any subject row still
         # joinable after the purge is a compliance failure
         remaining = kept.join(
-            F.broadcast(subjects),
+            bcast(subjects),
             kept["k"] == subjects["subject_key"],
             "left_semi",
         )
@@ -548,8 +551,18 @@ def snap_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _gdpr_sql() -> str:
+    """Oracle mirrors the ENGINE's semantics — purge by (anti-)join
+    against the subject-request set, never by re-deriving the mod rule
+    on the fact tables' FK columns: the two are equivalent only while
+    every o_custkey/user_id actually appears in customer, and an oracle
+    must stay truthful on referentially-imperfect data too (round-2
+    VERDICT item)."""
     h = (
         "CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+    subj = (
+        f"SELECT c_custkey AS subject_key FROM customer "
+        f"WHERE c_custkey % {GDPR_MOD} = {GDPR_REM}"
     )
     parts = []
     for name, table, key in [
@@ -557,16 +570,18 @@ def _gdpr_sql() -> str:
         ("orders", "orders", "o_custkey"),
         ("events", "events", "user_id"),
     ]:
+        hit = (
+            f"EXISTS (SELECT 1 FROM ({subj}) s "
+            f"WHERE s.subject_key = t.{key})"
+        )
         parts.append(f"""
 SELECT '{name}' AS table_name,
        (SELECT COUNT(*) FROM {table}) AS n_before,
-       (SELECT COUNT(*) FROM {table}
-        WHERE {key} % {GDPR_MOD} = {GDPR_REM}) AS n_purged,
-       (SELECT COUNT(*) FROM {table}
-        WHERE {key} % {GDPR_MOD} <> {GDPR_REM}) AS n_after,
+       (SELECT COUNT(*) FROM {table} t WHERE {hit}) AS n_purged,
+       (SELECT COUNT(*) FROM {table} t WHERE NOT {hit}) AS n_after,
        (SELECT BIT_XOR({h})
-        FROM (SELECT {key} AS k FROM {table}
-              WHERE {key} % {GDPR_MOD} <> {GDPR_REM})) AS survivors_xor,
+        FROM (SELECT {key} AS k FROM {table} t
+              WHERE NOT {hit})) AS survivors_xor,
        TRUE AS zero_remaining""")
     return "\nUNION ALL\n".join(parts)
 

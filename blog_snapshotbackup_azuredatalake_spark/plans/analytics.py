@@ -18,6 +18,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from blog_snapshotbackup_azuredatalake_spark.functions.hints import (
+    broadcast_if_bounded as bcast,
+)
 from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
 
 # Exact decimal views of the money columns. (12,2) quantity/price and
@@ -101,7 +104,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         line.join(
-            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            orders.join(bcast(cust), orders.o_custkey == cust.c_custkey),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -141,11 +144,11 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     line = load_table(spark, sf_dir, "lineitem")
     return (
         line.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(bcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(bcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(bcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(bcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"))
     )
@@ -207,8 +210,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     line = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         line.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(bcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(bcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -240,7 +243,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     line = load_table(spark, sf_dir, "lineitem")
     seg_rev = (
         line.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(bcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(F.sum(_rev()).alias("rev_dec"))
     )
@@ -278,7 +281,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     line = load_table(spark, sf_dir, "lineitem")
     per_part = (
-        line.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        line.join(bcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_partkey", "p_name")
         .agg(F.sum(_rev()).alias("rev_dec"))
     )
@@ -563,7 +566,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    j = line.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    j = line.join(bcast(part), F.col("l_partkey") == F.col("p_partkey"))
     promo = F.sum(
         F.when(F.col("p_type") == "PROMO", _rev()).otherwise(
             F.lit(0).cast("decimal(12,2)")
@@ -613,7 +616,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(bcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             "o_orderkey",
@@ -651,7 +654,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_size"
     )
-    j = line.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    j = line.join(bcast(part), F.col("l_partkey") == F.col("p_partkey"))
     qty = F.col("l_quantity")
     cond = (
         (

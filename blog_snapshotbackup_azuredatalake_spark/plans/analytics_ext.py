@@ -17,6 +17,9 @@ from blog_snapshotbackup_azuredatalake_spark.plans.analytics import (
     _rev,
     _SQL_REV,
 )
+from blog_snapshotbackup_azuredatalake_spark.functions.hints import (
+    broadcast_if_bounded as bcast,
+)
 from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
 
 
@@ -67,12 +70,12 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sup = (
         load_table(spark, sf_dir, "supplier")
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(bcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
     cust = (
         load_table(spark, sf_dir, "customer")
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(bcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey", F.col("n_name").alias("cust_nation"))
     )
     orders = load_table(spark, sf_dir, "orders").select(
@@ -91,8 +94,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         line.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(bcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(bcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .filter(pair)
         .groupBy(
             "supp_nation",
@@ -136,7 +139,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sup = (
         load_table(spark, sf_dir, "supplier")
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(bcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", F.col("n_name").alias("nation"))
     )
     orders = load_table(spark, sf_dir, "orders").select(
@@ -144,8 +147,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     line = load_table(spark, sf_dir, "lineitem")
     return (
-        line.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        line.join(bcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(bcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(F.round(F.sum(_rev()), 2).cast("double").alias("profit"))
@@ -208,7 +211,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     brand_lines = line.join(
-        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        bcast(part), F.col("l_partkey") == F.col("p_partkey")
     )
     avg_qty = brand_lines.groupBy("p_partkey").agg(
         (F.sum(_qty()).cast("double") / F.count(F.lit(1))).alias("avg_qty")
@@ -260,7 +263,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("mx"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(bcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -303,7 +306,7 @@ def q16_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(bcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -366,7 +369,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         sole_late.join(
-            F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+            bcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
         )
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
@@ -425,8 +428,8 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
     sup = (
         load_table(spark, sf_dir, "supplier")
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(bcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(bcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "n_name", "r_name")
     )
     target_region = (
@@ -439,8 +442,8 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     line = load_table(spark, sf_dir, "lineitem")
     joined = (
-        line.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(target_region), "r_name", "left_semi")
+        line.join(bcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(bcast(target_region), "r_name", "left_semi")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
     )
     return joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
@@ -663,7 +666,7 @@ def q_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name"
     )
     return lapsed.join(
-        F.broadcast(cust), lapsed.o_custkey == cust.c_custkey
+        bcast(cust), lapsed.o_custkey == cust.c_custkey
     ).select("c_custkey", "c_name")
 
 

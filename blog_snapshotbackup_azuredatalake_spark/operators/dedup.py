@@ -290,6 +290,91 @@ WHERE {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
 
 
 # ---------------------------------------------------------------------------
+# containment near-dup (doc-in-doc)
+# ---------------------------------------------------------------------------
+
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup: C(A,B) = |A∩B| / min(|A|,|B|) over the
+    distinct shingle sets — Broder's containment coefficient, the
+    score that catches DOC-IN-DOC duplication (one document quoted,
+    wrapped, or concatenated inside a larger one). Symmetric Jaccard
+    structurally misses it: a small doc fully embedded in one 100×
+    its size has C = 1.0 but J ≈ 0.01, and training corpora are full
+    of exactly that shape (article + boilerplate shell, quoted posts,
+    licence headers). Candidates come from the same df-capped
+    inverted shingle index as ``dedup_ngram_jaccard`` (window-count
+    df cap, one exchange reused by the self-join, no hot-gram side
+    table — the sf30 lesson); verification scores the full distinct
+    gram sets. Output carries BOTH scores so the pairs only
+    containment finds are visible as data (jaccard below its own
+    gate)."""
+    docs = _docs_with_grams(spark, sf_dir).localCheckpoint(eager=True)
+    postings = docs.select(
+        "doc_id", F.explode_outer("sh").alias("g")
+    ).filter(F.col("g").isNotNull())
+    wg = Window.partitionBy("g")
+    idx = (
+        postings.withColumn("df", F.count(F.lit(1)).over(wg))
+        .filter(F.col("df") <= MAX_GRAM_DF)
+        .drop("df")
+    )
+    cand = (
+        idx.alias("x")
+        .join(idx.alias("y"), "g")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast(
+        "double"
+    )
+    containment = inter / F.least(
+        F.size(F.col("sh_a")), F.size(F.col("sh_b"))
+    ).cast("double")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            containment.alias("containment"),
+            _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
+
+
+_SQL_CONTAINMENT = (
+    "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+    " / CAST(least(len(a.sh), len(b.sh)) AS DOUBLE)"
+)
+
+_DEDUP_CONTAINMENT_SQL = f"""
+WITH {_SQL_SH_CTE},
+postings AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+idx AS (SELECT doc_id, g FROM postings
+        QUALIFY COUNT(*) OVER (PARTITION BY g) <= {MAX_GRAM_DF}),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM idx x JOIN idx y USING (g)
+         WHERE x.doc_id < y.doc_id)
+SELECT doc_a, doc_b, {_SQL_CONTAINMENT} AS containment,
+       {_SQL_JACCARD} AS jaccard
+FROM cand
+JOIN sh a ON a.doc_id = doc_a
+JOIN sh b ON b.doc_id = doc_b
+WHERE {_SQL_CONTAINMENT} >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
@@ -952,6 +1037,7 @@ QUERIES = {
     "dedup_substring": dedup_substring,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_containment": dedup_containment,
     "dedup_minhash": dedup_minhash,
     "dedup_incremental": dedup_incremental,
     "dedup_simhash": dedup_simhash,
@@ -963,6 +1049,7 @@ ORACLES = {
     "dedup_substring": _DEDUP_SUBSTRING_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
+    "dedup_containment": _DEDUP_CONTAINMENT_SQL,
     "dedup_minhash": _minhash_sql(),
     "dedup_incremental": _incremental_sql(),
     "dedup_simhash": _simhash_sql(),

@@ -278,11 +278,157 @@ FROM per_split p LEFT JOIN crossing c ON p.split = c.split
 """
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST dedup: each near-dup cluster keeps its highest-QUALITY
+    member, not its smallest id. Min-id canonicalization (what
+    ``dedup_cluster_cc`` emits) keeps whichever copy happened to be
+    crawled first; production curation keeps the cleanest copy — the
+    one without the truncation, the ad injection, the encoding damage.
+    Pipeline: minhash near-dup pairs → connected components (edge-list
+    sized, never corpus-sized) → join the clustered docs against the
+    deterministic quality score (``text.with_quality_stats``, pure
+    count arithmetic so the double ordering is bit-identical in the
+    oracle) → per-cluster argmax via first_value over (quality DESC,
+    doc_id). The rank window partitions by cluster — bounded by dup
+    clique size, not corpus size — and only CLUSTERED docs (the near-dup
+    minority) ever reach the join or the window."""
+    from pyspark.sql import Window
+    from blog_snapshotbackup_azuredatalake_spark.operators.text import (
+        with_quality_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_pairs(
+        grams_for(docs).localCheckpoint(eager=True)
+    )
+    comp = connected_components(pairs)
+    q = with_quality_stats(docs.select("doc_id", "text")).select(
+        "doc_id", "quality_score"
+    )
+    scored = comp.join(q, "doc_id")
+    wf = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "cluster_id",
+            "quality_score",
+            F.first("doc_id").over(wf).alias("kept_doc_id"),
+        )
+        .withColumn("is_kept", F.col("doc_id") == F.col("kept_doc_id"))
+    )
+
+
+def _keep_best_sql() -> str:
+    from blog_snapshotbackup_azuredatalake_spark.operators.text import (
+        sql_quality_ctes,
+    )
+
+    return f"""
+WITH RECURSIVE {sql_minhash_pair_ctes()},
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         FROM reach GROUP BY src),
+{sql_quality_ctes()},
+scored AS (SELECT comp.doc_id, comp.cluster_id, q.quality_score
+           FROM comp JOIN qscored q ON q.doc_id = comp.doc_id)
+SELECT doc_id, cluster_id, quality_score, kept_doc_id,
+       doc_id = kept_doc_id AS is_kept
+FROM (SELECT doc_id, cluster_id, quality_score,
+             FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id
+                 ORDER BY quality_score DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND UNBOUNDED FOLLOWING) AS kept_doc_id
+      FROM scored)
+"""
+
+
+PAGERANK_ITERS = 6
+PAGERANK_DAMPING = 0.85
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the corpus k-NN similarity graph — the
+    graph-centrality representativeness score used by graph-based data
+    selection (a vector many neighborhoods point into is a dense
+    region's exemplar; isolated spokes are outliers). Edges are
+    ``ann_knn_graph``'s top-k lists (edge list ∝ n·k, never n²); the
+    power iteration is {PAGERANK_ITERS} fixed rounds of one edge-keyed
+    join + one dst-keyed sum — per-round cost is edge-list-sized, the
+    corpus embedding payload is never touched after graph build, and
+    lineage is cut per round (the CC-loop pattern). Dangling mass (sink
+    nodes) leaks per the simplified formulation, so Σ rank ≤ 1 — the
+    test pins that invariant plus determinism-insensitive shape checks.
+    Rows-only entry: iterated double sums are fold-order-dependent, so
+    no portable SQL hash exists (same class as emb_kmeans)."""
+    from blog_snapshotbackup_azuredatalake_spark.operators.similarity import (
+        ann_knn_graph,
+    )
+
+    edges = (
+        ann_knn_graph(spark, sf_dir)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+    d = PAGERANK_DAMPING
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = ed.join(ranks, ed.src == ranks.id).select(
+            F.col("dst").alias("id"),
+            (F.col("rank") / F.col("out_deg")).alias("c"),
+        )
+        ranks = (
+            nodes.join(
+                contrib.groupBy("id").agg(F.sum("c").alias("s")), "id", "left"
+            )
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d) * F.coalesce("s", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    in_deg = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    return (
+        ranks.join(in_deg, "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            "rank",
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+    )
+
+
 QUERIES = {
     "dedup_cluster_cc": dedup_cluster_cc,
     "corpus_split_leakage_safe": corpus_split_leakage_safe,
+    "dedup_keep_best": dedup_keep_best,
+    "graph_pagerank": graph_pagerank,
 }
 ORACLES = {
     "dedup_cluster_cc": _CLUSTER_CC_SQL,
     "corpus_split_leakage_safe": _leakage_safe_sql(),
+    "dedup_keep_best": _keep_best_sql(),
 }

@@ -429,6 +429,16 @@ def _knn_graph_dims(n: int) -> int:
     )
 
 
+KNN_BUCKET_CAP = 512  # hard per-bucket occupancy cap (2× the target)
+
+
+def _knn_subsplits(bucket_count: int) -> int:
+    """Sub-buckets an oversize pattern bucket splits into —
+    ceil(count/cap) by integer arithmetic, exact in Python, Spark
+    (`div`), and DuckDB (`//`) alike (parity property-tested)."""
+    return (bucket_count + KNN_BUCKET_CAP - 1) // KNN_BUCKET_CAP
+
+
 def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus k-NN GRAPH construction (every vector's top-{KNN_GRAPH_K}
     in-corpus neighbors) — the substrate for graph-based curation:
@@ -436,26 +446,73 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Unlike the query-set ANN ops, BOTH sides are the whole corpus, so
     blocking is what makes it feasible: a sign-pattern LSH self-join
-    whose bucket-bit count GROWS with the corpus (``_knn_graph_dims`` —
-    constant expected bucket occupancy, so the candidate join is ∝ n,
-    not Σ bucket² ∝ n² as a fixed bucket count would be) and a
-    per-vector rank window keeping only the top-{KNN_GRAPH_K} edges.
+    with a HARD per-bucket occupancy cap. Adaptive pattern width
+    (``_knn_graph_dims``) keeps expected occupancy near the target,
+    and any bucket that still exceeds {KNN_BUCKET_CAP} vectors —
+    skewed sign patterns: mega-groups of near-identical vectors, where
+    measurement (sf10→sf30, SCALING.md) showed the pattern space
+    SATURATES so no amount of extra bits splits them — is sub-split by
+    md5(vec_id) mod ceil(count/{KNN_BUCKET_CAP}). That bounds
+    candidate pairs to ≤ n·{KNN_BUCKET_CAP} AT ANY n by construction
+    (alpha ≤ 1.0 across every pattern-width step, no n²/2^d cliff
+    between steps), trading only recall WITHIN capped mega-buckets,
+    whose members are near-interchangeable as neighbors. A per-vector
+    rank window keeps only the top-{KNN_GRAPH_K} edges.
     Recall follows the LSH trade (same-bucket neighbors only; more
     bits = finer buckets = lower recall per bucket) — the recall
     escalation is multi-probe or IVF blocking, both shipped for the
     query-set case. Deterministic: ties broken by neighbor id; cosine
     is the codegen double fold, bit-identical to the oracle's
     list_reduce."""
+    from blog_snapshotbackup_azuredatalake_spark.functions.hashing import (
+        md5_int60,
+    )
+    from blog_snapshotbackup_azuredatalake_spark.functions.hints import (
+        broadcast_if_bounded,
+    )
+
     base = load_table(spark, sf_dir, "embeddings")
-    dims = _knn_graph_dims(base.count())
-    emb = base.select(
+    n = base.count()
+    dims = _knn_graph_dims(n)
+    # occupancy-capped buckets: count per pattern (window), then split
+    # oversize patterns into ceil(count/cap) random sub-buckets keyed
+    # on md5(vec_id). The window's shuffle is by pattern — the same
+    # grouping the self-join consumes at (pattern, sub) granularity.
+    patted = base.select(
         "vec_id",
         "embedding",
-        _sign_bucket(F.col("embedding"), dims).alias("bucket"),
+        _sign_bucket(F.col("embedding"), dims).alias("pat"),
+    )
+    # Oversize-pattern counts via groupBy (map-side combine — skew-safe:
+    # a 10M-row mega-bucket partial-aggregates to one cell per map task,
+    # no hot partition) instead of a window by `pat`, which would shuffle
+    # AND sort the full embedding payload with every mega-bucket pinned
+    # to one task. Only patterns PAST the cap survive the filter — the
+    # skew set, small by nature (≤ n/cap worst case) — and ride a
+    # GUARDED broadcast back; everything else defaults to sub 0. The
+    # corpus payload therefore shuffles exactly once: by (pat, sub) for
+    # the self-join.
+    oversize = (
+        patted.groupBy("pat")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .filter(F.col("bc") > KNN_BUCKET_CAP)
+    )
+    emb = (
+        patted.join(broadcast_if_bounded(oversize), "pat", "left")
+        .select(
+            "vec_id",
+            "embedding",
+            "pat",
+            F.coalesce(
+                md5_int60(F.col("vec_id").cast("string"))
+                % F.expr(f"(bc + {KNN_BUCKET_CAP} - 1) div {KNN_BUCKET_CAP}"),
+                F.lit(0),
+            ).alias("sub"),
+        )
     )
     pairs = (
         emb.alias("x")
-        .join(emb.alias("y"), "bucket")
+        .join(emb.alias("y"), ["pat", "sub"])
         .filter(F.col("x.vec_id") != F.col("y.vec_id"))
         .select(
             F.col("x.vec_id").alias("src"),
@@ -485,12 +542,20 @@ WITH nd AS (
                                  / {KNN_TARGET_BUCKET}.0)) AS INT)) AS dims
   FROM embeddings
 ),
+patted AS (
+  SELECT vec_id, embedding, {_SQL_BUCKET_K} AS pat FROM embeddings
+),
 emb AS (
-  SELECT vec_id, embedding, {_SQL_BUCKET_K} AS bucket FROM embeddings
+  SELECT vec_id, embedding, pat,
+         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT)
+           % ((COUNT(*) OVER (PARTITION BY pat) + {KNN_BUCKET_CAP} - 1)
+              // {KNN_BUCKET_CAP}) AS sub
+  FROM patted
 ),
 pairs AS (
   SELECT a.vec_id AS src, b.vec_id AS dst, {_SQL_COS} AS cos
-  FROM emb a JOIN emb b USING (bucket)
+  FROM emb a JOIN emb b USING (pat, sub)
   WHERE a.vec_id <> b.vec_id
 )
 SELECT src, CAST(rank AS INT) AS rank, dst, cos
@@ -825,7 +890,186 @@ GROUP BY ex.q_id
 """
 
 
+# ---------------------------------------------------------------------------
+# cosine range search (all neighbors above a similarity floor)
+# ---------------------------------------------------------------------------
+
+RANGE_TAU = 0.3  # data-informed: the driver corpus is near-orthogonal
+# random vectors (max query cosine ≈ 0.5); with planted-dup embeddings
+# the same plan runs at 0.9+
+
+
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range query over the embedding space: EVERY corpus vector with
+    cosine ≥ {RANGE_TAU} to each query — the retrieval shape where the
+    answer size is data-dependent (near-dup sweeps, wiki-linking,
+    dedup-by-query), versus top-k's fixed k. Candidates come from the
+    same multi-probe sign-LSH blocking as ``ann_topk_lsh`` (own bucket
+    + Hamming-1 probes, query side broadcast, corpus scanned in place),
+    then the exact cosine filter keeps qualifying pairs. The oracle
+    mirrors the blocking, so recall is part of the verified contract,
+    not a hidden property — same policy as dedup_embedding. A missing
+    candidate is a τ-close vector that disagrees on ≥2 hyperplane
+    signs — rarer the higher the cosine, because similar vectors agree
+    on most signs (the LSH guarantee)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        _sign_bucket(F.col("embedding"), LSH_DIMS).alias("bucket"),
+    )
+    base_q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+    )
+    flip = F.expr(
+        "CASE WHEN i = 0 THEN bucket ELSE concat(substring(bucket, 1, i - 1),"
+        " CASE WHEN substring(bucket, i, 1) = '1' THEN '0' ELSE '1' END,"
+        f" substring(bucket, i + 1, {LSH_DIMS})) END"
+    )
+    queries = base_q.select(
+        "q_id",
+        "q_emb",
+        "bucket",
+        F.explode_outer(F.sequence(F.lit(0), F.lit(LSH_DIMS))).alias("i"),
+    ).select("q_id", "q_emb", flip.alias("bucket"))
+    return (
+        emb.join(F.broadcast(queries), "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            _dot_cos(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        )
+        .distinct()
+        .filter(F.col("cos") >= RANGE_TAU)
+    )
+
+
+_ANN_RANGE_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding, {_LSH_BUCKET} AS bucket FROM embeddings
+), base_q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM emb
+  WHERE vec_id < {N_QUERIES}
+), queries AS (
+  SELECT q_id, q_emb,
+         CASE WHEN i = 0 THEN bucket
+              ELSE substr(bucket, 1, CAST(i - 1 AS INT))
+                   || (CASE WHEN substr(bucket, CAST(i AS INT), 1) = '1'
+                            THEN '0' ELSE '1' END)
+                   || substr(bucket, CAST(i + 1 AS INT), {LSH_DIMS})
+         END AS bucket
+  FROM base_q, range(0, {LSH_DIMS + 1}) t(i)
+), pairs AS (
+  SELECT DISTINCT q_id, b.vec_id AS vec_id, {_SQL_COS.replace("a.embedding", "q_emb").replace("b.embedding", "b.embedding")} AS cos
+  FROM queries JOIN emb b USING (bucket)
+  WHERE b.vec_id <> q_id
+)
+SELECT q_id, vec_id, cos FROM pairs WHERE cos >= {RANGE_TAU}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval
+# ---------------------------------------------------------------------------
+
+MMR_SHORTLIST = 16
+MMR_K = 5
+MMR_LAMBDA = 0.7
+
+
+def _mmr_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-query candidate shortlist for MMR (broadcast query
+    side + rank window — the ann_topk_bruteforce plan). Factored out so
+    the test can replay the greedy loop in pure Python on the SAME
+    Spark-computed relevance values."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_emb",
+            "vec_id",
+            "embedding",
+            _dot_cos(F.col("q_emb"), F.col("embedding")).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("rel").desc(), F.col("vec_id"))
+    return pairs.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= MMR_SHORTLIST
+    )
+
+
+def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k: after exact
+    retrieval of a {MMR_SHORTLIST}-candidate shortlist per query, pick
+    {MMR_K} results greedily maximizing λ·sim(q,d) − (1−λ)·max
+    sim(d, already-picked) — the standard redundancy-suppressing
+    re-rank for retrieval-augmented training-data selection (don't
+    feed the model 5 copies of the same paragraph). The greedy loop is
+    inherently sequential, but only WITHIN a query over ≤{MMR_SHORTLIST}
+    rows — so it runs as applyInPandas per q_id group (Arrow-batched,
+    bounded memory per group by construction) after the distributed
+    exact shortlist (broadcast query side, rank window — the
+    ann_topk_bruteforce plan). Rows-only entry: the greedy argmax over
+    numpy doubles is not expressible as one SQL fold; the pytest
+    reimplements MMR in pure Python on the oracle-verified brute-force
+    shortlist and the outputs must agree exactly."""
+    shortlist = _mmr_shortlist(spark, sf_dir)
+
+    lam = MMR_LAMBDA
+
+    def mmr(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(["rel", "vec_id"], ascending=[False, True])
+        ids = pdf["vec_id"].to_numpy()
+        rel = pdf["rel"].to_numpy()
+        mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T  # shortlist × shortlist, ≤ 16×16
+        chosen: list[int] = []
+        penalties: list[float] = []
+        avail = list(range(len(ids)))
+        for _ in range(min(MMR_K, len(ids))):
+            best, best_score, best_pen = None, None, 0.0
+            for i in avail:
+                pen = max((sims[i, j] for j in chosen), default=0.0)
+                score = lam * rel[i] - (1.0 - lam) * pen
+                # deterministic: strict improvement, ties to smaller id
+                if best is None or score > best_score or (
+                    score == best_score and ids[i] < ids[best]
+                ):
+                    best, best_score, best_pen = i, score, pen
+            chosen.append(best)
+            penalties.append(best_pen)
+            avail.remove(best)
+        return pd.DataFrame(
+            {
+                "q_id": pdf["q_id"].iloc[:1].repeat(len(chosen)).to_numpy(),
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype=np.int32),
+                "vec_id": ids[chosen],
+                "relevance": rel[chosen],
+                "diversity_penalty": np.array(penalties),
+            }
+        )
+
+    return shortlist.groupBy("q_id").applyInPandas(
+        mmr,
+        "q_id long, mmr_rank int, vec_id long, relevance double,"
+        " diversity_penalty double",
+    )
+
+
 QUERIES = {
+    "ann_range_search": ann_range_search,
+    "emb_mmr_diversify": emb_mmr_diversify,
     "ann_recall_audit": ann_recall_audit,
     "emb_truncation_audit": emb_truncation_audit,
     "emb_pq_adc": emb_pq_adc,
@@ -838,6 +1082,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_range_search": _ANN_RANGE_SQL,
+    # emb_mmr_diversify: rows-only — greedy numpy argmax ≠ SQL fold
     "ann_recall_audit": _ANN_RECALL_SQL,
     "emb_truncation_audit": _TRUNC_AUDIT_SQL,
     "emb_pq_adc": _PQ_ADC_SQL,

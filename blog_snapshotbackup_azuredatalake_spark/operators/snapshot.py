@@ -1351,7 +1351,124 @@ FROM intervals GROUP BY valid_from, valid_to, valid_to = 2
 """
 
 
+# ---------------------------------------------------------------------------
+# MERGE INTO (upsert + delete in one pass)
+# ---------------------------------------------------------------------------
+
+_MERGE_NEW_KEY_OFFSET = 100_000_000
+
+
+def snap_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics — the lakehouse upsert primitive (Delta/
+    Iceberg `MERGE`): one change feed carrying upserts AND deletes is
+    applied to the target in a single full-outer hash join, with
+    whenMatched-update / whenNotMatched-insert / whenMatchedDelete
+    branches expressed as CASE over the join sides. The output is the
+    merged state's row manifest plus the per-key `action` — so the
+    merge is itself audit-able data (insert/update/carry counts, and
+    deletes visible by absence). Exactly one shuffle of (key, payload);
+    at 100 TB the change feed is the small side and AQE picks the
+    broadcast automatically — no forced hint (SURVEY §6 audit rule).
+
+    Change feed (deterministic demo construction): every 97th key
+    upserts with a bumped price, 50 synthetic new keys insert, every
+    89th ≡ 3 key deletes — the same perturbation family as snap_diff,
+    but delivered as an op-tagged feed rather than a full next-day
+    state, which is the MERGE contract."""
+    target = load_table(spark, sf_dir, "orders")
+    upd = target.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 10.0
+    )
+    new = (
+        target.filter(F.col("o_orderkey") % 101 == 7)
+        .orderBy("o_orderkey")
+        .limit(50)
+        .withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(_MERGE_NEW_KEY_OFFSET)
+        )
+    )
+    dels = target.filter(F.col("o_orderkey") % 89 == 3).select(
+        "o_orderkey",
+        *[
+            F.lit(None).cast(dict(target.dtypes)[c]).alias(c)
+            for c in target.columns
+            if c != "o_orderkey"
+        ],
+    )
+    changes = (
+        upd.unionByName(new)
+        .withColumn("op", F.lit("upsert"))
+        .unionByName(dels.withColumn("op", F.lit("delete")))
+    )
+    payload = [c for c in target.columns if c != "o_orderkey"]
+    j = target.alias("t").join(
+        changes.alias("c"),
+        F.col("t.o_orderkey") == F.col("c.o_orderkey"),
+        "full_outer",
+    )
+    merged = (
+        j.filter(
+            F.col("c.op").isNull() | (F.col("c.op") == "upsert")
+        )
+        .select(
+            F.coalesce(F.col("c.o_orderkey"), F.col("t.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            *[
+                F.when(F.col("c.op") == "upsert", F.col(f"c.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+                for c in payload
+            ],
+            F.when(F.col("c.op").isNull(), F.lit("carry"))
+            .when(F.col("t.o_orderkey").isNull(), F.lit("insert"))
+            .otherwise(F.lit("update"))
+            .alias("action"),
+        )
+    )
+    return merged.select(
+        "o_orderkey", "action", _orders_hash_expr().alias("row_md5")
+    )
+
+
+_SNAP_MERGE_UPSERT_SQL = f"""
+WITH changes AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + 10.0 AS o_totalprice, o_orderdate, o_orderpriority,
+         'upsert' AS op
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey + {_MERGE_NEW_KEY_OFFSET}, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority, 'upsert'
+  FROM (SELECT * FROM orders WHERE o_orderkey % 101 = 7
+        ORDER BY o_orderkey LIMIT 50)
+  UNION ALL
+  SELECT o_orderkey, NULL, NULL, NULL, NULL, NULL, 'delete'
+  FROM orders WHERE o_orderkey % 89 = 3
+), merged AS (
+  SELECT COALESCE(c.o_orderkey, t.o_orderkey) AS o_orderkey,
+         CASE WHEN c.op = 'upsert' THEN c.o_custkey
+              ELSE t.o_custkey END AS o_custkey,
+         CASE WHEN c.op = 'upsert' THEN c.o_orderstatus
+              ELSE t.o_orderstatus END AS o_orderstatus,
+         CASE WHEN c.op = 'upsert' THEN c.o_totalprice
+              ELSE t.o_totalprice END AS o_totalprice,
+         CASE WHEN c.op = 'upsert' THEN c.o_orderdate
+              ELSE t.o_orderdate END AS o_orderdate,
+         CASE WHEN c.op = 'upsert' THEN c.o_orderpriority
+              ELSE t.o_orderpriority END AS o_orderpriority,
+         CASE WHEN c.op IS NULL THEN 'carry'
+              WHEN t.o_orderkey IS NULL THEN 'insert'
+              ELSE 'update' END AS action
+  FROM orders t FULL OUTER JOIN changes c ON t.o_orderkey = c.o_orderkey
+  WHERE c.op IS NULL OR c.op = 'upsert'
+)
+SELECT o_orderkey, action, {_ORDERS_HASH_SQL} AS row_md5 FROM merged
+"""
+
+
 QUERIES = {
+    "snap_merge_upsert": snap_merge_upsert,
     "snap_scd2_history": snap_scd2_history,
     "snap_cdc": snap_cdc,
     "snap_ivm": snap_ivm,
@@ -1371,6 +1488,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "snap_merge_upsert": _SNAP_MERGE_UPSERT_SQL,
     "snap_scd2_history": _SCD2_SQL,
     "snap_cdc": _SNAP_CDC_SQL,
     "snap_ivm": _SNAP_IVM_SQL,

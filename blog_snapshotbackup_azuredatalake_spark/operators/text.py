@@ -1177,7 +1177,126 @@ FROM per_doc GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# cross-source LM transfer scoring (the CCNet quality-filter shape)
+# ---------------------------------------------------------------------------
+
+LM_TRUSTED_LANG = "en"  # train slice: the corpus's majority language
+
+
+def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-domain LM quality filter — the CCNet recipe: train a
+    bigram LM on a TRUSTED slice only (here ``lang = 'en'``, the
+    majority language; in production, Wikipedia), then score EVERY
+    document under that model, so out-of-domain / damaged text surfaces
+    as low fluency *relative to the reference distribution* rather
+    than relative to itself (which is what ``text_ngram_lm``'s
+    self-trained corpus model measures). Per-doc output, so the filter
+    decision is row-level data.
+
+    Unseen mass is handled by Laplace smoothing evaluated with missing
+    counts as zero: bucket = (c12+1)·S div (c1+v) after LEFT joins to
+    the pair and head count tables — a pure integer function, so every
+    aggregate is an exact BIGINT sum (SURVEY.md §4, no raw double
+    sums). Scale: the model is vocab²-bounded (KBs) and rides
+    broadcast — bounded by construction for function-word-sized
+    vocabularies; for open web vocab, cap the model to the top-k pairs
+    and the same plan holds. The token stream shuffles once for model
+    counts; scoring is a map-only broadcast probe."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", "lang", _tokens().alias("toks"))
+    with_bg = toked.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.size("toks") < 2,
+            F.array().cast("array<struct<w1:string,w2:string>>"),
+        )
+        .otherwise(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1),"
+                " (t, i) -> struct(t AS w1, toks[i + 1] AS w2))"
+            )
+        )
+        .alias("bgs"),
+    )
+    bigr = (
+        with_bg.select("doc_id", "lang", F.explode_outer("bgs").alias("bg"))
+        .filter(F.col("bg").isNotNull())
+        .select("doc_id", "lang", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    trusted = bigr.filter(F.col("lang") == LM_TRUSTED_LANG)
+    model = trusted.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    heads = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        toked.filter(F.col("lang") == LM_TRUSTED_LANG)
+        .select(F.explode_outer("toks").alias("tok"))
+        .filter(F.col("tok") != "")
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    scored = (
+        bigr.join(F.broadcast(model), ["w1", "w2"], "left")
+        .join(F.broadcast(heads), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                f"(coalesce(c12, 0) + 1) * {LM_SCALE}"
+                " div (coalesce(c1, 0) + v)"
+            ).alias("bucket"),
+        )
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("bucket").alias("score_fp"),
+        (
+            F.sum("bucket").cast("double")
+            / (F.lit(LM_SCALE) * F.count(F.lit(1))).cast("double")
+        ).alias("avg_bigram_prob"),
+        (
+            F.sum("bucket") * LM_LOWQ_DEN
+            < F.lit(LM_LOWQ_NUM * LM_SCALE) * F.count(F.lit(1))
+        ).alias("flagged"),
+    )
+
+
+_PERPLEXITY_FILTER_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+), bigr AS (
+  SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2
+  FROM toked, UNNEST(range(1, len(toks))) AS r(i)
+), model AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM bigr
+  WHERE lang = '{LM_TRUSTED_LANG}' GROUP BY w1, w2
+), heads AS (
+  SELECT w1, SUM(c12) AS c1 FROM model GROUP BY w1
+), vocab AS (
+  SELECT COUNT(DISTINCT tok) AS v
+  FROM (SELECT unnest(toks) AS tok FROM toked
+        WHERE lang = '{LM_TRUSTED_LANG}')
+  WHERE tok <> ''
+), scored AS (
+  SELECT b.doc_id, b.lang,
+         (COALESCE(m.c12, 0) + 1) * {LM_SCALE}
+           // (COALESCE(h.c1, 0) + v) AS bucket
+  FROM bigr b
+  LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+  LEFT JOIN heads h ON b.w1 = h.w1, vocab
+)
+SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+       CAST(SUM(bucket) AS BIGINT) AS score_fp,
+       CAST(SUM(bucket) AS DOUBLE)
+         / CAST({LM_SCALE} * COUNT(*) AS DOUBLE) AS avg_bigram_prob,
+       SUM(bucket) * {LM_LOWQ_DEN} < {LM_LOWQ_NUM * LM_SCALE} * COUNT(*)
+         AS flagged
+FROM scored GROUP BY doc_id, lang
+"""
+
+
 QUERIES = {
+    "text_perplexity_filter": text_perplexity_filter,
     "text_repetition": text_repetition,
     "text_compress_quality": text_compress_quality,
     "text_bpe_train": text_bpe_train,
@@ -1194,6 +1313,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_perplexity_filter": _PERPLEXITY_FILTER_SQL,
     "text_repetition": _REPETITION_SQL,
     "text_ngram_lm": _NGRAM_LM_SQL,
     "text_tfidf_keywords": _TFIDF_SQL,

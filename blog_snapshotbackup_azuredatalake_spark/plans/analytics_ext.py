@@ -982,8 +982,90 @@ FROM lagged
 """
 
 
+_HOUR_US = 3_600 * 1_000_000
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill with carry-forward: the dense-grid shape
+    every monitoring / feature-engineering pipeline needs (a model fed
+    hourly aggregates cannot tolerate missing hours). Per event_type:
+    hourly (count, avg value) observations, a dense hour grid
+    materialized from the aggregate's own [min, max] bounds via
+    ``sequence`` (grid size = time range, INDEPENDENT of row count —
+    the explode runs on |event_type| rows, not the raw table), then
+    last-observation-carried-forward via an ignore-nulls last() window.
+    The raw table meets exactly one shuffle (the hourly groupBy); the
+    window runs over the tiny dense grid. Sums are DECIMAL-exact before
+    the final double division so the carried value is bit-portable
+    (SURVEY.md §4). ``fill_distance`` (hours since last observation)
+    makes staleness audit-able as data."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(f"(ts div 1000) div {_HOUR_US}").cast("bigint").alias("hr"),
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("val"),
+    )
+    obs = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("val").alias("s")
+    )
+    bounds = obs.groupBy("event_type").agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("hr")
+    )
+    j = grid.join(obs, ["event_type", "hr"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hourly_avg = F.col("s").cast("double") / F.col("n_events")
+    src_hr = F.last(
+        F.when(F.col("n_events").isNotNull(), F.col("hr")), ignorenulls=True
+    ).over(w)
+    return j.select(
+        "event_type",
+        "hr",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("n_events").isNull().alias("is_gap"),
+        F.last(hourly_avg, ignorenulls=True).over(w).alias("filled_avg_value"),
+        (F.col("hr") - src_hr).alias("fill_distance"),
+    )
+
+
+_Q_GAP_FILL_SQL = f"""
+WITH ev AS (
+  SELECT CAST(epoch_ns(ts) // 1000 // {_HOUR_US} AS BIGINT) AS hr,
+         event_type, CAST(value AS DECIMAL(18,6)) AS val
+  FROM events
+), obs AS (
+  SELECT event_type, hr, COUNT(*) AS n_events, SUM(val) AS s
+  FROM ev GROUP BY event_type, hr
+), bounds AS (
+  SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi FROM obs GROUP BY event_type
+), grid AS (
+  SELECT event_type, unnest(range(lo, hi + 1)) AS hr FROM bounds
+), j AS (
+  SELECT g.event_type, g.hr, o.n_events, o.s
+  FROM grid g LEFT JOIN obs o ON o.event_type = g.event_type AND o.hr = g.hr
+)
+SELECT event_type, hr, COALESCE(n_events, 0) AS n_events,
+       n_events IS NULL AS is_gap,
+       last_value(CAST(s AS DOUBLE) / n_events IGNORE NULLS)
+         OVER (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS filled_avg_value,
+       hr - last_value(CASE WHEN n_events IS NOT NULL THEN hr END IGNORE NULLS)
+         OVER (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS fill_distance
+FROM j
+"""
+
+
 QUERIES = {
     "q_revenue_yoy": q_revenue_yoy,
+    "q_gap_fill": q_gap_fill,
     "q_events_continuous_agg": q_events_continuous_agg,
     "q_events_disorder": q_events_disorder,
     "q_events_markov": q_events_markov,
@@ -1007,6 +1089,7 @@ QUERIES = {
 
 ORACLES = {
     "q_revenue_yoy": _Q_YOY_SQL,
+    "q_gap_fill": _Q_GAP_FILL_SQL,
     "q_events_continuous_agg": _Q_CONT_AGG_SQL,
     "q_events_disorder": _Q_DISORDER_SQL,
     "q_events_markov": _Q_MARKOV_SQL,

@@ -33,9 +33,79 @@ def test_arrow_topk_matches_exact_baseline(spark):
     )
 
 
+def test_mmr_matches_pure_python_reference(spark):
+    # independent greedy MMR over Spark's own shortlist rel values —
+    # must agree with the applyInPandas output exactly (same floats,
+    # same tie rule)
+    import numpy as np
+
+    lam = similarity.MMR_LAMBDA
+    short = similarity._mmr_shortlist(spark, SF_DIR).collect()
+    by_q = {}
+    for r in short:
+        by_q.setdefault(r["q_id"], []).append(r)
+    expected = {}
+    for q_id, rows in by_q.items():
+        rows = sorted(rows, key=lambda r: (-r["rel"], r["vec_id"]))
+        ids = [r["vec_id"] for r in rows]
+        rel = [r["rel"] for r in rows]
+        mat = np.vstack([r["embedding"] for r in rows]).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        chosen, avail = [], list(range(len(ids)))
+        for rank in range(1, min(similarity.MMR_K, len(ids)) + 1):
+            best, best_score, best_pen = None, None, 0.0
+            for i in avail:
+                pen = max((sims[i, j] for j in chosen), default=0.0)
+                score = lam * rel[i] - (1.0 - lam) * pen
+                if best is None or score > best_score or (
+                    score == best_score and ids[i] < ids[best]
+                ):
+                    best, best_score, best_pen = i, score, pen
+            chosen.append(best)
+            avail.remove(best)
+            expected[(q_id, rank)] = (ids[best], rel[best], best_pen)
+
+    got = {
+        (r["q_id"], r["mmr_rank"]): (
+            r["vec_id"], r["relevance"], r["diversity_penalty"]
+        )
+        for r in similarity.emb_mmr_diversify(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k][0] == expected[k][0], (k, got[k], expected[k])
+        assert got[k][1] == pytest.approx(expected[k][1], abs=1e-12)
+        assert got[k][2] == pytest.approx(expected[k][2], abs=1e-12)
+
+
+def test_mmr_first_pick_is_most_relevant_and_diverse_after(spark):
+    rows = similarity.emb_mmr_diversify(spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q_id, members in by_q.items():
+        members.sort(key=lambda r: r["mmr_rank"])
+        # rank 1 = pure relevance (no penalty yet)
+        assert members[0]["diversity_penalty"] == 0.0
+        assert len(members) == min(similarity.MMR_K, len(members))
+        # relevance of rank-1 is the max of the selected set
+        assert members[0]["relevance"] == max(m["relevance"] for m in members)
+
+
 def test_ngram_finds_planted_dups(spark):
     n = dedup.dedup_ngram_jaccard(spark, SF_DIR).count()
     assert n > 0, "expected planted near-duplicates at sf0.001"
+
+
+def test_containment_scores_valid_and_superset_of_jaccard_gate(spark):
+    rows = dedup.dedup_containment(spark, SF_DIR).collect()
+    assert rows, "expected planted near-duplicates at sf0.001"
+    for r in rows:
+        # containment >= jaccard always (min-size denominator <= union)
+        assert r["containment"] >= r["jaccard"] - 1e-12, r
+        assert 0.0 <= r["containment"] <= 1.0 + 1e-12, r
+        assert r["containment"] >= dedup.CONTAINMENT_THRESHOLD
 
 
 def test_minhash_recall_vs_exact(spark):

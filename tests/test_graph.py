@@ -1,5 +1,6 @@
 """Connected-components duplicate clustering vs recursive-CTE oracle."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from blog_snapshotbackup_azuredatalake_spark.operators import graph
@@ -100,3 +101,46 @@ def test_leakage_safe_split_semantics(spark):
 
     n_docs = load_table(spark, SF_DIR, "documents").count()
     assert sum(r["n_docs"] for r in rows) == n_docs
+
+
+def test_keep_best_matches_oracle(spark, ddb):
+    df = graph.dedup_keep_best(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, graph.ORACLES["dedup_keep_best"])
+
+
+def test_keep_best_keeps_exactly_one_max_quality_doc(spark):
+    rows = graph.dedup_keep_best(spark, SF_DIR).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        kept = [m for m in members if m["is_kept"]]
+        assert len(kept) == 1, cid
+        best_q = max(m["quality_score"] for m in members)
+        assert kept[0]["quality_score"] == best_q
+        # all members agree on who is kept
+        assert {m["kept_doc_id"] for m in members} == {kept[0]["doc_id"]}
+
+
+def test_pagerank_invariants(spark):
+    rows = graph.graph_pagerank(spark, SF_DIR).collect()
+    assert rows, "knn graph should yield nodes at sf0.001"
+    n = len(rows)
+    ids = {r["vec_id"] for r in rows}
+    assert len(ids) == n, "one row per node"
+    d = graph.PAGERANK_DAMPING
+    floor = (1.0 - d) / n
+    total = sum(r["rank"] for r in rows)
+    # dangling mass leaks in the simplified formulation: (1-d) <= sum <= 1
+    assert (1.0 - d) - 1e-9 <= total <= 1.0 + 1e-9, total
+    for r in rows:
+        assert r["rank"] >= floor - 1e-12, r
+        assert r["in_deg"] >= 0
+    # a never-pointed-to node sits exactly at the teleport floor
+    spokes = [r for r in rows if r["in_deg"] == 0]
+    for r in spokes:
+        assert r["rank"] == pytest.approx(floor, rel=1e-12)
+    # rank mass concentrates: max in-degree node outranks the floor
+    top = max(rows, key=lambda r: r["in_deg"])
+    if top["in_deg"] > 0:
+        assert top["rank"] > floor

@@ -232,6 +232,11 @@ def test_knn_graph_dims_formula_matches_duckdb():
         _knn_graph_dims,
     )
 
+    from blog_snapshotbackup_azuredatalake_spark.operators.similarity import (
+        KNN_BUCKET_CAP,
+        _knn_subsplits,
+    )
+
     con = duckdb.connect()
     sizes = [1, 2, 255, 256, 257, 511, 512, 16384, 16385, 32768, 65536,
              131072, 131073, 1 << 20, (1 << 20) + 1, 10**9]
@@ -241,3 +246,8 @@ def test_knn_graph_dims_formula_matches_duckdb():
             f"GREATEST({n}, 1) / {KNN_TARGET_BUCKET}.0)) AS INT))"
         ).fetchone()[0]
         assert sql_dims == _knn_graph_dims(n), (n, sql_dims)
+        # occupancy-cap sub-split count: integer ceil must agree too
+        sql_ns = con.sql(
+            f"SELECT ({n} + {KNN_BUCKET_CAP} - 1) // {KNN_BUCKET_CAP}"
+        ).fetchone()[0]
+        assert sql_ns == _knn_subsplits(n), (n, sql_ns)

@@ -241,6 +241,134 @@ FROM best GROUP BY centroid_id
 )
 
 
+def emb_silhouette_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette — the clustering-quality
+    certificate at O(n·k) instead of the O(n²) pairwise definition
+    (the only formulation that exists at 100 TB): per vector,
+    a = cosine distance to its best centroid, b = distance to the
+    runner-up; s = (b − a) / max(a, b) ∈ [0, 1] is the separation
+    margin (s → 0: the vector sits on a cluster boundary — candidate
+    for re-clustering or mixture reweighting). Same deterministic seed
+    centroids as `emb_centroid_assign`; MAP-ONLY top-2 via a sorted
+    literal-struct array (no crossJoin, no per-vector shuffle — the
+    corpus meets its only shuffle at the k-row summary). Fixed-point
+    floor sums keep the certificate bit-portable (SURVEY §4)."""
+    from blog_snapshotbackup_azuredatalake_spark.operators.dedup import (
+        _dot_cos,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sorted(
+        emb.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+        .collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    cents_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(c["centroid_id"])).cast("bigint").alias("cid"),
+                F.array(*[F.lit(float(v)) for v in c["embedding"]]).alias(
+                    "c_emb"
+                ),
+            )
+            for c in cents
+        ]
+    )
+    # sort ascending on (-cos, cid) ≡ the oracle's ORDER BY cos DESC,
+    # centroid_id — negation is exact, so the order is bit-identical
+    scored = F.sort_array(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (-_dot_cos(F.col("embedding"), c["c_emb"])).alias("nc"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    top2 = (
+        emb.withColumn("cents", cents_lit)
+        .select("vec_id", scored.alias("s2"))
+        .select(
+            "vec_id",
+            F.col("s2")[0]["cid"].alias("centroid_id"),
+            (-F.col("s2")[0]["nc"]).alias("c1"),
+            (-F.col("s2")[1]["nc"]).alias("c2"),
+        )
+    )
+    sil = top2.select(
+        "centroid_id",
+        (
+            ((F.lit(1.0) - F.col("c2")) - (F.lit(1.0) - F.col("c1")))
+            / F.greatest(F.lit(1.0) - F.col("c1"), F.lit(1.0) - F.col("c2"))
+        ).alias("s"),
+    )
+    return (
+        sil.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.floor(F.col("s") * (1 << 30)).cast("bigint")).alias(
+                "sil_fp"
+            ),
+        )
+        .select(
+            "centroid_id",
+            "n_members",
+            (F.col("sil_fp").cast("double") / F.lit(float(1 << 30))).alias(
+                "sum_sil"
+            ),
+            (
+                F.col("sil_fp").cast("double")
+                / F.lit(float(1 << 30))
+                / F.col("n_members")
+            ).alias("avg_sil"),
+        )
+    )
+
+
+_SIL_COS = """(
+  list_reduce(list_transform(range(1, 1 + len(e.embedding)),
+    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)),
+    (x, y) -> x + y)
+  / (sqrt(list_reduce(list_transform(e.embedding,
+       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+   * sqrt(list_reduce(list_transform(c.c_emb,
+       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)))
+)"""
+
+_EMB_SILHOUETTE_SQL = f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id < {N_CENTROIDS}
+), scored AS (
+  SELECT e.vec_id, c.centroid_id, {_SIL_COS} AS cos
+  FROM embeddings e CROSS JOIN centroids c
+), ranked AS (
+  SELECT vec_id, centroid_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, centroid_id) AS rn
+  FROM scored
+), top2 AS (
+  SELECT vec_id,
+         MAX(CASE WHEN rn = 1 THEN centroid_id END) AS centroid_id,
+         MAX(CASE WHEN rn = 1 THEN cos END) AS c1,
+         MAX(CASE WHEN rn = 2 THEN cos END) AS c2
+  FROM ranked WHERE rn <= 2 GROUP BY vec_id
+), sil AS (
+  SELECT centroid_id,
+         ((1.0 - c2) - (1.0 - c1))
+           / greatest(1.0 - c1, 1.0 - c2) AS s
+  FROM top2
+)
+SELECT centroid_id, COUNT(*) AS n_members,
+       CAST(CAST(SUM(CAST(floor(s * 1073741824) AS BIGINT)) AS BIGINT)
+            AS DOUBLE) / 1073741824.0 AS sum_sil,
+       CAST(CAST(SUM(CAST(floor(s * 1073741824) AS BIGINT)) AS BIGINT)
+            AS DOUBLE) / 1073741824.0 / COUNT(*) AS avg_sil
+FROM sil GROUP BY centroid_id
+"""
+
+
 BENCH_MOD = 13  # doc_id % 13 == 0 plays the held-out benchmark set
 
 
@@ -1378,6 +1506,7 @@ QUERIES = {
     "corpus_split": corpus_split,
     "doc_chunk": doc_chunk,
     "emb_centroid_assign": emb_centroid_assign,
+    "emb_silhouette_lite": emb_silhouette_lite,
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_sample_stratified": corpus_sample_stratified,
     "corpus_mix_temperature": corpus_mix_temperature,
@@ -1397,6 +1526,7 @@ ORACLES = {
     "corpus_split": _CORPUS_SPLIT_SQL,
     "doc_chunk": _DOC_CHUNK_SQL,
     "emb_centroid_assign": _EMB_CENTROID_SQL,
+    "emb_silhouette_lite": _EMB_SILHOUETTE_SQL,
     "corpus_decontaminate": _DECONTAMINATE_SQL,
     "corpus_sample_stratified": _SAMPLE_STRATIFIED_SQL,
     "corpus_mix_temperature": _MIX_TEMPERATURE_SQL,

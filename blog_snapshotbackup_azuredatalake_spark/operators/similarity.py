@@ -842,6 +842,224 @@ FROM ranked GROUP BY q_id
 """
 
 
+# ---------------------------------------------------------------------------
+# k-NN label classification over the corpus graph
+# ---------------------------------------------------------------------------
+
+
+def emb_label_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification — the standard label-transfer /
+    label-noise audit for embedding corpora (does a vector's
+    neighborhood agree with its own label?): every vector is classified
+    by the majority label of its `ann_knn_graph` top-{KNN_GRAPH_K}
+    neighbors (ties → smaller label, deterministic) and the per-label
+    accuracy lands as a 10-row certificate. High-disagreement labels
+    mark annotation noise or genuinely overlapping classes — the
+    relabel/merge decision as data.
+
+    Scale: inherits the knn graph's occupancy-capped build; after it,
+    everything is edge-list-sized — one (dst, label) join, one
+    (src, nlabel) count, one |labels|-row summary. The corpus embedding
+    payload is never touched again."""
+    labels = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("int").alias("label")
+    )
+    knn = ann_knn_graph(spark, sf_dir).select("src", "dst")
+    votes = knn.join(
+        labels.select(
+            F.col("vec_id").alias("dst"), F.col("label").alias("nlabel")
+        ),
+        "dst",
+    )
+    counts = votes.groupBy("src", "nlabel").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wv = Window.partitionBy("src").orderBy(F.desc("cnt"), F.asc("nlabel"))
+    pred = (
+        counts.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("src", F.col("nlabel").alias("predicted"))
+    )
+    joined = pred.join(
+        labels.select(
+            F.col("vec_id").alias("src"), F.col("label").alias("true_label")
+        ),
+        "src",
+    )
+    return (
+        joined.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(
+                (F.col("predicted") == F.col("true_label")).cast("long")
+            ).alias("n_correct"),
+        )
+        .select(
+            "true_label",
+            "n_vectors",
+            "n_correct",
+            (
+                F.col("n_correct").cast("double") / F.col("n_vectors")
+            ).alias("accuracy"),
+        )
+    )
+
+
+_KNN_CLASSIFY_SQL = f"""
+WITH knn AS ({_ANN_KNN_GRAPH_SQL}),
+labels AS (SELECT vec_id, CAST(label AS INT) AS label FROM embeddings),
+votes AS (
+  SELECT k.src, e.label AS nlabel
+  FROM knn k JOIN labels e ON e.vec_id = k.dst
+),
+counts AS (SELECT src, nlabel, COUNT(*) AS cnt FROM votes
+           GROUP BY src, nlabel),
+pred AS (
+  SELECT src, nlabel AS predicted
+  FROM (SELECT src, nlabel,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY cnt DESC, nlabel) AS rn
+        FROM counts)
+  WHERE rn = 1
+),
+joined AS (
+  SELECT e.label AS true_label, p.predicted
+  FROM pred p JOIN labels e ON e.vec_id = p.src
+)
+SELECT true_label, COUNT(*) AS n_vectors,
+       CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS accuracy
+FROM joined GROUP BY true_label
+"""
+
+
+# ---------------------------------------------------------------------------
+# 1-bit (binary sign) quantization audit
+# ---------------------------------------------------------------------------
+
+_HAM_HALF = 32  # pack 64 sign bits as two 32-bit halves in BIGINTs —
+# shiftleft(1L, 63) wraps differently across engines; two halves keep
+# every shift in safe range and cost one extra bit_count
+
+
+def _pack_bits_expr(col: str, lo_bit: int) -> str:
+    """Spark SQL: pack {_HAM_HALF} sign bits of ``col`` starting at
+    ``lo_bit`` into one BIGINT (bit i set iff dim lo_bit+i >= 0).
+    Emitted as ONE SQL string (SURVEY §6: Py4J per-node cost)."""
+    return (
+        f"aggregate(transform(sequence(0, {_HAM_HALF - 1}), i -> "
+        f"IF(element_at({col}, i + {lo_bit + 1}) >= 0, "
+        f"shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def _pack_bits_sql(col: str, lo_bit: int) -> str:
+    """DuckDB equivalent of ``_pack_bits_expr`` — list_sum widens to
+    HUGEINT, so cast back (SURVEY §4)."""
+    return (
+        f"CAST(list_sum(list_transform(range(0, {_HAM_HALF}), i -> "
+        f"CASE WHEN {col}[i + {lo_bit + 1}] >= 0 "
+        f"THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT)"
+    )
+
+
+def emb_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (1-bit-per-dim) quantization audit — the 32× compression
+    point beyond PQ's 16× (`emb_pq_adc`): each 64-dim float32 vector
+    collapses to 64 SIGN BITS (two packed BIGINTs), and candidate
+    ranking becomes bit_count(xor) — pure integer ALU work, the cheapest
+    possible scan kernel. Per query: overlap between the exact top-
+    {TOP_K} by cosine and the top-{TOP_K} by Hamming distance, both
+    ranked in ONE |Q|·N scan (two windows over the same scored pairs —
+    the `emb_truncation_audit` shape), so the keep-how-many-bits
+    decision is oracle-gated data. Packing is map-only engine-side SQL
+    (no Python); at index time the packed column is what you'd
+    materialize — 16 bytes/vector."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.expr(_pack_bits_expr("embedding", 0)).alias("b_lo"),
+        F.expr(_pack_bits_expr("embedding", _HAM_HALF)).alias("b_hi"),
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("b_lo").alias("q_lo"),
+        F.col("b_hi").alias("q_hi"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            _dot_cos(F.col("q_emb"), F.col("embedding")).alias("cos"),
+            F.expr(
+                "bit_count(b_lo ^ q_lo) + bit_count(b_hi ^ q_hi)"
+            ).alias("ham"),
+        )
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    wh = Window.partitionBy("q_id").orderBy(F.asc("ham"), F.asc("vec_id"))
+    ranked = scored.withColumn("rc", F.row_number().over(wc)).withColumn(
+        "rh", F.row_number().over(wh)
+    )
+    return (
+        ranked.groupBy("q_id")
+        .agg(
+            F.sum(
+                ((F.col("rc") <= TOP_K) & (F.col("rh") <= TOP_K)).cast("long")
+            ).alias("n_overlap"),
+            F.min(F.when(F.col("rc") <= TOP_K, F.col("ham"))).alias(
+                "min_ham_of_true"
+            ),
+        )
+        .select(
+            "q_id",
+            F.lit(TOP_K).alias("k"),
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / F.lit(float(TOP_K))).alias(
+                "overlap_frac"
+            ),
+            F.col("min_ham_of_true").cast("int").alias("min_ham_of_true"),
+        )
+    )
+
+
+_BINARY_HAMMING_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding,
+         {_pack_bits_sql("embedding", 0)} AS b_lo,
+         {_pack_bits_sql("embedding", _HAM_HALF)} AS b_hi
+  FROM embeddings
+), queries AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, b_lo AS q_lo, b_hi AS q_hi
+  FROM emb WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q_id, b.vec_id AS vec_id,
+         {_SQL_COS.replace("a.embedding", "q_emb")} AS cos,
+         bit_count(xor(b.b_lo, q_lo)) + bit_count(xor(b.b_hi, q_hi)) AS ham
+  FROM queries JOIN emb b ON b.vec_id <> q_id
+), ranked AS (
+  SELECT q_id, vec_id, ham,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rc,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ham ASC, vec_id) AS rh
+  FROM scored
+)
+SELECT q_id, {TOP_K} AS k,
+       CAST(SUM(CASE WHEN rc <= {TOP_K} AND rh <= {TOP_K} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overlap,
+       CAST(SUM(CASE WHEN rc <= {TOP_K} AND rh <= {TOP_K} THEN 1 ELSE 0 END)
+            AS BIGINT) / CAST({TOP_K} AS DOUBLE) AS overlap_frac,
+       CAST(MIN(CASE WHEN rc <= {TOP_K} THEN ham END) AS INT)
+         AS min_ham_of_true
+FROM ranked GROUP BY q_id
+"""
+
+
 def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall certificate for the scale ANN path: how many of
     the exact brute-force top-{TOP_K} the map-only IVF search actually
@@ -1069,6 +1287,8 @@ def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "ann_range_search": ann_range_search,
+    "emb_label_knn_classify": emb_label_knn_classify,
+    "emb_binary_hamming": emb_binary_hamming,
     "emb_mmr_diversify": emb_mmr_diversify,
     "ann_recall_audit": ann_recall_audit,
     "emb_truncation_audit": emb_truncation_audit,
@@ -1083,6 +1303,8 @@ QUERIES = {
 
 ORACLES = {
     "ann_range_search": _ANN_RANGE_SQL,
+    "emb_label_knn_classify": _KNN_CLASSIFY_SQL,
+    "emb_binary_hamming": _BINARY_HAMMING_SQL,
     # emb_mmr_diversify: rows-only — greedy numpy argmax ≠ SQL fold
     "ann_recall_audit": _ANN_RECALL_SQL,
     "emb_truncation_audit": _TRUNC_AUDIT_SQL,

@@ -1467,7 +1467,175 @@ SELECT o_orderkey, action, {_ORDERS_HASH_SQL} AS row_md5 FROM merged
 """
 
 
+# ---------------------------------------------------------------------------
+# three-way branch merge (lakeFS / Nessie branch semantics)
+# ---------------------------------------------------------------------------
+
+
+def _branch_b_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic second branch diverging from the same base as
+    `_perturbed_orders` (branch A), touching a DIFFERENT but
+    overlapping key set: every 91st key's price changes (some keys are
+    0 mod both 97 and 91 → true concurrent edits), every 83rd ≡ 2 key
+    is deleted, and 50 new keys appear at a disjoint offset."""
+    orders = load_table(spark, sf_dir, "orders")
+    changed = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 91 == 0, F.col("o_totalprice") + 20.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    kept = changed.filter(F.col("o_orderkey") % 83 != 2)
+    added = (
+        orders.filter(F.col("o_orderkey") % 103 == 11)
+        .orderBy("o_orderkey")
+        .limit(50)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(200_000_000))
+    )
+    return kept.unionByName(added)
+
+
+_BRANCH_B_SQL = """
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 91 = 0 THEN o_totalprice + 20.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 83 <> 2
+  UNION ALL
+  SELECT o_orderkey + 200000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM (SELECT * FROM orders WHERE o_orderkey % 103 = 11
+        ORDER BY o_orderkey LIMIT 50)
+"""
+
+
+def snap_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way branch merge — the lakeFS/Nessie/git-for-data shape:
+    two branches diverge from a common base snapshot; the merge
+    classifies every key by (branch A state, branch B state) against
+    the base and folds both change sets back into one state. A key
+    both branches touched with DIFFERENT results is a CONFLICT,
+    resolved deterministically (branch A — "ours" — wins) and COUNTED,
+    so the conflict surface is audit-able data rather than a merge-tool
+    popup. Output: one row per (state_a, state_b, outcome) class with
+    key count plus an order-insensitive xor checksum of the merged
+    rows' hashes — the merged state's identity without materializing
+    it.
+
+    Scale: three manifest scans (key, 60-bit row hash) and full-outer
+    joins on key — only fingerprints shuffle, payloads never move; the
+    certificate is the same "compare 100 TB with four numbers" contract
+    as snap_table_checksum."""
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        _hash60(_orders_hash_expr()).alias("h0"),
+    )
+    br_a = _perturbed_orders(spark, sf_dir).select(
+        F.col("o_orderkey").alias("key"),
+        _hash60(_orders_hash_expr()).alias("ha"),
+    )
+    br_b = _branch_b_orders(spark, sf_dir).select(
+        F.col("o_orderkey").alias("key"),
+        _hash60(_orders_hash_expr()).alias("hb"),
+    )
+    j = (
+        base.withColumn("in0", F.lit(True))
+        .join(br_a.withColumn("ina", F.lit(True)), "key", "full_outer")
+        .join(br_b.withColumn("inb", F.lit(True)), "key", "full_outer")
+    )
+
+    def _state(inx: str, hx: str) -> F.Column:
+        return (
+            F.when(F.col("in0") & F.col(inx) & (F.col(hx) == F.col("h0")),
+                   F.lit("same"))
+            .when(F.col("in0") & F.col(inx), F.lit("changed"))
+            .when(F.col("in0") & F.col(inx).isNull(), F.lit("deleted"))
+            .when(F.col("in0").isNull() & F.col(inx), F.lit("added"))
+            .otherwise(F.lit("absent"))
+        )
+
+    classified = j.select(
+        "key", "h0", "ha", "hb",
+        _state("ina", "ha").alias("state_a"),
+        _state("inb", "hb").alias("state_b"),
+    )
+    touched = lambda s: ~F.col(s).isin("same", "absent")  # noqa: E731
+    conflict = (
+        touched("state_a") & touched("state_b")
+        & ~F.col("ha").eqNullSafe(F.col("hb"))
+    )
+    merged = classified.select(
+        "state_a",
+        "state_b",
+        F.when(conflict, F.lit("conflict_a_wins"))
+        .otherwise(F.lit("clean"))
+        .alias("outcome"),
+        F.when(conflict, F.col("ha"))
+        .when(touched("state_a"), F.col("ha"))
+        .when(touched("state_b"), F.col("hb"))
+        .otherwise(F.col("h0"))
+        .alias("mh"),
+    )
+    return (
+        merged.groupBy("state_a", "state_b", "outcome")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.count("mh").alias("n_merged_rows"),
+            F.expr("bit_xor(mh)").alias("xor_merged"),
+        )
+    )
+
+
+_H60_BASE = _hash60_sql(_ORDERS_HASH_SQL)
+
+_SNAP_BRANCH_MERGE_SQL = f"""
+WITH a_rows AS ({_PERTURBED_SQL}),
+b_rows AS ({_BRANCH_B_SQL}),
+m0 AS (SELECT o_orderkey AS key, {_H60_BASE} AS h0, TRUE AS in0 FROM orders),
+ma AS (SELECT o_orderkey AS key, {_H60_BASE} AS ha, TRUE AS ina FROM a_rows),
+mb AS (SELECT o_orderkey AS key, {_H60_BASE} AS hb, TRUE AS inb FROM b_rows),
+j AS (
+  SELECT COALESCE(m0.key, ma.key, mb.key) AS key, h0, ha, hb, in0, ina, inb
+  FROM m0 FULL OUTER JOIN ma ON m0.key = ma.key
+          FULL OUTER JOIN mb ON COALESCE(m0.key, ma.key) = mb.key
+),
+classified AS (
+  SELECT key, h0, ha, hb,
+    CASE WHEN in0 AND ina AND ha = h0 THEN 'same'
+         WHEN in0 AND ina THEN 'changed'
+         WHEN in0 AND ina IS NULL THEN 'deleted'
+         WHEN in0 IS NULL AND ina THEN 'added'
+         ELSE 'absent' END AS state_a,
+    CASE WHEN in0 AND inb AND hb = h0 THEN 'same'
+         WHEN in0 AND inb THEN 'changed'
+         WHEN in0 AND inb IS NULL THEN 'deleted'
+         WHEN in0 IS NULL AND inb THEN 'added'
+         ELSE 'absent' END AS state_b
+  FROM j
+),
+merged AS (
+  SELECT state_a, state_b,
+    CASE WHEN state_a NOT IN ('same','absent')
+          AND state_b NOT IN ('same','absent')
+          AND ha IS DISTINCT FROM hb
+         THEN 'conflict_a_wins' ELSE 'clean' END AS outcome,
+    CASE WHEN state_a NOT IN ('same','absent')
+          AND state_b NOT IN ('same','absent')
+          AND ha IS DISTINCT FROM hb THEN ha
+         WHEN state_a NOT IN ('same','absent') THEN ha
+         WHEN state_b NOT IN ('same','absent') THEN hb
+         ELSE h0 END AS mh
+  FROM classified
+)
+SELECT state_a, state_b, outcome,
+       COUNT(*) AS n_keys, COUNT(mh) AS n_merged_rows,
+       BIT_XOR(mh) AS xor_merged
+FROM merged GROUP BY state_a, state_b, outcome
+"""
+
+
 QUERIES = {
+    "snap_branch_merge": snap_branch_merge,
     "snap_merge_upsert": snap_merge_upsert,
     "snap_scd2_history": snap_scd2_history,
     "snap_cdc": snap_cdc,
@@ -1488,6 +1656,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "snap_branch_merge": _SNAP_BRANCH_MERGE_SQL,
     "snap_merge_upsert": _SNAP_MERGE_UPSERT_SQL,
     "snap_scd2_history": _SCD2_SQL,
     "snap_cdc": _SNAP_CDC_SQL,

@@ -210,3 +210,17 @@ def test_ann_recall_audit_quality_floor(spark):
     # the IVF path's whole reason to exist: usable recall at map-only cost
     assert mean_recall >= 0.5, mean_recall
     assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
+
+
+def test_knn_classify_conservation(spark):
+    from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = similarity.emb_label_knn_classify(spark, SF_DIR).collect()
+    n_emb = load_table(spark, SF_DIR, "embeddings").count()
+    # every vector gets exactly one prediction (knn graph covers all)
+    assert sum(r["n_vectors"] for r in rows) == n_emb
+    for r in rows:
+        assert 0 <= r["n_correct"] <= r["n_vectors"]
+        assert r["accuracy"] == r["n_correct"] / r["n_vectors"]

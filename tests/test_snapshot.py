@@ -121,3 +121,42 @@ def test_scd2_intervals_cover_every_state_row(spark):
     assert covered == total
     # current intervals are exactly those ending at HEAD
     assert all(r["is_current"] == (r["valid_to"] == 2) for r in rows)
+
+
+def test_branch_merge_key_conservation_and_conflicts(spark):
+    from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
+        load_table,
+    )
+
+    from pyspark.sql import functions as F
+
+    rows = snapshot.snap_branch_merge(spark, SF_DIR).collect()
+    orders = load_table(spark, SF_DIR, "orders")
+    base = orders.count()
+    # every key in base ∪ A ∪ B is classified exactly once: base keys
+    # plus each branch's synthetic adds (≤ 50 each — the LIMIT caps,
+    # the mod filter may yield fewer at small SFs)
+    adds_a = min(50, orders.filter(F.col("o_orderkey") % 101 == 7).count())
+    adds_b = min(50, orders.filter(F.col("o_orderkey") % 103 == 11).count())
+    assert sum(r["n_keys"] for r in rows) == base + adds_a + adds_b
+    for r in rows:
+        if r["outcome"] == "conflict_a_wins":
+            # a conflict requires BOTH branches to have touched the key
+            assert r["state_a"] in ("changed", "deleted", "added")
+            assert r["state_b"] in ("changed", "deleted", "added")
+        # deletions drop out of the merged state, everything else lands
+        winner = (
+            r["state_a"]
+            if r["state_a"] not in ("same", "absent")
+            else (r["state_b"] if r["state_b"] not in ("same", "absent")
+                  else "same")
+        )
+        if r["outcome"] == "conflict_a_wins":
+            winner = r["state_a"]
+        expected = 0 if winner == "deleted" else r["n_keys"]
+        assert r["n_merged_rows"] == expected, r
+    clean_same = [r for r in rows
+                  if (r["state_a"], r["state_b"]) == ("same", "same")]
+    assert clean_same and clean_same[0]["n_keys"] == max(
+        r["n_keys"] for r in rows
+    )

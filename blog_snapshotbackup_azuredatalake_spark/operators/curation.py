@@ -1493,6 +1493,113 @@ FROM ordered GROUP BY shard
 """
 
 
+# ---------------------------------------------------------------------------
+# cross-source n-gram overlap matrix
+# ---------------------------------------------------------------------------
+
+
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE overlap matrix — the mixture-design question every
+    multi-source corpus asks before weighting (how much of source B is
+    already inside source A? double-counted mass inflates effective
+    epochs): per ordered source pair, the shared distinct-5-gram count
+    plus asymmetric containment |A∩B| / |A| and symmetric Jaccard.
+    Aggregate-level (set sizes), not pair-level — the complement of the
+    doc-pair dedup family.
+
+    Scale: distinct (source, gram) pairs (one shuffle, map-side
+    combine), then a self-join ON GRAM whose output is ≤ |sources|² per
+    gram — |S| is a catalog-sized constant, so the join is linear in
+    distinct grams. Totals are |S| rows and ride a broadcast."""
+    from blog_snapshotbackup_azuredatalake_spark.operators.dedup import (
+        grams_for,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        grams_for(docs, keep=("source",))
+        .select("source", F.explode("sh").alias("gram"))
+        .distinct()
+    )
+    tot = pairs.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    joint = (
+        pairs.alias("a")
+        .join(pairs.alias("b"), "gram")
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        joint.join(
+            F.broadcast(
+                tot.select(
+                    F.col("source").alias("source_a"),
+                    F.col("n_grams").alias("ta"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                tot.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n_grams").alias("tb"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.col("ta")).alias(
+                "containment_a"
+            ),
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("ta") + F.col("tb") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+_SOURCE_OVERLAP_SQL = """
+WITH sh AS (
+  SELECT doc_id, source, {grams} AS sh
+  FROM (SELECT doc_id, source, {tokh} AS th FROM documents)
+),
+pairs AS (
+  SELECT DISTINCT source, unnest(sh) AS gram FROM sh
+),
+tot AS (SELECT source, COUNT(*) AS n_grams FROM pairs GROUP BY source),
+joint AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+  FROM pairs a JOIN pairs b USING (gram)
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, n_shared,
+       CAST(n_shared AS DOUBLE) / ta.n_grams AS containment_a,
+       CAST(n_shared AS DOUBLE)
+         / (ta.n_grams + tb.n_grams - n_shared) AS jaccard
+FROM joint
+JOIN tot ta ON ta.source = joint.source_a
+JOIN tot tb ON tb.source = joint.source_b
+"""
+
+
+def _source_overlap_sql() -> str:
+    from blog_snapshotbackup_azuredatalake_spark.operators.dedup import (
+        _SQL_GRAM_HASHES,
+        _SQL_TOKH,
+    )
+
+    return _SOURCE_OVERLAP_SQL.format(
+        grams=_SQL_GRAM_HASHES, tokh=_SQL_TOKH
+    )
+
+
 QUERIES = {
     "corpus_token_budget_plan": corpus_token_budget_plan,
     "emb_outlier_zscore": emb_outlier_zscore,
@@ -1507,6 +1614,7 @@ QUERIES = {
     "doc_chunk": doc_chunk,
     "emb_centroid_assign": emb_centroid_assign,
     "emb_silhouette_lite": emb_silhouette_lite,
+    "corpus_source_overlap": corpus_source_overlap,
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_sample_stratified": corpus_sample_stratified,
     "corpus_mix_temperature": corpus_mix_temperature,
@@ -1527,6 +1635,7 @@ ORACLES = {
     "doc_chunk": _DOC_CHUNK_SQL,
     "emb_centroid_assign": _EMB_CENTROID_SQL,
     "emb_silhouette_lite": _EMB_SILHOUETTE_SQL,
+    "corpus_source_overlap": _source_overlap_sql(),
     "corpus_decontaminate": _DECONTAMINATE_SQL,
     "corpus_sample_stratified": _SAMPLE_STRATIFIED_SQL,
     "corpus_mix_temperature": _MIX_TEMPERATURE_SQL,

@@ -69,8 +69,8 @@ def _hash60(col: Column) -> Column:
 _SQL_HASH60 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
 
 
-def grams_for(docs: DataFrame) -> DataFrame:
-    """(doc_id, text, …) → (doc_id, sh: array<bigint>) — distinct
+def grams_for(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, text, …) → (doc_id, *keep, sh: array<bigint>) — distinct
     token-5-gram fingerprints in [0, P31): md5-hash each token once,
     then fold 5-token windows with the rolling polynomial
     (acc * K + tok) mod P. No gram strings are materialized.
@@ -95,8 +95,8 @@ def grams_for(docs: DataFrame) -> DataFrame:
     sh = F.when(F.size(th) >= 5, F.array_distinct(grams)).otherwise(
         F.expr("CAST(array() AS array<bigint>)")
     )
-    return docs.select("doc_id", toks.alias("th")).select(
-        "doc_id", sh.alias("sh")
+    return docs.select("doc_id", *keep, toks.alias("th")).select(
+        "doc_id", *keep, sh.alias("sh")
     )
 
 

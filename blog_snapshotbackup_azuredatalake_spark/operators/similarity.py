@@ -312,6 +312,154 @@ WHERE rnk <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# filtered ANN (metadata predicate + IVF probe)
+# ---------------------------------------------------------------------------
+
+FILTER_LABEL = 3  # the demo predicate: ~1/10 of the corpus qualifies
+FILTER_NPROBE = 8  # 2× the unfiltered nprobe: post-filtering thins each
+# probed list by the predicate's selectivity, so probing more lists is
+# how filtered search recovers candidate count (the standard trade)
+
+
+def ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN — top-k under a metadata predicate (`label = 3`),
+    the retrieval shape every real vector deployment needs (search
+    within a language / license / source slice): the IVF index is
+    built ONCE on the FULL corpus (indexes are not rebuilt per
+    predicate), the predicate is applied to candidates INSIDE the
+    probed lists (post-filtering), and {FILTER_NPROBE} lists are probed
+    — double the unfiltered {IVF_NPROBE} — to recover the candidate
+    mass the filter removes. Same map-only coarse-assign as
+    `ann_topk_ivf` (literal centroid array, corpus never shuffles
+    before the bucket join); the predicate reaches the scan as a
+    pushable filter on the probe side."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.col("label").cast("int").alias("label")
+    )
+    centroids = emb.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    cents = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    cents_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(c["centroid_id"]))
+                .cast("bigint")
+                .alias("centroid_id"),
+                F.array(*[F.lit(float(v)) for v in c["c_emb"]]).alias(
+                    "c_emb"
+                ),
+            )
+            for c in cents
+        ]
+    )
+
+    def scored(emb_col):
+        return F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                _l2sq(emb_col, c["c_emb"]).alias("d2"),
+                c["centroid_id"].alias("centroid_id"),
+            ),
+        )
+
+    assigned = (
+        emb.withColumn("cents", cents_lit)
+        .select(
+            "vec_id",
+            "embedding",
+            "label",
+            F.array_min(scored(F.col("embedding"))).alias("best"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            "label",
+            F.col("best.centroid_id").alias("list_id"),
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    probes = (
+        queries.withColumn("cents", cents_lit)
+        .select(
+            "q_id",
+            "q_emb",
+            F.explode(
+                F.slice(
+                    F.array_sort(scored(F.col("q_emb"))), 1, FILTER_NPROBE
+                )
+            ).alias("pr"),
+        )
+        .select("q_id", "q_emb", F.col("pr.centroid_id").alias("list_id"))
+    )
+    pairs = (
+        assigned.filter(F.col("label") == FILTER_LABEL)
+        .join(F.broadcast(probes), "list_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            _dot_cos(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            "cos",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+_ANN_FILTERED_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id < {IVF_NLIST}
+), assigned AS (
+  SELECT vec_id, embedding, label, centroid_id AS list_id
+  FROM (SELECT e.vec_id, e.embedding, CAST(e.label AS INT) AS label,
+               c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SQL_L2SQ.format(a="e.embedding", b="c.c_emb")},
+                          c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cent c)
+  WHERE rn = 1
+), probes AS (
+  SELECT q_id, q_emb, list_id
+  FROM (SELECT q.vec_id AS q_id, q.embedding AS q_emb,
+               c.centroid_id AS list_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_SQL_L2SQ.format(a="q.embedding", b="c.c_emb")},
+                          c.centroid_id) AS pr
+        FROM embeddings q CROSS JOIN cent c
+        WHERE q.vec_id < {N_QUERIES})
+  WHERE pr <= {FILTER_NPROBE}
+), pairs AS (
+  SELECT q_id, b.vec_id AS vec_id, b.label AS label,
+         {_SQL_COS.replace("a.embedding", "q_emb")} AS cos
+  FROM probes JOIN assigned b USING (list_id)
+  WHERE b.vec_id <> q_id AND b.label = {FILTER_LABEL}
+)
+SELECT q_id, vec_id, label, cos, CAST(rnk AS INT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY cos DESC, vec_id) AS rnk
+      FROM pairs)
+WHERE rnk <= {TOP_K}
+"""
+
+
 IVF_TRAIN_ITERS = 2
 
 
@@ -1060,6 +1208,149 @@ FROM ranked GROUP BY q_id
 """
 
 
+# ---------------------------------------------------------------------------
+# int8 scalar quantization audit
+# ---------------------------------------------------------------------------
+
+SQ8_DIMS = 64
+
+
+def emb_quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization audit — the 4× compression point
+    completing the shipped family (PQ 16×: `emb_pq_adc`; binary 32×:
+    `emb_binary_hamming`): each dim is affinely mapped to [0, 255] by
+    per-dim corpus min/max (the faiss ScalarQuantizer QT_8bit recipe),
+    and retrieval quality is measured as per-query overlap of the exact
+    cosine top-{TOP_K} vs the top-{TOP_K} against RECONSTRUCTED corpus
+    vectors (queries stay full-precision — the standard asymmetric
+    setup). Per-dim stats are a {SQ8_DIMS}-cell aggregate collected to
+    the driver (bounded by construction — the centroid-literal pattern)
+    and ride into the scan as literals, so quantize+reconstruct is
+    MAP-ONLY; the oracle recomputes identical stats from the data."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    stats = sorted(
+        emb.select(
+            F.posexplode("embedding").alias("i", "x")
+        )
+        .groupBy("i")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        .collect(),
+        key=lambda r: r["i"],
+    )
+    mn_lit = F.array(*[F.lit(float(r["mn"])) for r in stats])
+    mx_lit = F.array(*[F.lit(float(r["mx"])) for r in stats])
+
+    def _recon(i: F.Column) -> F.Column:
+        x = F.element_at(F.col("embedding"), i).cast("double")
+        mn = F.element_at(F.col("mn_arr"), i)
+        mx = F.element_at(F.col("mx_arr"), i)
+        q = F.floor((x - mn) * 255 / (mx - mn) + 0.5)
+        return F.when(mx == mn, mn).otherwise(mn + q * (mx - mn) / 255.0)
+
+    recon = emb.withColumn("mn_arr", mn_lit).withColumn(
+        "mx_arr", mx_lit
+    ).select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(len(stats))), _recon
+        ).alias("rembedding"),
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        recon.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            _dot_cos(F.col("q_emb"), F.col("embedding")).alias("cx"),
+            _dot_cos(F.col("q_emb"), F.col("rembedding")).alias("cr"),
+        )
+    )
+    wx = Window.partitionBy("q_id").orderBy(F.desc("cx"), F.asc("vec_id"))
+    wr = Window.partitionBy("q_id").orderBy(F.desc("cr"), F.asc("vec_id"))
+    ranked = scored.withColumn("rx", F.row_number().over(wx)).withColumn(
+        "rr", F.row_number().over(wr)
+    )
+    return (
+        ranked.groupBy("q_id")
+        .agg(
+            F.sum(
+                ((F.col("rx") <= TOP_K) & (F.col("rr") <= TOP_K)).cast("long")
+            ).alias("n_overlap")
+        )
+        .select(
+            "q_id",
+            F.lit(TOP_K).alias("k"),
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / F.lit(float(TOP_K))).alias(
+                "overlap_frac"
+            ),
+        )
+    )
+
+
+_SQ8_SQL = f"""
+WITH dims AS (
+  SELECT i, MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+         MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+  FROM embeddings, range(1, {SQ8_DIMS + 1}) t(i)
+  GROUP BY i
+),
+cells AS (
+  SELECT vec_id, i,
+         CASE WHEN mx = mn THEN mn
+              ELSE mn + floor((CAST(embedding[i] AS DOUBLE) - mn) * 255
+                              / (mx - mn) + 0.5) * (mx - mn) / 255.0
+         END AS r
+  FROM embeddings JOIN dims ON TRUE
+),
+recon AS (
+  SELECT vec_id, list(r ORDER BY i) AS rembedding
+  FROM cells GROUP BY vec_id
+),
+queries AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q_id, b.vec_id AS vec_id,
+         {_SQL_COS.replace("a.embedding", "q_emb")} AS cx,
+         (
+  list_reduce(list_transform(range(1, 1 + len(q_emb)),
+    i -> CAST(q_emb[i] AS DOUBLE) * r.rembedding[i]),
+    (x, y) -> x + y)
+  / (sqrt(list_reduce(list_transform(q_emb,
+       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+   * sqrt(list_reduce(list_transform(r.rembedding,
+       v -> v * v), (x, y) -> x + y)))
+) AS cr
+  FROM queries
+  JOIN embeddings b ON b.vec_id <> q_id
+  JOIN recon r ON r.vec_id = b.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cx DESC, vec_id) AS rx,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cr DESC, vec_id) AS rr
+  FROM scored
+)
+SELECT q_id, {TOP_K} AS k,
+       CAST(SUM(CASE WHEN rx <= {TOP_K} AND rr <= {TOP_K} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overlap,
+       CAST(SUM(CASE WHEN rx <= {TOP_K} AND rr <= {TOP_K} THEN 1 ELSE 0 END)
+            AS BIGINT) / CAST({TOP_K} AS DOUBLE) AS overlap_frac
+FROM ranked GROUP BY q_id
+"""
+
+
 def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall certificate for the scale ANN path: how many of
     the exact brute-force top-{TOP_K} the map-only IVF search actually
@@ -1289,6 +1580,8 @@ QUERIES = {
     "ann_range_search": ann_range_search,
     "emb_label_knn_classify": emb_label_knn_classify,
     "emb_binary_hamming": emb_binary_hamming,
+    "emb_quantize_sq8": emb_quantize_sq8,
+    "ann_filtered_search": ann_filtered_search,
     "emb_mmr_diversify": emb_mmr_diversify,
     "ann_recall_audit": ann_recall_audit,
     "emb_truncation_audit": emb_truncation_audit,
@@ -1305,6 +1598,8 @@ ORACLES = {
     "ann_range_search": _ANN_RANGE_SQL,
     "emb_label_knn_classify": _KNN_CLASSIFY_SQL,
     "emb_binary_hamming": _BINARY_HAMMING_SQL,
+    "emb_quantize_sq8": _SQ8_SQL,
+    "ann_filtered_search": _ANN_FILTERED_SQL,
     # emb_mmr_diversify: rows-only — greedy numpy argmax ≠ SQL fold
     "ann_recall_audit": _ANN_RECALL_SQL,
     "emb_truncation_audit": _TRUNC_AUDIT_SQL,

@@ -1295,7 +1295,106 @@ FROM scored GROUP BY doc_id, lang
 """
 
 
+# ---------------------------------------------------------------------------
+# per-source gram novelty (marginal-contribution curve)
+# ---------------------------------------------------------------------------
+
+
+def text_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-contribution / novelty audit: for each document, the
+    fraction of its distinct 5-grams whose FIRST corpus occurrence
+    (min doc_id) is this document — the "what does adding this doc
+    actually add" curve data-selection pipelines rank by (a doc whose
+    grams all appeared earlier contributes nothing to coverage; pure
+    boilerplate scores 0). Summarized per source: docs, novel-gram
+    mass, and a fixed-point mean novelty — which SOURCES are additive
+    vs redundant under the ingestion order.
+
+    Scale: one explode → gram-keyed min (map-side combine), one join
+    back on gram, two small aggs — every stage linear, no pair
+    enumeration anywhere. The doc_id-order definition is deterministic
+    by construction, so the whole curve is SQL-oracle-able."""
+    from blog_snapshotbackup_azuredatalake_spark.operators.dedup import (
+        grams_for,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = grams_for(docs, keep=("source",)).select(
+        "doc_id", "source", F.explode("sh").alias("gram")
+    )
+    first = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        g.join(first, "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("doc_id") == F.col("first_doc")).cast("long")
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.select(
+            "source",
+            "n_grams",
+            "n_novel",
+            (
+                F.floor(
+                    F.col("n_novel").cast("double")
+                    / F.col("n_grams")
+                    * (1 << 30)
+                ).cast("bigint")
+            ).alias("nov_fp"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").alias("total_grams"),
+            F.sum("n_novel").alias("novel_grams"),
+            (
+                F.sum("nov_fp").cast("double")
+                / F.lit(float(1 << 30))
+                / F.count(F.lit(1))
+            ).alias("avg_novelty"),
+        )
+    )
+
+
+_GRAM_NOVELTY_SQL_T = """
+WITH sh AS (
+  SELECT doc_id, source, {grams} AS sh
+  FROM (SELECT doc_id, source, {tokh} AS th FROM documents)
+),
+g AS (SELECT doc_id, source, unnest(sh) AS gram FROM sh),
+first AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram),
+per_doc AS (
+  SELECT doc_id, source, COUNT(*) AS n_grams,
+         CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM g JOIN first USING (gram)
+  GROUP BY doc_id, source
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+       CAST(SUM(n_novel) AS BIGINT) AS novel_grams,
+       CAST(SUM(CAST(floor(CAST(n_novel AS DOUBLE) / n_grams * 1073741824)
+                     AS BIGINT)) AS DOUBLE)
+         / 1073741824.0 / COUNT(*) AS avg_novelty
+FROM per_doc GROUP BY source
+"""
+
+
+def _gram_novelty_sql() -> str:
+    from blog_snapshotbackup_azuredatalake_spark.operators.dedup import (
+        _SQL_GRAM_HASHES,
+        _SQL_TOKH,
+    )
+
+    return _GRAM_NOVELTY_SQL_T.format(grams=_SQL_GRAM_HASHES, tokh=_SQL_TOKH)
+
+
 QUERIES = {
+    "text_gram_novelty": text_gram_novelty,
     "text_perplexity_filter": text_perplexity_filter,
     "text_repetition": text_repetition,
     "text_compress_quality": text_compress_quality,
@@ -1313,6 +1412,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_gram_novelty": _gram_novelty_sql(),
     "text_perplexity_filter": _PERPLEXITY_FILTER_SQL,
     "text_repetition": _REPETITION_SQL,
     "text_ngram_lm": _NGRAM_LM_SQL,

@@ -284,6 +284,101 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", "n_exact", "n_hll")
 
 
+def stream_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile estimation: the {HIST_BUCKETS}-bucket
+    equi-width histogram of `sketch_hist_quantile` maintained BY the
+    stream — per-bucket counts are the ENTIRE aggregation state
+    (≤{HIST_BUCKETS} cells for any stream length, sum-mergeable, the
+    O(1)-state alternative to a streaming sort), complete mode, bucket
+    edges fixed up front from calibration stats (here the batch
+    min/max of the same table; in deployment, yesterday's — the
+    standard streaming-histogram contract). The drained histogram is
+    bit-identical to the batch one, so the p50/p90/p99 readoff —
+    including the |est − exact| ≤ bucket-width certificate — reuses the
+    batch oracle verbatim (the stream-maintained state certifying equal
+    to the batch sketch, same policy as stream_hll/cms)."""
+    from blog_snapshotbackup_azuredatalake_spark.operators.sketch import (
+        HIST_BUCKETS,
+        QUANTILES,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("value").cast("double").alias("v")
+    )
+    srow = ev.agg(
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+    ).collect()[0]
+    vmin, vmax = float(srow["vmin"]), float(srow["vmax"])
+
+    work = scratch_dir("stream_histq_")
+    src = f"{work}/events_src"
+    ev.coalesce(DEMO_STATE_PARTITIONS).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    # same arithmetic shape as the batch op, stats bound as literals
+    bucket = F.least(
+        F.floor(
+            ((F.col("v") - F.lit(vmin)) / (F.lit(vmax) - F.lit(vmin)))
+            * F.lit(float(HIST_BUCKETS))
+        ).cast("bigint"),
+        F.lit(HIST_BUCKETS - 1).cast("bigint"),
+    )
+    name = f"histq_{uuid.uuid4().hex[:8]}"
+    with demo_state_partitions(spark):
+        q = (
+            stream.select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    hist = spark.table(name)
+
+    from pyspark.sql import Window
+
+    stats = ev.agg(
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cum = hist.select(
+        "bucket", F.sum("cnt").over(Window.orderBy("bucket")).alias("c")
+    )
+    targets = stats.select(
+        "vmin",
+        "vmax",
+        "n",
+        F.explode_outer(F.array(*[F.lit(qq) for qq in QUANTILES])).alias(
+            "q"
+        ),
+    ).withColumn("tgt", F.ceil(F.col("q") * F.col("n")).cast("bigint"))
+    est = (
+        targets.join(F.broadcast(cum), F.col("c") >= F.col("tgt"))
+        .groupBy("q", "tgt", "n", "vmin", "vmax")
+        .agg(F.min("bucket").alias("est_bucket"))
+    )
+    ranked = ev.select(
+        "v",
+        F.row_number().over(Window.orderBy("v", "event_id")).alias("rn"),
+    )
+    return est.join(ranked, F.col("rn") == F.col("tgt")).select(
+        "q",
+        "n",
+        F.col("v").alias("exact_value"),
+        (
+            F.col("vmin")
+            + (F.col("est_bucket") + 1).cast("double")
+            * ((F.col("vmax") - F.col("vmin")) / F.lit(float(HIST_BUCKETS)))
+        ).alias("est_value"),
+        F.col("est_bucket").cast("int").alias("est_bucket"),
+    )
+
+
 def stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental view maintenance: the CDC feed (snap_cdc's
     typed change stream) arrives as an unbounded stream and the
@@ -508,6 +603,7 @@ HAVING (window_start_us + {LATE_WINDOW_US}) // 1000 <= wm_final_ms
 QUERIES = {
     "stream_late_drop": stream_late_drop,
     "stream_ivm": stream_ivm,
+    "stream_hist_quantile": stream_hist_quantile,
     "stream_hll_distinct": stream_hll_distinct,
     "stream_incr_sync": stream_incr_sync,
     "stream_enrich_static": stream_enrich_static,
@@ -605,6 +701,7 @@ FROM ev JOIN dim USING (user_id)
 
 def _oracles() -> dict[str, str]:
     from blog_snapshotbackup_azuredatalake_spark.operators.sketch import (
+        _HIST_QUANTILE_SQL,
         _cms_sql,
         _hll_grouped_sql,
     )
@@ -621,6 +718,7 @@ def _oracles() -> dict[str, str]:
         "stream_ivm": _SNAP_IVM_SQL,
         "stream_cms_topk": _cms_sql(),
         "stream_hll_distinct": _hll_grouped_sql(),
+        "stream_hist_quantile": _HIST_QUANTILE_SQL,
     }
 
 

@@ -176,3 +176,16 @@ def test_token_budget_flags_small_source_over_repetition(spark, tmp_path):
     assert rows["tiny"]["data_constrained"]
     assert not rows["big"]["data_constrained"]
     assert rows["tiny"]["repeat_factor"] > rows["big"]["repeat_factor"]
+
+
+def test_source_overlap_matrix_invariants(spark):
+    rows = curation.corpus_source_overlap(spark, SF_DIR).collect()
+    by_pair = {(r["source_a"], r["source_b"]): r for r in rows}
+    for (a, b), r in by_pair.items():
+        if a == b:
+            # diagonal: a source fully contains itself
+            assert r["containment_a"] == 1.0 and r["jaccard"] == 1.0, r
+        # shared counts are symmetric; containment need not be
+        mirror = by_pair.get((b, a))
+        assert mirror is not None and mirror["n_shared"] == r["n_shared"]
+        assert 0.0 < r["jaccard"] <= 1.0

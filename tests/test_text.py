@@ -122,3 +122,25 @@ def test_repetition_flags_planted_boilerplate(spark, tmp_path):
     assert rows["s2"]["n_repetitive"] == 0
     assert rows["s1"]["max_top_bigram_fp"] > text.REP_TOP_BIGRAM_FP
     assert rows["s2"]["max_dup_trigram_fp"] <= text.REP_DUP_TRIGRAM_FP
+
+
+def test_gram_novelty_conservation(spark, ddb):
+    from blog_snapshotbackup_azuredatalake_spark.operators.dedup import (
+        _SQL_GRAM_HASHES,
+        _SQL_TOKH,
+    )
+
+    rows = text.text_gram_novelty(spark, SF_DIR).collect()
+    # every distinct gram is novel in exactly one doc (its first), so
+    # the novel mass across sources equals the corpus' distinct grams
+    n_distinct = ddb.execute(
+        "SELECT COUNT(DISTINCT gram) FROM (SELECT unnest("
+        + _SQL_GRAM_HASHES
+        + ") AS gram FROM (SELECT doc_id, "
+        + _SQL_TOKH
+        + " AS th FROM documents))"
+    ).fetchone()[0]
+    assert sum(r["novel_grams"] for r in rows) == n_distinct
+    for r in rows:
+        assert 0 <= r["novel_grams"] <= r["total_grams"]
+        assert 0.0 <= r["avg_novelty"] <= 1.0

@@ -1600,8 +1600,277 @@ def _source_overlap_sql() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling toward a target distribution
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 64  # hashed unigram feature buckets
+DSIR_TARGET = "src0"  # the demo's target-domain slice
+DSIR_FP = 1 << 20  # fixed-point scale for per-bucket importance ratios
+RESAMPLE_N = 40  # docs drawn from the raw pool
+
+
+def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-resample the raw pool toward a target domain — the
+    DSIR recipe (Xie et al. 2023, "Data Selection for Language Models
+    via Importance Resampling"): hashed-unigram bag features, per-bucket
+    importance ratio between the target distribution (source =
+    {DSIR_TARGET}) and the raw pool (every other source), per-document
+    score from its own gram counts, deterministic top-{RESAMPLE_N} draw.
+
+    Portability adaptation, per SURVEY §4's correctly-rounded-only
+    rule: the standard per-bucket LOG ratio needs ln(), which neither
+    engine guarantees correctly rounded, so the score is the linear
+    fixed-point form Σ_b c_b·floor(2²⁰·p_t(b)/p_r(b)) — Laplace-
+    smoothed probabilities, two IEEE divisions and one multiply, floor
+    exact in both engines, every comparison thereafter BIGINT. Ranking
+    is by per-gram average ratio (score // n_grams), which de-biases
+    doc length the way DSIR's per-token log-likelihood ratio does.
+
+    Scale shape: the per-doc-bucket count shuffle carries ≤{DSIR_BUCKETS}
+    rows per doc (map-side combine collapses gram occurrences first);
+    bucket stats are a {DSIR_BUCKETS}-row aggregate joined back as a
+    broadcast; the final draw is two-phase top-N — per-source windows
+    prune to {RESAMPLE_N} rows each before one tiny global window, so
+    no corpus-sized single-partition sort exists at any size."""
+    from blog_snapshotbackup_azuredatalake_spark.operators.dedup import _hash60
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    per_db = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            "source",
+            (_hash60(F.col("tok")) % DSIR_BUCKETS).alias("bucket"),
+        )
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    is_t = F.col("source") == DSIR_TARGET
+    stats = per_db.groupBy("bucket").agg(
+        F.coalesce(F.sum(F.when(is_t, F.col("c"))), F.lit(0)).alias("cnt_t"),
+        F.coalesce(F.sum(F.when(~is_t, F.col("c"))), F.lit(0)).alias("cnt_r"),
+    )
+    totals = stats.agg(
+        F.sum("cnt_t").alias("tot_t"), F.sum("cnt_r").alias("tot_r")
+    )
+    # one-row totals ride a crossJoin onto the 64-row stats (certificate-
+    # merge pattern); p_t/p_r are IEEE divisions of exact-integer doubles
+    ratios = stats.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.floor(
+            (
+                F.col("cnt_t").cast("double")
+                + F.lit(1.0)
+            )
+            / (F.col("tot_t").cast("double") + F.lit(float(DSIR_BUCKETS)))
+            / (
+                (F.col("cnt_r").cast("double") + F.lit(1.0))
+                / (F.col("tot_r").cast("double") + F.lit(float(DSIR_BUCKETS)))
+            )
+            * F.lit(float(DSIR_FP))
+        )
+        .cast("bigint")
+        .alias("ratio_fp"),
+    )
+    scored = (
+        per_db.filter(~is_t)
+        .join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.col("c") * F.col("ratio_fp")).alias("score_fp"),
+            F.sum("c").alias("n_grams"),
+        )
+        .withColumn(
+            "avg_ratio_fp", F.expr("score_fp div n_grams").cast("bigint")
+        )
+    )
+    per_src = Window.partitionBy("source").orderBy(
+        F.desc("avg_ratio_fp"), F.asc("doc_id")
+    )
+    pruned = scored.withColumn("srnk", F.row_number().over(per_src)).filter(
+        F.col("srnk") <= RESAMPLE_N
+    )
+    w = Window.orderBy(F.desc("avg_ratio_fp"), F.asc("doc_id"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RESAMPLE_N)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            "source",
+            "n_grams",
+            "score_fp",
+            "avg_ratio_fp",
+        )
+    )
+
+
+_IMPORTANCE_SQL = f"""
+WITH per_db AS (
+  SELECT doc_id, source,
+         {_H60.format(x="tok")} % {DSIR_BUCKETS} AS bucket,
+         COUNT(*) AS c
+  FROM (SELECT doc_id, source,
+               unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+  GROUP BY doc_id, source, bucket
+), stats AS (
+  SELECT bucket,
+         COALESCE(SUM(CASE WHEN source = '{DSIR_TARGET}' THEN c END), 0)
+           AS cnt_t,
+         COALESCE(SUM(CASE WHEN source <> '{DSIR_TARGET}' THEN c END), 0)
+           AS cnt_r
+  FROM per_db GROUP BY bucket
+), totals AS (
+  SELECT SUM(cnt_t) AS tot_t, SUM(cnt_r) AS tot_r FROM stats
+), ratios AS (
+  SELECT bucket,
+         CAST(floor((CAST(cnt_t AS DOUBLE) + 1.0)
+                    / (CAST(tot_t AS DOUBLE) + {DSIR_BUCKETS}.0)
+                    / ((CAST(cnt_r AS DOUBLE) + 1.0)
+                       / (CAST(tot_r AS DOUBLE) + {DSIR_BUCKETS}.0))
+                    * {DSIR_FP}.0) AS BIGINT) AS ratio_fp
+  FROM stats CROSS JOIN totals
+), scored AS (
+  SELECT doc_id, source,
+         CAST(SUM(c * ratio_fp) AS BIGINT) AS score_fp,
+         CAST(SUM(c) AS BIGINT) AS n_grams,
+         CAST(SUM(c * ratio_fp) // SUM(c) AS BIGINT) AS avg_ratio_fp
+  FROM per_db JOIN ratios USING (bucket)
+  WHERE source <> '{DSIR_TARGET}'
+  GROUP BY doc_id, source
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY avg_ratio_fp DESC, doc_id) AS INT)
+         AS rank,
+       doc_id, source, n_grams, score_fp, avg_ratio_fp
+FROM scored
+QUALIFY rank <= {RESAMPLE_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-label embedding-distribution drift
+# ---------------------------------------------------------------------------
+
+LDRIFT_FP = 1 << 20  # fixed-point scale for per-dim means
+
+
+def emb_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slice embedding drift monitor: for every label slice, the
+    squared distance between the slice's per-dim mean vector and the
+    corpus mean, plus the single most-drifting dimension — the check
+    that catches a slice whose embedding distribution silently shifted
+    (re-embedded with a different model revision, corrupted preproc,
+    adversarial injection) before it poisons retrieval or dedup.
+
+    Portability: per-dim sums are order-independent BIGINT sums of
+    floor(x·2²⁰) (the emb_dim_stats pattern); means divide those exact
+    integers as doubles (IEEE division, bit-identical both engines) and
+    re-floor, so every emitted number is a BIGINT certificate. Plan:
+    one posexplode → (label, dim)-cell aggregate (cells, not rows,
+    cross the wire), corpus row derived from the same cells and joined
+    back as a {LDRIFT_FP}-broadcast; argmax dim via one max(struct) —
+    no second scan, no window over the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    cells = emb.select(
+        "label", F.posexplode("embedding").alias("p", "x")
+    ).select(
+        "label",
+        (F.col("p") + 1).cast("bigint").alias("i"),  # 1-based like the oracle
+        F.floor(F.col("x").cast("double") * LDRIFT_FP)
+        .cast("bigint")
+        .alias("xf"),
+    )
+    per = cells.groupBy("label", "i").agg(
+        F.sum("xf").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    corpus = per.groupBy("i").agg(
+        F.sum("s").alias("cs"), F.sum("n").alias("cn")
+    )
+    diff = (
+        per.join(F.broadcast(corpus), "i")
+        .select(
+            "label",
+            "i",
+            "n",
+            F.floor(
+                F.col("s").cast("double") / F.col("n").cast("double")
+                - F.col("cs").cast("double") / F.col("cn").cast("double")
+            )
+            .cast("bigint")
+            .alias("diff_fp"),
+        )
+    )
+    return (
+        diff.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vectors"),
+            F.sum(F.col("diff_fp") * F.col("diff_fp")).alias("drift_sq_fp2"),
+            F.max(
+                F.struct(
+                    F.abs("diff_fp").alias("a"),
+                    (-F.col("i")).alias("ni"),
+                    F.col("diff_fp").alias("d"),
+                )
+            ).alias("top"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            "drift_sq_fp2",
+            (-F.col("top.ni")).cast("int").alias("top_dim"),
+            F.col("top.d").alias("top_dim_drift_fp"),
+        )
+    )
+
+
+_LABEL_DRIFT_SQL = f"""
+WITH cells AS (
+  -- fixed 64-dim corpus (the emb_quantize_sq8 oracle's literal-range
+  -- pattern; DuckDB's range() can't lateral-join len(embedding))
+  SELECT label, i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {LDRIFT_FP}) AS BIGINT)
+           AS xf
+  FROM embeddings, range(1, 65) t(i)
+), per AS (
+  SELECT label, i, SUM(xf) AS s, COUNT(*) AS n
+  FROM cells GROUP BY label, i
+), corpus AS (
+  SELECT i, SUM(s) AS cs, SUM(n) AS cn FROM per GROUP BY i
+), diff AS (
+  SELECT label, per.i, n,
+         CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                    - CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE)) AS BIGINT)
+           AS diff_fp
+  FROM per JOIN corpus ON per.i = corpus.i
+), ranked AS (
+  SELECT label, i, n, diff_fp,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY abs(diff_fp) DESC, i) AS rn
+  FROM diff
+)
+SELECT d.label, CAST(MAX(d.n) AS BIGINT) AS n_vectors,
+       CAST(SUM(d.diff_fp * d.diff_fp) AS BIGINT) AS drift_sq_fp2,
+       CAST(MAX(CASE WHEN r.rn = 1 THEN r.i END) AS INT) AS top_dim,
+       CAST(MAX(CASE WHEN r.rn = 1 THEN r.diff_fp END) AS BIGINT)
+         AS top_dim_drift_fp
+FROM diff d JOIN ranked r ON d.label = r.label AND d.i = r.i
+GROUP BY d.label
+"""
+
+
 QUERIES = {
     "corpus_token_budget_plan": corpus_token_budget_plan,
+    "emb_label_drift": emb_label_drift,
     "emb_outlier_zscore": emb_outlier_zscore,
     "corpus_decontaminate_semantic": corpus_decontaminate_semantic,
     "corpus_shard_shuffle": corpus_shard_shuffle,
@@ -1615,6 +1884,7 @@ QUERIES = {
     "emb_centroid_assign": emb_centroid_assign,
     "emb_silhouette_lite": emb_silhouette_lite,
     "corpus_source_overlap": corpus_source_overlap,
+    "corpus_importance_resample": corpus_importance_resample,
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_sample_stratified": corpus_sample_stratified,
     "corpus_mix_temperature": corpus_mix_temperature,
@@ -1636,6 +1906,8 @@ ORACLES = {
     "emb_centroid_assign": _EMB_CENTROID_SQL,
     "emb_silhouette_lite": _EMB_SILHOUETTE_SQL,
     "corpus_source_overlap": _source_overlap_sql(),
+    "corpus_importance_resample": _IMPORTANCE_SQL,
+    "emb_label_drift": _LABEL_DRIFT_SQL,
     "corpus_decontaminate": _DECONTAMINATE_SQL,
     "corpus_sample_stratified": _SAMPLE_STRATIFIED_SQL,
     "corpus_mix_temperature": _MIX_TEMPERATURE_SQL,

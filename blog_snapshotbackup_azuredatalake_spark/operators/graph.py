@@ -421,14 +421,132 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# link prediction on the k-NN graph (common out-neighbors)
+# ---------------------------------------------------------------------------
+
+LINK_TOP_N = 50
+LINK_FP = 1 << 20  # fixed-point scale for the Jaccard score
+
+
+def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the corpus k-NN graph: for
+    node pairs NOT already adjacent, count shared out-neighbors and
+    rank by (count, fixed-point Jaccard of the out-neighbor sets) — the
+    classic second-pass that recovers near-dup / near-neighbor pairs
+    the LSH blocking missed (two vectors bucketed apart still surface
+    if they agree on whom they are close to). Candidate generation is
+    one self-join of the edge list ON THE SHARED NEIGHBOR — cost
+    Σ_n indeg(n)², bounded because indegree concentrates around k on
+    kNN graphs (documented, not assumed: the knn build caps bucket
+    occupancy, which caps how many nodes can point at one hub) — never
+    an all-pairs scan. Degrees are k-bounded by construction, so the
+    Jaccard denominator is exact integer arithmetic; the final top-N is
+    two-phase (per-src window prunes before one tiny global window)."""
+    from blog_snapshotbackup_azuredatalake_spark.operators.similarity import (
+        ann_knn_graph,
+    )
+    from pyspark.sql import Window
+
+    edges = (
+        ann_knn_graph(spark, sf_dir)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    cand = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), "dst")
+        .filter(F.col("e1.src") < F.col("e2.src"))
+        .groupBy(
+            F.col("e1.src").alias("a"), F.col("e2.src").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    linked = edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).unionByName(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    fresh = cand.join(linked, ["a", "b"], "left_anti")
+    scored = (
+        fresh.join(deg.select(F.col("src").alias("a"),
+                              F.col("deg").alias("dega")), "a")
+        .join(deg.select(F.col("src").alias("b"),
+                         F.col("deg").alias("degb")), "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            F.expr(f"cn * {LINK_FP}L div (dega + degb - cn)")
+            .cast("bigint")
+            .alias("jaccard_fp"),
+        )
+    )
+    per_a = Window.partitionBy("a").orderBy(
+        F.desc("cn"), F.desc("jaccard_fp"), F.asc("b")
+    )
+    pruned = scored.withColumn("prnk", F.row_number().over(per_a)).filter(
+        F.col("prnk") <= LINK_TOP_N
+    )
+    w = Window.orderBy(F.desc("cn"), F.desc("jaccard_fp"),
+                       F.asc("a"), F.asc("b"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= LINK_TOP_N)
+        .select(F.col("rank").cast("int").alias("rank"),
+                "a", "b", "cn", "jaccard_fp")
+    )
+
+
+def _link_predict_sql() -> str:
+    from blog_snapshotbackup_azuredatalake_spark.operators.similarity import (
+        _ANN_KNN_GRAPH_SQL,
+    )
+
+    return f"""
+WITH graph AS ({_ANN_KNN_GRAPH_SQL}),
+edges AS (SELECT src, dst FROM graph),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+cand AS (
+  SELECT e1.src AS a, e2.src AS b, COUNT(*) AS cn
+  FROM edges e1 JOIN edges e2 USING (dst)
+  WHERE e1.src < e2.src
+  GROUP BY e1.src, e2.src
+),
+linked AS (SELECT src AS a, dst AS b FROM edges
+           UNION ALL SELECT dst, src FROM edges),
+fresh AS (
+  SELECT c.a, c.b, c.cn FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM linked l
+                    WHERE l.a = c.a AND l.b = c.b)
+),
+scored AS (
+  SELECT f.a, f.b, f.cn,
+         CAST(f.cn * {LINK_FP} // (da.deg + db.deg - f.cn) AS BIGINT)
+           AS jaccard_fp
+  FROM fresh f
+  JOIN deg da ON da.src = f.a
+  JOIN deg db ON db.src = f.b
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cn DESC, jaccard_fp DESC, a, b)
+            AS INT) AS rank,
+       a, b, cn, jaccard_fp
+FROM scored
+QUALIFY rank <= {LINK_TOP_N}
+"""
+
+
 QUERIES = {
     "dedup_cluster_cc": dedup_cluster_cc,
     "corpus_split_leakage_safe": corpus_split_leakage_safe,
     "dedup_keep_best": dedup_keep_best,
     "graph_pagerank": graph_pagerank,
+    "graph_link_predict": graph_link_predict,
 }
 ORACLES = {
     "dedup_cluster_cc": _CLUSTER_CC_SQL,
     "corpus_split_leakage_safe": _leakage_safe_sql(),
     "dedup_keep_best": _keep_best_sql(),
+    "graph_link_predict": _link_predict_sql(),
 }

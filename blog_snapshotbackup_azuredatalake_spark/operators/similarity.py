@@ -186,21 +186,12 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_search(emb, centroids)
 
 
-def _ivf_search(emb: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Probe-and-rerank against any (centroid_id, c_emb) coarse list
-    set; the IVF plan shape is independent of how the lists were
-    built."""
-    # coarse assignment is MAP-ONLY: the nlist×d centroid set is tiny
-    # and driver-known, so it becomes a literal struct array and each
-    # corpus row takes argmin in place (struct min ≡ min over
-    # (d2, centroid_id), matching the oracle's row_number order). The
-    # crossJoin+groupBy shape would re-shuffle the corpus by vec_id —
-    # the corpus now reaches the bucket join with NO exchange at all.
-    cents = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
-    # ONE literal array<struct<centroid_id, c_emb>> bound as a column —
-    # constant-folded once, referenced by name (inlining the 1k-node
-    # literal tree into every consumer measurably bloats planning/eval)
-    cents_lit = F.array(
+def _cents_lit_of(cents: list) -> F.Column:
+    """nlist×d centroid rows (sorted by centroid_id) → ONE literal
+    array<struct<centroid_id, c_emb>> column — constant-folded once,
+    referenced by name (inlining the 1k-node literal tree into every
+    consumer measurably bloats planning/eval)."""
+    return F.array(
         *[
             F.struct(
                 F.lit(int(c["centroid_id"]))
@@ -214,14 +205,32 @@ def _ivf_search(emb: DataFrame, centroids: DataFrame) -> DataFrame:
         ]
     )
 
-    def scored(emb_col):
-        return F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                _l2sq(emb_col, c["c_emb"]).alias("d2"),
-                c["centroid_id"].alias("centroid_id"),
-            ),
-        )
+
+def _cent_scored(emb_col: F.Column) -> F.Column:
+    """Per-centroid (d2, centroid_id) structs against the `cents`
+    literal column; struct min/sort ≡ ORDER BY d2, centroid_id."""
+    return F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            _l2sq(emb_col, c["c_emb"]).alias("d2"),
+            c["centroid_id"].alias("centroid_id"),
+        ),
+    )
+
+
+def _ivf_search(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Probe-and-rerank against any (centroid_id, c_emb) coarse list
+    set; the IVF plan shape is independent of how the lists were
+    built."""
+    # coarse assignment is MAP-ONLY: the nlist×d centroid set is tiny
+    # and driver-known, so it becomes a literal struct array and each
+    # corpus row takes argmin in place (struct min ≡ min over
+    # (d2, centroid_id), matching the oracle's row_number order). The
+    # crossJoin+groupBy shape would re-shuffle the corpus by vec_id —
+    # the corpus now reaches the bucket join with NO exchange at all.
+    cents = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    cents_lit = _cents_lit_of(cents)
+    scored = _cent_scored
 
     assigned = (
         emb.withColumn("cents", cents_lit)
@@ -722,6 +731,76 @@ PQ_FP = 1 << 20  # fixed-point scale for ADC table entries
 PQ_SHORTLIST = 20  # ADC candidates per query kept for exact re-rank
 
 
+def _pq_l2(a: list, b: list) -> float:
+    acc = 0.0  # left-to-right fold — same order as both engines
+    for x, y in zip(a, b):
+        acc += (x - y) * (x - y)
+    return acc
+
+
+def _pq_sub(v: list, s: int) -> list:
+    return v[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+
+
+def _pq_codebook(emb: DataFrame) -> tuple[dict, list]:
+    """Deterministic first-PQ_K seed codebook (as ann_topk_ivf seeds
+    its lists) — KBs at any corpus size, driver-held by design."""
+    cb_rows = emb.filter(F.col("vec_id") < PQ_K).collect()
+    cb = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in cb_rows
+    }
+    return cb, sorted(cb)
+
+
+def _pq_query_tables(q_rows: list, cb: dict, ks: list) -> list:
+    """Per-query fixed-point ADC tables (floor(d²·2²⁰) BIGINTs) — the
+    scan's per-pair sum is integer-exact, order-independent, and
+    engine-portable."""
+    import math
+
+    qtabs = []
+    for qr in sorted(q_rows, key=lambda r: r["vec_id"]):
+        qv = [float(x) for x in qr["embedding"]]
+        t = []
+        for s in range(PQ_M):
+            for k in ks:
+                t.append(
+                    int(
+                        math.floor(
+                            _pq_l2(_pq_sub(qv, s), _pq_sub(cb[k], s)) * PQ_FP
+                        )
+                    )
+                )
+        qtabs.append((int(qr["vec_id"]), t))
+    return qtabs
+
+
+def _pq_encode_sql(cb: dict, ks: list) -> str:
+    """The whole PQ_M×PQ_K codebook-argmin expression emitted as ONE
+    SQL string parsed in a single F.expr call. Building it through the
+    Column API costs one Py4J round-trip per operator node (~8k trips
+    ≈ 20 s of pure driver latency, flat at every SF); the string goes
+    over the wire once. Same left-to-right double arithmetic, so encode
+    parity with the oracle and the driver-side tables holds."""
+
+    def d2_sql(s: int, vals: list) -> str:
+        terms = []
+        for i, v in enumerate(vals):
+            x = f"cast(element_at(embedding, {s * PQ_SUBDIM + i + 1}) as double)"
+            c = f"cast('{float(v)!r}' as double)"
+            terms.append(f"({x} - {c}) * ({x} - {c})")
+        return " + ".join(terms)
+
+    def code_sql(s: int) -> str:
+        structs = ", ".join(
+            f"named_struct('d2', {d2_sql(s, _pq_sub(cb[k], s))}, 'j', {j})"
+            for j, k in enumerate(ks)
+        )
+        return f"array_min(array({structs})).j"
+
+    return "array(" + ", ".join(code_sql(s) for s in range(PQ_M)) + ")"
+
+
 def emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with asymmetric-distance scan + exact
     refine (faiss's IndexPQ + refine recipe): the corpus compresses to
@@ -750,59 +829,13 @@ def emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-shape demo; the throughput deployment swaps the encode for the
     Arrow/numpy batch kernel (see ann_topk_arrow and SCALING.md's
     kernel-path table), keeping the identical code assignment."""
-    import math
-
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cb_rows = emb.filter(F.col("vec_id") < PQ_K).collect()
-    cb = {
-        int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in cb_rows
-    }
-    ks = sorted(cb)
+    cb, ks = _pq_codebook(emb)
     q_rows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
-
-    def l2(a: list, b: list) -> float:
-        acc = 0.0  # left-to-right fold — same order as both engines
-        for x, y in zip(a, b):
-            acc += (x - y) * (x - y)
-        return acc
-
-    def sub(v: list, s: int) -> list:
-        return v[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
-
-    qtabs = []
-    for qr in sorted(q_rows, key=lambda r: r["vec_id"]):
-        qv = [float(x) for x in qr["embedding"]]
-        t = []
-        for s in range(PQ_M):
-            for k in ks:
-                t.append(int(math.floor(l2(sub(qv, s), sub(cb[k], s)) * PQ_FP)))
-        qtabs.append((int(qr["vec_id"]), t))
-
-    # The whole PQ_M×PQ_K codebook-argmin expression is emitted as ONE
-    # SQL string and parsed in a single F.expr call. Building it through
-    # the Column API costs one Py4J round-trip per operator node (~8k
-    # trips ≈ 20 s of pure driver latency, flat at every SF); the string
-    # goes over the wire once. Same left-to-right double arithmetic, so
-    # encode parity with the oracle and the driver-side tables holds.
-    def d2_sql(s: int, vals: list) -> str:
-        terms = []
-        for i, v in enumerate(vals):
-            x = f"cast(element_at(embedding, {s * PQ_SUBDIM + i + 1}) as double)"
-            c = f"cast('{float(v)!r}' as double)"
-            terms.append(f"({x} - {c}) * ({x} - {c})")
-        return " + ".join(terms)
-
-    def code_sql(s: int) -> str:
-        structs = ", ".join(
-            f"named_struct('d2', {d2_sql(s, sub(cb[k], s))}, 'j', {j})"
-            for j, k in enumerate(ks)
-        )
-        return f"array_min(array({structs})).j"
-
-    encode_sql = "array(" + ", ".join(
-        code_sql(s) for s in range(PQ_M)
-    ) + ")"
-    encoded = emb.select("vec_id", F.expr(encode_sql).alias("codes"))
+    qtabs = _pq_query_tables(q_rows, cb, ks)
+    encoded = emb.select(
+        "vec_id", F.expr(_pq_encode_sql(cb, ks)).alias("codes")
+    )
     # the |Q|×(PQ_M·PQ_K) table set rides as broadcast DATA, not as ~10k
     # literal expression nodes — the one-row-per-query frame crossJoins
     # onto the coded scan (same shape as ann_topk_bruteforce's query
@@ -879,6 +912,264 @@ WITH sub AS (
   SELECT t.q_id, e.vec_id, SUM(t.dfp) AS adc_fp
   FROM encoded e JOIN qtab t ON e.s = t.s AND e.code = t.j
   WHERE e.vec_id <> t.q_id
+  GROUP BY t.q_id, e.vec_id
+), shortlist AS (
+  SELECT q_id, vec_id, adc_fp FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY adc_fp, vec_id) AS srnk
+    FROM adc)
+  WHERE srnk <= {PQ_SHORTLIST}
+), reranked AS (
+  SELECT s.q_id, s.vec_id, CAST(s.adc_fp AS BIGINT) AS adc_fp,
+         {_SQL_L2SQ.format(a='q.embedding', b='b.embedding')} AS d2
+  FROM shortlist s
+  JOIN embeddings b ON b.vec_id = s.vec_id
+  JOIN embeddings q ON q.vec_id = s.q_id
+)
+SELECT q_id, vec_id, adc_fp, d2, CAST(rnk AS INT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY d2, vec_id) AS rnk
+      FROM reranked)
+WHERE rnk <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF inverted-list balance audit
+# ---------------------------------------------------------------------------
+
+BALANCE_FP = 1 << 20  # fixed-point scale for share/imbalance ratios
+BALANCE_HOT = 2  # a list above 2× its fair share is flagged hot
+
+
+def ann_index_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy certificate for the IVF index the ANN family deploys:
+    per inverted list, vector count, corpus share, and the imbalance
+    factor n·NLIST/total (1.0 = perfectly balanced). This is the audit
+    run before trusting an IVF index at scale — a hot list is BOTH the
+    straggler (its in-list scan dominates probe latency) and the recall
+    risk (queries probing it drown in candidates while starved lists
+    contribute none). All ratios are integer fixed-point (BIGINT `div`,
+    exact in both engines); the plan is the map-only coarse assignment
+    followed by a {IVF_NLIST}-cell count — nothing corpus-sized
+    shuffles, and the one-row total rides the certificate-merge
+    crossJoin."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = sorted(
+        emb.filter(F.col("vec_id") < IVF_NLIST)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("c_emb"),
+        )
+        .collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    assigned = emb.withColumn("cents", _cents_lit_of(cents)).select(
+        F.array_min(_cent_scored(F.col("embedding")))["centroid_id"].alias(
+            "list_id"
+        )
+    )
+    lists = assigned.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    total = lists.agg(F.sum("n_vectors").alias("total"))
+    return lists.crossJoin(F.broadcast(total)).select(
+        "list_id",
+        "n_vectors",
+        F.expr(f"n_vectors * {BALANCE_FP}L div total")
+        .cast("bigint")
+        .alias("share_fp"),
+        F.expr(f"n_vectors * {IVF_NLIST}L * {BALANCE_FP}L div total")
+        .cast("bigint")
+        .alias("imbalance_fp"),
+        (
+            F.expr(f"n_vectors * {IVF_NLIST}L * {BALANCE_FP}L div total")
+            > BALANCE_HOT * BALANCE_FP
+        ).alias("is_hot"),
+    )
+
+
+_INDEX_BALANCE_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id < {IVF_NLIST}
+), assigned AS (
+  SELECT vec_id, centroid_id AS list_id
+  FROM (SELECT e.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SQL_L2SQ.format(a="e.embedding", b="c.c_emb")},
+                          c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cent c)
+  WHERE rn = 1
+), lists AS (
+  SELECT list_id, COUNT(*) AS n_vectors FROM assigned GROUP BY list_id
+), total AS (SELECT SUM(n_vectors) AS total FROM lists)
+SELECT list_id, n_vectors,
+       CAST(n_vectors * {BALANCE_FP} // total AS BIGINT) AS share_fp,
+       CAST(n_vectors * {IVF_NLIST} * {BALANCE_FP} // total AS BIGINT)
+         AS imbalance_fp,
+       n_vectors * {IVF_NLIST} * {BALANCE_FP} // total
+         > {BALANCE_HOT * BALANCE_FP} AS is_hot
+FROM lists CROSS JOIN total
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ: the production ANN composition (coarse pruning × compression)
+# ---------------------------------------------------------------------------
+
+
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ ANN — the faiss IVFPQ recipe (shared-codebook variant,
+    ``by_residual=false``): the corpus is coarse-assigned to IVF_NLIST
+    inverted lists AND PQ-encoded to {PQ_M} 4-bit sub-codes in ONE
+    map-only pass (both the centroid argmin and the codebook argmin are
+    literal-bound expressions — the corpus never shuffles to get
+    indexed), queries probe their {IVF_NPROBE} nearest lists, and the
+    ADC table scan runs ONLY inside probed lists. That composition is
+    the actual production win over the repo's two single-technique
+    operators: `emb_pq_adc` scans |corpus|·|Q| code rows (compression
+    without pruning), `ann_topk_ivf` re-ranks probed lists with full
+    float vectors (pruning without compression) — here the scan cost
+    drops to |corpus|·NPROBE/NLIST per query over 16×-compressed codes,
+    which is what lets a 100 TB corpus answer from executor-resident
+    index shards. The {PQ_SHORTLIST}-candidate quantized shortlist per
+    query then rejoins float vectors for the exact L2 refine, exactly
+    as emb_pq_adc documents. Fixed-point ADC tables keep every score a
+    BIGINT (order-independent, engine-portable); shuffles touch only
+    the per-query shortlist windows."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = sorted(
+        emb.filter(F.col("vec_id") < IVF_NLIST)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("c_emb"),
+        )
+        .collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    cents_lit = _cents_lit_of(cents)
+    cb, ks = _pq_codebook(emb)
+    q_rows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    qtabs = _pq_query_tables(q_rows, cb, ks)
+    # ONE corpus pass builds the whole index row: inverted-list id +
+    # PQ codes, both map-only literal-expression argmins
+    coded = emb.withColumn("cents", cents_lit).select(
+        "vec_id",
+        F.array_min(_cent_scored(F.col("embedding")))["centroid_id"].alias(
+            "list_id"
+        ),
+        F.expr(_pq_encode_sql(cb, ks)).alias("codes"),
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    probes = (
+        queries.withColumn("cents", cents_lit)
+        .select(
+            "q_id",
+            F.explode(
+                F.slice(
+                    F.array_sort(_cent_scored(F.col("q_emb"))), 1, IVF_NPROBE
+                )
+            ).alias("pr"),
+        )
+        .select("q_id", F.col("pr.centroid_id").alias("list_id"))
+    )
+    # |Q|·NPROBE probe rows carry their ADC tables as broadcast DATA
+    qdf = spark.createDataFrame(qtabs, "q_id bigint, t array<bigint>")
+    probes_t = probes.join(qdf, "q_id")
+    scored = (
+        coded.join(F.broadcast(probes_t), "list_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.expr(
+                f"aggregate(transform(codes, (c, s) -> t[s * {len(ks)} + c]),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("adc_fp"),
+        )
+    )
+    ws = Window.partitionBy("q_id").orderBy("adc_fp", "vec_id")
+    shortlist = (
+        scored.withColumn("srnk", F.row_number().over(ws))
+        .filter(F.col("srnk") <= PQ_SHORTLIST)
+        .select("q_id", "vec_id", "adc_fp")
+    )
+    reranked = (
+        shortlist.join(emb, "vec_id")
+        .join(F.broadcast(queries), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            "adc_fp",
+            _l2sq(F.col("q_emb"), F.col("embedding")).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("d2", "vec_id")
+    return (
+        reranked.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "q_id", "vec_id", "adc_fp", "d2",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+_IVFPQ_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id < {IVF_NLIST}
+), assigned AS (
+  SELECT vec_id, centroid_id AS list_id
+  FROM (SELECT e.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SQL_L2SQ.format(a="e.embedding", b="c.c_emb")},
+                          c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cent c)
+  WHERE rn = 1
+), probes AS (
+  SELECT q_id, list_id
+  FROM (SELECT q.vec_id AS q_id, c.centroid_id AS list_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_SQL_L2SQ.format(a="q.embedding", b="c.c_emb")},
+                          c.centroid_id) AS pr
+        FROM embeddings q CROSS JOIN cent c
+        WHERE q.vec_id < {N_QUERIES})
+  WHERE pr <= {IVF_NPROBE}
+), sub AS (
+  SELECT vec_id, s,
+         embedding[s * {PQ_SUBDIM} + 1 : s * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sv
+  FROM embeddings, UNNEST(range(0, {PQ_M})) AS r(s)
+), cbi AS (
+  SELECT s, sv, ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS j
+  FROM sub WHERE vec_id < {PQ_K}
+), encoded AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT v.vec_id, v.s, c.j,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id, v.s
+             ORDER BY {_SQL_L2SQ.format(a="v.sv", b="c.sv")}, c.j) AS rn
+    FROM sub v JOIN cbi c ON v.s = c.s)
+  WHERE rn = 1
+), qtab AS (
+  SELECT q.vec_id AS q_id, q.s, c.j,
+         CAST(floor({_SQL_L2SQ.format(a="q.sv", b="c.sv")} * {PQ_FP})
+              AS BIGINT) AS dfp
+  FROM sub q JOIN cbi c ON q.s = c.s
+  WHERE q.vec_id < {N_QUERIES}
+), adc AS (
+  SELECT t.q_id, e.vec_id, SUM(t.dfp) AS adc_fp
+  FROM encoded e
+  JOIN assigned a ON a.vec_id = e.vec_id
+  JOIN probes p ON p.list_id = a.list_id
+  JOIN qtab t ON t.q_id = p.q_id AND t.s = e.s AND t.j = e.code
+  WHERE e.vec_id <> p.q_id
   GROUP BY t.q_id, e.vec_id
 ), shortlist AS (
   SELECT q_id, vec_id, adc_fp FROM (
@@ -1586,6 +1877,8 @@ QUERIES = {
     "ann_recall_audit": ann_recall_audit,
     "emb_truncation_audit": emb_truncation_audit,
     "emb_pq_adc": emb_pq_adc,
+    "ann_topk_ivfpq": ann_topk_ivfpq,
+    "ann_index_balance": ann_index_balance,
     "ann_knn_graph": ann_knn_graph,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
@@ -1604,6 +1897,8 @@ ORACLES = {
     "ann_recall_audit": _ANN_RECALL_SQL,
     "emb_truncation_audit": _TRUNC_AUDIT_SQL,
     "emb_pq_adc": _PQ_ADC_SQL,
+    "ann_topk_ivfpq": _IVFPQ_SQL,
+    "ann_index_balance": _INDEX_BALANCE_SQL,
     "ann_knn_graph": _ANN_KNN_GRAPH_SQL,
     "ann_topk_bruteforce": _ANN_BRUTE_SQL,
     "ann_topk_lsh": _ANN_LSH_SQL,

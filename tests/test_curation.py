@@ -189,3 +189,46 @@ def test_source_overlap_matrix_invariants(spark):
         mirror = by_pair.get((b, a))
         assert mirror is not None and mirror["n_shared"] == r["n_shared"]
         assert 0.0 < r["jaccard"] <= 1.0
+
+
+def test_importance_resample_prefers_target_vocab(spark, tmp_path):
+    """A candidate sharing the target source's vocabulary must outrank
+    one with disjoint vocabulary (modulo 64-bucket hashing, which is
+    deterministic — verified once, stable forever)."""
+    tgt = [
+        (i, "alpha beta gamma delta " * 10 + "alpha", "en",
+         curation.DSIR_TARGET, 200)
+        for i in range(10)
+    ]
+    like = [(100, "alpha beta gamma delta alpha beta", "en", "raw", 40)]
+    unlike = [(101, "zet eta theta iota kappa lam", "en", "raw", 40)]
+    spark.createDataFrame(
+        tgt + like + unlike,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    rows = curation.corpus_importance_resample(spark, str(tmp_path)).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert set(by_id) == {100, 101}  # target docs never resampled
+    assert by_id[100]["avg_ratio_fp"] > by_id[101]["avg_ratio_fp"]
+    assert by_id[100]["rank"] == 1
+    for r in rows:
+        assert r["avg_ratio_fp"] == r["score_fp"] // r["n_grams"]
+
+
+def test_label_drift_planted_shift_dominates(spark, tmp_path):
+    """A label whose vectors are uniformly offset must show the largest
+    drift, in the dimension that was shifted."""
+    base = [(i, [0.1] * 64, 0) for i in range(40)]
+    # label 1 shifted by +2.0 in dim 7 (1-based) only
+    shifted = [
+        (100 + i, [0.1] * 6 + [2.1] + [0.1] * 57, 1) for i in range(10)
+    ]
+    spark.createDataFrame(
+        base + shifted, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    rows = {r["label"]: r for r in
+            curation.emb_label_drift(spark, str(tmp_path)).collect()}
+    assert rows[1]["drift_sq_fp2"] > rows[0]["drift_sq_fp2"]
+    assert rows[1]["top_dim"] == 7
+    assert rows[1]["top_dim_drift_fp"] > 0  # shifted above the corpus mean

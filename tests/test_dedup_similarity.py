@@ -259,3 +259,44 @@ def test_filtered_search_respects_predicate_and_recall(spark):
         .collect()
     }
     assert {r["vec_id"] for r in rows} <= valid
+
+
+def test_ivfpq_rank_contract_and_recall(spark):
+    rows = similarity.ann_topk_ivfpq(spark, SF_DIR).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(r)
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        # refine step orders by exact d2, so d2 is monotone in rank
+        assert [r["d2"] for r in rs] == sorted(r["d2"] for r in rs)
+        assert all(r["vec_id"] != q for r in rs)
+    # composition sanity: IVF pruning caps recall at ann_topk_ivf's for
+    # the same probed lists; require the PQ scan not to destroy it
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in similarity.ann_topk_bruteforce(spark, SF_DIR).collect()
+    }
+    got = {(r["q_id"], r["vec_id"]) for r in rows}
+    assert len(got & exact) / len(exact) >= 0.2
+
+
+def test_index_balance_covers_corpus(spark):
+    from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = similarity.ann_index_balance(spark, SF_DIR).collect()
+    n = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n_vectors"] for r in rows) == n  # every vector in a list
+    assert len(rows) <= similarity.IVF_NLIST
+    fp = similarity.BALANCE_FP
+    for r in rows:
+        assert r["share_fp"] == r["n_vectors"] * fp // n
+        assert r["imbalance_fp"] == (
+            r["n_vectors"] * similarity.IVF_NLIST * fp // n
+        )
+        assert r["is_hot"] == (
+            r["imbalance_fp"] > similarity.BALANCE_HOT * fp
+        )

@@ -144,3 +144,26 @@ def test_pagerank_invariants(spark):
     top = max(rows, key=lambda r: r["in_deg"])
     if top["in_deg"] > 0:
         assert top["rank"] > floor
+
+
+def test_link_predict_pairs_are_novel_and_share_neighbors(spark):
+    from blog_snapshotbackup_azuredatalake_spark.operators import graph
+    from blog_snapshotbackup_azuredatalake_spark.operators.similarity import (
+        ann_knn_graph,
+    )
+
+    rows = graph.graph_link_predict(spark, SF_DIR).collect()
+    assert rows
+    edges = ann_knn_graph(spark, SF_DIR).select("src", "dst").collect()
+    adj = {(r["src"], r["dst"]) for r in edges}
+    nbrs = {}
+    for r in edges:
+        nbrs.setdefault(r["src"], set()).add(r["dst"])
+    for r in rows:
+        a, b = r["a"], r["b"]
+        assert a < b
+        # predicted links are NOT existing edges in either direction
+        assert (a, b) not in adj and (b, a) not in adj
+        # claimed common-neighbor count is the true intersection size
+        assert r["cn"] == len(nbrs.get(a, set()) & nbrs.get(b, set()))
+        assert r["cn"] >= 1

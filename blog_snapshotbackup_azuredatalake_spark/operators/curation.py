@@ -1516,8 +1516,13 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # checkpoint before explode + self-join: without it CollapseProject
+    # re-inlines the token-hash array into the gram lambda in BOTH join
+    # branches (the grams_for O(n²) trap; measured 144 s → ~2 s at
+    # sf0.1 — same fix as text_gram_novelty / dedup_cluster_cc)
     pairs = (
         grams_for(docs, keep=("source",))
+        .localCheckpoint(eager=True)
         .select("source", F.explode("sh").alias("gram"))
         .distinct()
     )

@@ -1016,6 +1016,204 @@ FROM lists CROSS JOIN total
 
 
 # ---------------------------------------------------------------------------
+# incremental IVF maintenance (upsert a new vector batch into the index)
+# ---------------------------------------------------------------------------
+
+UPSERT_MOD = 10  # vec_id % 10 == 0 plays the newly-arriving batch
+
+
+def ann_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance — the vector-store upsert loop
+    (the ANN analog of ``dedup_incremental``): a newly-arrived batch
+    (vec_id % {UPSERT_MOD} == 0 plays it) is coarse-assigned with the
+    SAME map-only literal-centroid argmin the index was built with, and
+    the operator emits the per-list merge plan: size before, vectors
+    added, size after, fixed-point growth, and the rebalance flag
+    (n_after above 2× fair share ⇒ that list wants a split / the
+    quantizer wants retraining). Only the BATCH is assigned fresh work
+    in production — the `n_before` side is the index's stored list
+    metadata, recomputed here from the base corpus only because this
+    repo's snapshots are the storage layer; either way nothing shuffles
+    but {IVF_NLIST}-cell count tables. Integer `div` arithmetic keeps
+    every ratio engine-exact."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = sorted(
+        emb.filter(F.col("vec_id") < IVF_NLIST)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("c_emb"),
+        )
+        .collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    assigned = emb.withColumn("cents", _cents_lit_of(cents)).select(
+        "vec_id",
+        F.array_min(_cent_scored(F.col("embedding")))["centroid_id"].alias(
+            "list_id"
+        ),
+    )
+    is_new = F.col("vec_id") % UPSERT_MOD == 0
+    lists = assigned.groupBy("list_id").agg(
+        F.sum(F.when(~is_new, 1).otherwise(0)).alias("n_before"),
+        F.sum(F.when(is_new, 1).otherwise(0)).alias("n_added"),
+    )
+    total = lists.agg(
+        F.sum(F.col("n_before") + F.col("n_added")).alias("total")
+    )
+    return lists.crossJoin(F.broadcast(total)).select(
+        "list_id",
+        "n_before",
+        "n_added",
+        (F.col("n_before") + F.col("n_added")).alias("n_after"),
+        F.expr(
+            f"n_added * {BALANCE_FP}L div greatest(n_before, 1L)"
+        )
+        .cast("bigint")
+        .alias("growth_fp"),
+        (
+            F.expr(
+                f"(n_before + n_added) * {IVF_NLIST}L * {BALANCE_FP}L"
+                " div total"
+            )
+            > BALANCE_HOT * BALANCE_FP
+        ).alias("needs_rebalance"),
+    )
+
+
+_IVF_UPSERT_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id < {IVF_NLIST}
+), assigned AS (
+  SELECT vec_id, centroid_id AS list_id
+  FROM (SELECT e.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SQL_L2SQ.format(a="e.embedding", b="c.c_emb")},
+                          c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cent c)
+  WHERE rn = 1
+), lists AS (
+  SELECT list_id,
+         CAST(SUM(CASE WHEN vec_id % {UPSERT_MOD} <> 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_before,
+         CAST(SUM(CASE WHEN vec_id % {UPSERT_MOD} = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_added
+  FROM assigned GROUP BY list_id
+), total AS (SELECT SUM(n_before + n_added) AS total FROM lists)
+SELECT list_id, n_before, n_added,
+       n_before + n_added AS n_after,
+       CAST(n_added * {BALANCE_FP} // GREATEST(n_before, 1) AS BIGINT)
+         AS growth_fp,
+       (n_before + n_added) * {IVF_NLIST} * {BALANCE_FP} // total
+         > {BALANCE_HOT * BALANCE_FP} AS needs_rebalance
+FROM lists CROSS JOIN total
+"""
+
+
+# ---------------------------------------------------------------------------
+# PQ per-subspace residual-energy audit
+# ---------------------------------------------------------------------------
+
+PQERR_FP = 1 << 30  # fixed-point scale for per-subspace min-d2 errors
+
+
+def _pq_err_sql(cb: dict, ks: list) -> str:
+    """Like ``_pq_encode_sql`` but emits floor(min-d²·2³⁰) per subspace
+    — the quantization error of the chosen codeword, in the same ONE
+    literal SQL string (argmin and its achieved distance come from the
+    same struct array_min, so error parity holds wherever encode parity
+    does)."""
+
+    def d2_sql(s: int, vals: list) -> str:
+        terms = []
+        for i, v in enumerate(vals):
+            x = f"cast(element_at(embedding, {s * PQ_SUBDIM + i + 1}) as double)"
+            c = f"cast('{float(v)!r}' as double)"
+            terms.append(f"({x} - {c}) * ({x} - {c})")
+        return " + ".join(terms)
+
+    def err_sql(s: int) -> str:
+        structs = ", ".join(
+            f"named_struct('d2', {d2_sql(s, _pq_sub(cb[k], s))}, 'j', {j})"
+            for j, k in enumerate(ks)
+        )
+        return (
+            f"cast(floor(array_min(array({structs})).d2 * {PQERR_FP})"
+            " as bigint)"
+        )
+
+    return "array(" + ", ".join(err_sql(s) for s in range(PQ_M)) + ")"
+
+
+def emb_pq_residual_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ quantization-error audit: mean and max
+    floor-fixed-point residual d² per subspace, plus each subspace's
+    share of the total error — the which-subspaces-need-more-codewords
+    decision (a subspace carrying 10× the residual energy is where
+    recall leaks; the fix is more bits there or an OPQ rotation). Same
+    map-only literal-codebook pass as the encoder (the achieved min-d²
+    rides out of the same array_min struct), then one
+    {PQ_M}-cell aggregate; integer `div` ratios keep the certificate
+    engine-exact."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb, ks = _pq_codebook(emb)
+    # evaluate the PQ_M×PQ_K literal-codebook expression ONCE per row
+    # and cut lineage before the Generate: feeding the ~16k-node
+    # interpreted expression (codegen gives up at 64KB, as emb_pq_adc
+    # documents) directly into posexplode OOMs the driver-side plan;
+    # the checkpointed relation is just (vec_id, 32 bigints) — linear
+    err_arr = emb.select(
+        F.expr(_pq_err_sql(cb, ks)).alias("errs")
+    ).localCheckpoint(eager=True)
+    errs = err_arr.select(
+        F.posexplode("errs").alias("p", "err_fp")
+    ).select(F.col("p").cast("int").alias("s"), "err_fp")
+    per = errs.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("err_fp").alias("sum_err_fp"),
+        F.max("err_fp").alias("max_err_fp"),
+    )
+    total = per.agg(F.sum("sum_err_fp").alias("tot"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "s",
+        "n_vectors",
+        F.expr("sum_err_fp div n_vectors").cast("bigint").alias("mean_err_fp"),
+        "max_err_fp",
+        F.expr(f"sum_err_fp * {BALANCE_FP}L div tot")
+        .cast("bigint")
+        .alias("err_share_fp"),
+    )
+
+
+_PQ_RESIDUAL_SQL = f"""
+WITH sub AS (
+  SELECT vec_id, s,
+         embedding[s * {PQ_SUBDIM} + 1 : s * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sv
+  FROM embeddings, UNNEST(range(0, {PQ_M})) AS r(s)
+), cbi AS (
+  SELECT s, sv, ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS j
+  FROM sub WHERE vec_id < {PQ_K}
+), errs AS (
+  SELECT v.vec_id, v.s,
+         CAST(floor(MIN({_SQL_L2SQ.format(a="v.sv", b="c.sv")})
+                    * {PQERR_FP}) AS BIGINT) AS err_fp
+  FROM sub v JOIN cbi c ON v.s = c.s
+  GROUP BY v.vec_id, v.s
+), per AS (
+  SELECT s, COUNT(*) AS n_vectors, SUM(err_fp) AS sum_err_fp,
+         MAX(err_fp) AS max_err_fp
+  FROM errs GROUP BY s
+), total AS (SELECT SUM(sum_err_fp) AS tot FROM per)
+SELECT CAST(s AS INT) AS s, n_vectors,
+       CAST(sum_err_fp // n_vectors AS BIGINT) AS mean_err_fp,
+       CAST(max_err_fp AS BIGINT) AS max_err_fp,
+       CAST(sum_err_fp * {BALANCE_FP} // tot AS BIGINT) AS err_share_fp
+FROM per CROSS JOIN total
+"""
+
+
+# ---------------------------------------------------------------------------
 # IVF + PQ: the production ANN composition (coarse pruning × compression)
 # ---------------------------------------------------------------------------
 
@@ -1879,6 +2077,8 @@ QUERIES = {
     "emb_pq_adc": emb_pq_adc,
     "ann_topk_ivfpq": ann_topk_ivfpq,
     "ann_index_balance": ann_index_balance,
+    "ann_ivf_upsert": ann_ivf_upsert,
+    "emb_pq_residual_audit": emb_pq_residual_audit,
     "ann_knn_graph": ann_knn_graph,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
@@ -1899,6 +2099,8 @@ ORACLES = {
     "emb_pq_adc": _PQ_ADC_SQL,
     "ann_topk_ivfpq": _IVFPQ_SQL,
     "ann_index_balance": _INDEX_BALANCE_SQL,
+    "ann_ivf_upsert": _IVF_UPSERT_SQL,
+    "emb_pq_residual_audit": _PQ_RESIDUAL_SQL,
     "ann_knn_graph": _ANN_KNN_GRAPH_SQL,
     "ann_topk_bruteforce": _ANN_BRUTE_SQL,
     "ann_topk_lsh": _ANN_LSH_SQL,

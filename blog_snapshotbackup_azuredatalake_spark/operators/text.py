@@ -1319,8 +1319,15 @@ def text_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    g = grams_for(docs, keep=("source",)).select(
-        "doc_id", "source", F.explode("sh").alias("gram")
+    # checkpoint BEFORE the explode+join: the join forces fresh
+    # projections in both branches and CollapseProject re-inlines the
+    # token-hash array into every element_at of the gram lambda — the
+    # O(tokens²·md5) trap grams_for's two-projection guard exists for.
+    # Measured: 297 s → ~2 s at sf0.1 (the dedup_cluster_cc pattern).
+    g = (
+        grams_for(docs, keep=("source",))
+        .localCheckpoint(eager=True)
+        .select("doc_id", "source", F.explode("sh").alias("gram"))
     )
     first = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
@@ -1393,7 +1400,98 @@ def _gram_novelty_sql() -> str:
     return _GRAM_NOVELTY_SQL_T.format(grams=_SQL_GRAM_HASHES, tokh=_SQL_TOKH)
 
 
+# ---------------------------------------------------------------------------
+# windowed token co-occurrence (the GloVe matrix build)
+# ---------------------------------------------------------------------------
+
+COOC_WINDOW = 4  # symmetric context window, in tokens
+COOC_TOP_N = 30
+
+
+def text_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed co-occurrence counts — the matrix build under
+    GloVe-family static embeddings and PMI keyword mining: unordered
+    token pairs within a {COOC_WINDOW}-token window, corpus-aggregated,
+    top-{COOC_TOP_N}. The pair generation is an EQUI-join on
+    (doc_id, pos + off) with off exploded 1..{COOC_WINDOW} — cost
+    n·window, never the per-doc position cross-product a range-condition
+    join would plan (doc_len² per doc kills this at book-length docs);
+    map-side combine collapses each executor's pair counts before the
+    one vocabulary²-bounded shuffle. Final top-N is two-phase (per-w1
+    prune, then a tiny global window)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias(
+            "pos", "tok"
+        ),
+    ).filter(F.col("tok") != "")
+    offs = pos.select(
+        "doc_id",
+        "tok",
+        "pos",
+        F.explode(F.sequence(F.lit(1), F.lit(COOC_WINDOW))).alias("off"),
+    ).select("doc_id", "tok", (F.col("pos") + F.col("off")).alias("pos2"))
+    pairs = (
+        offs.join(
+            pos.select(
+                "doc_id",
+                F.col("pos").alias("pos2"),
+                F.col("tok").alias("tok2"),
+            ),
+            ["doc_id", "pos2"],
+        )
+        .select(
+            F.least(F.col("tok"), F.col("tok2")).alias("w1"),
+            F.greatest(F.col("tok"), F.col("tok2")).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+    )
+    per_w1 = Window.partitionBy("w1").orderBy(
+        F.desc("n_cooc"), F.asc("w2")
+    )
+    pruned = pairs.withColumn("prnk", F.row_number().over(per_w1)).filter(
+        F.col("prnk") <= COOC_TOP_N
+    )
+    w = Window.orderBy(F.desc("n_cooc"), F.asc("w1"), F.asc("w2"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= COOC_TOP_N)
+        .select(
+            F.col("rank").cast("int").alias("rank"), "w1", "w2", "n_cooc"
+        )
+    )
+
+
+_COOC_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+         unnest(toks) AS tok
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        FROM documents)
+), pos AS (
+  SELECT doc_id, pos, tok FROM raw WHERE tok <> ''
+), pairs AS (
+  SELECT LEAST(a.tok, b.tok) AS w1, GREATEST(a.tok, b.tok) AS w2,
+         COUNT(*) AS n_cooc
+  FROM pos a
+  JOIN range(1, {COOC_WINDOW + 1}) o(off) ON TRUE
+  JOIN pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + o.off
+  GROUP BY 1, 2
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_cooc DESC, w1, w2) AS INT)
+         AS rank,
+       w1, w2, n_cooc
+FROM pairs
+QUALIFY rank <= {COOC_TOP_N}
+"""
+
+
 QUERIES = {
+    "text_cooccurrence": text_cooccurrence,
     "text_gram_novelty": text_gram_novelty,
     "text_perplexity_filter": text_perplexity_filter,
     "text_repetition": text_repetition,
@@ -1412,6 +1510,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_cooccurrence": _COOC_SQL,
     "text_gram_novelty": _gram_novelty_sql(),
     "text_perplexity_filter": _PERPLEXITY_FILTER_SQL,
     "text_repetition": _REPETITION_SQL,

@@ -210,6 +210,16 @@ def diag_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("text_ngram_lm", "lm_model_broadcasts",
          "BroadcastHashJoin" in plm)
     )
+    from blog_snapshotbackup_azuredatalake_spark.operators.similarity import (
+        ann_topk_ivfpq,
+    )
+
+    pvq = plan_of(ann_topk_ivfpq(spark, sf_dir))
+    checks.append(
+        ("ann_topk_ivfpq", "probe_and_refine_all_broadcast",
+         "BroadcastHashJoin" in pvq and "SortMergeJoin" not in pvq
+         and "CartesianProduct" not in pvq)
+    )
     return spark.createDataFrame(
         checks, "query string, plan_property string, ok boolean"
     )

@@ -300,3 +300,33 @@ def test_index_balance_covers_corpus(spark):
         assert r["is_hot"] == (
             r["imbalance_fp"] > similarity.BALANCE_HOT * fp
         )
+
+
+def test_ivf_upsert_conserves_and_flags(spark):
+    from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = similarity.ann_ivf_upsert(spark, SF_DIR).collect()
+    n = load_table(spark, SF_DIR, "embeddings").count()
+    n_new = (n + similarity.UPSERT_MOD - 1) // similarity.UPSERT_MOD
+    assert sum(r["n_before"] for r in rows) == n - n_new
+    assert sum(r["n_added"] for r in rows) == n_new
+    for r in rows:
+        assert r["n_after"] == r["n_before"] + r["n_added"]
+        assert r["growth_fp"] == (
+            r["n_added"] * similarity.BALANCE_FP
+            // max(r["n_before"], 1)
+        )
+
+
+def test_pq_residual_audit_shares_sum_to_one(spark):
+    rows = similarity.emb_pq_residual_audit(spark, SF_DIR).collect()
+    assert len(rows) == similarity.PQ_M
+    assert {r["s"] for r in rows} == set(range(similarity.PQ_M))
+    fp = similarity.BALANCE_FP
+    # floor'd shares sum to ≤ 1.0 and within PQ_M ulps of it
+    tot = sum(r["err_share_fp"] for r in rows)
+    assert fp - similarity.PQ_M <= tot <= fp
+    for r in rows:
+        assert 0 <= r["mean_err_fp"] <= r["max_err_fp"]

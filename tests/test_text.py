@@ -144,3 +144,19 @@ def test_gram_novelty_conservation(spark, ddb):
     for r in rows:
         assert 0 <= r["novel_grams"] <= r["total_grams"]
         assert 0.0 <= r["avg_novelty"] <= 1.0
+
+
+def test_cooccurrence_counts_are_exact(spark, tmp_path):
+    """Hand-checkable corpus: counts for a known window must match."""
+    docs = [(0, "a b a c", "en", "s", 7), (1, "b a", "en", "s", 3)]
+    spark.createDataFrame(
+        docs,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    rows = text.text_cooccurrence(spark, str(tmp_path)).collect()
+    got = {(r["w1"], r["w2"]): r["n_cooc"] for r in rows}
+    # doc0 pairs (window 4, positions 0..3): (a,b),(a,a),(a,c),(b,a),
+    # (b,c),(a,c); doc1: (b,a) → a-b:3, a-a:1, a-c:2, b-c:1
+    assert got == {("a", "b"): 3, ("a", "a"): 1, ("a", "c"): 2,
+                   ("b", "c"): 1}

@@ -528,7 +528,156 @@ SELECT doc_id, k AS chunk_idx,
 FROM ok
 """
 
+# ---------------------------------------------------------------------------
+# content-defined chunk dedup (the backup-storage classic)
+# ---------------------------------------------------------------------------
+
+CDC_WIN = 8  # boundary-decision window, in payload bytes/chars
+CDC_MOD = 16  # expected chunk length ≈ CDC_MOD
+CDC_FIXED = 32  # fixed-size baseline chunk length
+CDC_FP = 1 << 20
+
+
+def mm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup — the variable-size block dedup
+    every backup/snapshot store runs (LBFS lineage: cut where a local
+    window hash hits 0 mod {CDC_MOD}, so boundaries move WITH the
+    content): payloads sharing a block at DIFFERENT byte offsets still
+    dedup, which fixed-size blocks structurally cannot do. The demo
+    payload makes the contrast measurable: a unique variable-length
+    prefix (1..13 chars of md5(doc_id)) shifts a 64-char block shared
+    per source, followed by a unique tail — CDC recovers the shared
+    block's interior chunks at any shift; the fixed-{CDC_FIXED} baseline
+    only matches payloads whose prefixes happen to align. Everything is
+    engine-side string/hash arithmetic (no Python): boundaries via one
+    transform+filter over candidate positions, chunks via one transform
+    over boundary pairs, then per-source (total, distinct) chunk-hash
+    counts for both schemes and fixed-point dup ratios. Per-row cost is
+    payload-length-bounded; the only shuffles are the chunk-hash
+    distinct aggregates (map-side combined)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    payload = F.concat(
+        F.substring(
+            F.md5(F.col("doc_id").cast("string")),
+            1,
+            (F.col("doc_id") % 13 + 1).cast("int"),
+        ),
+        F.repeat(F.md5(F.col("source")), 2),
+        F.md5(F.concat(F.lit("tail"), F.col("doc_id").cast("string"))),
+    )
+    staged = docs.select("doc_id", "source", payload.alias("s"))
+    # boundary expression emitted as ONE SQL string (the Py4J
+    # literal-tree rule, SURVEY §6; substring's position arg also needs
+    # an INT cast the Column-API lambda can't express cleanly)
+    cut_sql = (
+        "array_sort(concat(array(1L), "
+        "filter(transform(sequence(2L, greatest(length(s) - "
+        f"{CDC_WIN - 1}, 1L)), i -> CASE WHEN "
+        f"conv(substring(md5(substring(s, CAST(i AS INT), {CDC_WIN})), 1, 15),"
+        f" 16, 10) % {CDC_MOD} = 0 THEN i END), x -> x IS NOT NULL), "
+        "array(length(s) + 1L)))"
+    )
+    chunk_sql = (
+        f"transform(sequence(1, size(cuts) - 1), j -> "
+        "md5(substring(s, CAST(element_at(cuts, CAST(j AS INT)) AS INT), "
+        "CAST(element_at(cuts, CAST(j AS INT) + 1) "
+        "- element_at(cuts, CAST(j AS INT)) AS INT))))"
+    )
+    fixed_sql = (
+        f"transform(sequence(1, CAST(ceil(length(s) / {CDC_FIXED}.0) AS INT)),"
+        f" j -> md5(substring(s, (j - 1) * {CDC_FIXED} + 1, {CDC_FIXED})))"
+    )
+    chunked = staged.withColumn("cuts", F.expr(cut_sql)).select(
+        "source",
+        F.expr(chunk_sql).alias("cdc_chunks"),
+        F.expr(fixed_sql).alias("fixed_chunks"),
+    )
+    cdc = (
+        chunked.select("source", F.explode("cdc_chunks").alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("cdc_total"),
+            F.count_distinct(F.col("h")).alias("cdc_distinct"),
+        )
+    )
+    fixed = (
+        chunked.select("source", F.explode("fixed_chunks").alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("fixed_total"),
+            F.count_distinct(F.col("h")).alias("fixed_distinct"),
+        )
+    )
+    return cdc.join(fixed, "source").select(
+        "source",
+        "cdc_total",
+        "cdc_distinct",
+        "fixed_total",
+        "fixed_distinct",
+        F.expr(f"(cdc_total - cdc_distinct) * {CDC_FP}L div cdc_total")
+        .cast("bigint")
+        .alias("cdc_dup_fp"),
+        F.expr(
+            f"(fixed_total - fixed_distinct) * {CDC_FP}L div fixed_total"
+        )
+        .cast("bigint")
+        .alias("fixed_dup_fp"),
+    )
+
+
+_H60_SQL = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+_CDC_CHUNK_SQL = f"""
+WITH staged AS (
+  SELECT doc_id, source,
+         concat(substr(md5(CAST(doc_id AS VARCHAR)), 1,
+                       CAST(doc_id % 13 + 1 AS INT)),
+                repeat(md5(source), 2),
+                md5(concat('tail', CAST(doc_id AS VARCHAR)))) AS s
+  FROM documents
+), cutted AS (
+  SELECT source, s,
+         list_sort(list_concat(list_concat([CAST(1 AS BIGINT)],
+           list_filter(list_transform(
+             range(2, greatest(length(s) - {CDC_WIN - 1}, 1) + 1),
+             i -> CASE WHEN
+               {_H60_SQL.format(x=f"substr(s, CAST(i AS INT), {CDC_WIN})")}
+                 % {CDC_MOD} = 0 THEN i END),
+             x -> x IS NOT NULL)),
+           [CAST(length(s) + 1 AS BIGINT)])) AS cuts
+  FROM staged
+), chunked AS (
+  SELECT source,
+         list_transform(range(1, len(cuts)),
+           j -> md5(substr(s, CAST(cuts[j] AS INT),
+                           CAST(cuts[j + 1] - cuts[j] AS INT))))
+           AS cdc_chunks,
+         list_transform(range(1, CAST(ceil(length(s) / {CDC_FIXED}.0)
+                                      AS INT) + 1),
+           j -> md5(substr(s, (j - 1) * {CDC_FIXED} + 1, {CDC_FIXED})))
+           AS fixed_chunks
+  FROM cutted
+), cdc AS (
+  SELECT source, COUNT(*) AS cdc_total, COUNT(DISTINCT h) AS cdc_distinct
+  FROM (SELECT source, unnest(cdc_chunks) AS h FROM chunked)
+  GROUP BY source
+), fixed AS (
+  SELECT source, COUNT(*) AS fixed_total,
+         COUNT(DISTINCT h) AS fixed_distinct
+  FROM (SELECT source, unnest(fixed_chunks) AS h FROM chunked)
+  GROUP BY source
+)
+SELECT source, cdc_total, cdc_distinct, fixed_total, fixed_distinct,
+       CAST((cdc_total - cdc_distinct) * {CDC_FP} // cdc_total AS BIGINT)
+         AS cdc_dup_fp,
+       CAST((fixed_total - fixed_distinct) * {CDC_FP} // fixed_total
+            AS BIGINT) AS fixed_dup_fp
+FROM cdc JOIN fixed USING (source)
+"""
+
+
 QUERIES = {
+    "mm_cdc_chunk_dedup": mm_cdc_chunk_dedup,
     "mm_audio_chunk": mm_audio_chunk,
     "mm_decode_pipeline": mm_decode_pipeline,
     "mm_meta_audit": mm_meta_audit,
@@ -536,6 +685,7 @@ QUERIES = {
     "mm_payload_dedup": mm_payload_dedup,
 }
 ORACLES: dict[str, str] = {
+    "mm_cdc_chunk_dedup": _CDC_CHUNK_SQL,
     "mm_meta_audit": _MM_META_AUDIT_SQL,
     "mm_payload_dedup": _MM_PAYLOAD_DEDUP_SQL,
     "mm_decode_pipeline": _MM_DECODE_SQL,

@@ -1016,6 +1016,167 @@ FROM lists CROSS JOIN total
 
 
 # ---------------------------------------------------------------------------
+# nprobe tuning curve (recall / candidate cost per probe budget)
+# ---------------------------------------------------------------------------
+
+NPROBE_GRID = (1, 2, 4, 8)
+
+
+def ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF nprobe tuning curve as data: aggregate recall@{TOP_K}
+    and candidate cost for every probe budget in {NPROBE_GRID}, from
+    ONE pass — the recall-vs-latency trade every IVF deployment tunes,
+    answered by a query instead of N redeployed runs. Each candidate
+    pair is tagged with the probe rank `p` of the list it came from;
+    budget v's candidate set is simply p ≤ v, so one scored-pair
+    relation (computed at the LARGEST budget) serves every curve point
+    via a {len(NPROBE_GRID)}-row broadcast values join, one window per
+    (query, budget), and a join against the exact baseline. Corpus-side
+    work is the same map-only assign + broadcast probe join as
+    ann_topk_ivf — at max(grid) probes — regardless of grid size;
+    integer fixed-point recall (n_hit·2²⁰ div k)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = emb.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    cents = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    cents_lit = _cents_lit_of(cents)
+    max_probe = max(NPROBE_GRID)
+    assigned = emb.withColumn("cents", cents_lit).select(
+        "vec_id",
+        "embedding",
+        F.array_min(_cent_scored(F.col("embedding")))["centroid_id"].alias(
+            "list_id"
+        ),
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    probes = (
+        queries.withColumn("cents", cents_lit)
+        .select(
+            "q_id",
+            "q_emb",
+            F.posexplode(
+                F.slice(
+                    F.array_sort(_cent_scored(F.col("q_emb"))), 1, max_probe
+                )
+            ).alias("p0", "pr"),
+        )
+        .select(
+            "q_id",
+            "q_emb",
+            (F.col("p0") + 1).cast("int").alias("p"),  # 1-based probe rank
+            F.col("pr.centroid_id").alias("list_id"),
+        )
+    )
+    pairs = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "p",
+            _dot_cos(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        )
+    )
+    grid = spark.createDataFrame(
+        [(int(v),) for v in NPROBE_GRID], "nprobe int"
+    )
+    cands = pairs.join(F.broadcast(grid), F.col("p") <= F.col("nprobe"))
+    w = Window.partitionBy("q_id", "nprobe").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    topk = cands.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOP_K
+    )
+    exact = ann_topk_bruteforce(spark, sf_dir).select(
+        "q_id", "vec_id", F.lit(1).alias("hit")
+    )
+    hits = topk.join(exact, ["q_id", "vec_id"], "left_outer")
+    return (
+        hits.groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).alias("k_total"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)).cast("bigint")).alias(
+                "n_hits"
+            ),
+        )
+        .join(
+            cands.groupBy("nprobe").agg(
+                F.count(F.lit(1)).alias("n_candidates")
+            ),
+            "nprobe",
+        )
+        .select(
+            "nprobe",
+            "n_candidates",
+            "k_total",
+            "n_hits",
+            F.expr(f"n_hits * {BALANCE_FP}L div k_total")
+            .cast("bigint")
+            .alias("recall_fp"),
+        )
+    )
+
+
+def _nprobe_curve_sql() -> str:
+    grid_rows = ", ".join(f"({v})" for v in NPROBE_GRID)
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id < {IVF_NLIST}
+), assigned AS (
+  SELECT vec_id, embedding, centroid_id AS list_id
+  FROM (SELECT e.vec_id, e.embedding, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SQL_L2SQ.format(a="e.embedding", b="c.c_emb")},
+                          c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cent c)
+  WHERE rn = 1
+), probes AS (
+  SELECT q_id, q_emb, CAST(pr AS INT) AS p, list_id
+  FROM (SELECT q.vec_id AS q_id, q.embedding AS q_emb,
+               c.centroid_id AS list_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_SQL_L2SQ.format(a="q.embedding", b="c.c_emb")},
+                          c.centroid_id) AS pr
+        FROM embeddings q CROSS JOIN cent c
+        WHERE q.vec_id < {N_QUERIES})
+  WHERE pr <= {max(NPROBE_GRID)}
+), pairs AS (
+  SELECT q_id, b.vec_id AS vec_id, p,
+         {_SQL_COS.replace("a.embedding", "q_emb")} AS cos
+  FROM probes JOIN assigned b USING (list_id)
+  WHERE b.vec_id <> q_id
+), grid(nprobe) AS (VALUES {grid_rows}),
+cands AS (
+  SELECT q_id, vec_id, cos, nprobe FROM pairs JOIN grid ON p <= nprobe
+), topk AS (
+  SELECT q_id, vec_id, nprobe FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id, nprobe
+                                 ORDER BY cos DESC, vec_id) AS rnk
+    FROM cands)
+  WHERE rnk <= {TOP_K}
+), ex AS ({_ANN_BRUTE_SQL}),
+hits AS (
+  SELECT t.nprobe, COUNT(*) AS k_total,
+         CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits
+  FROM topk t LEFT JOIN ex e ON e.q_id = t.q_id AND e.vec_id = t.vec_id
+  GROUP BY t.nprobe
+), ccount AS (
+  SELECT nprobe, COUNT(*) AS n_candidates FROM cands GROUP BY nprobe
+)
+SELECT h.nprobe, c.n_candidates, h.k_total, h.n_hits,
+       CAST(h.n_hits * {BALANCE_FP} // h.k_total AS BIGINT) AS recall_fp
+FROM hits h JOIN ccount c ON h.nprobe = c.nprobe
+"""
+
+
+# ---------------------------------------------------------------------------
 # incremental IVF maintenance (upsert a new vector batch into the index)
 # ---------------------------------------------------------------------------
 
@@ -2079,6 +2240,7 @@ QUERIES = {
     "ann_index_balance": ann_index_balance,
     "ann_ivf_upsert": ann_ivf_upsert,
     "emb_pq_residual_audit": emb_pq_residual_audit,
+    "ann_nprobe_curve": ann_nprobe_curve,
     "ann_knn_graph": ann_knn_graph,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
@@ -2101,6 +2263,7 @@ ORACLES = {
     "ann_index_balance": _INDEX_BALANCE_SQL,
     "ann_ivf_upsert": _IVF_UPSERT_SQL,
     "emb_pq_residual_audit": _PQ_RESIDUAL_SQL,
+    "ann_nprobe_curve": _nprobe_curve_sql(),
     "ann_knn_graph": _ANN_KNN_GRAPH_SQL,
     "ann_topk_bruteforce": _ANN_BRUTE_SQL,
     "ann_topk_lsh": _ANN_LSH_SQL,

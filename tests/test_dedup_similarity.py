@@ -330,3 +330,18 @@ def test_pq_residual_audit_shares_sum_to_one(spark):
     assert fp - similarity.PQ_M <= tot <= fp
     for r in rows:
         assert 0 <= r["mean_err_fp"] <= r["max_err_fp"]
+
+
+def test_nprobe_curve_monotone(spark):
+    rows = sorted(
+        similarity.ann_nprobe_curve(spark, SF_DIR).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    assert [r["nprobe"] for r in rows] == sorted(similarity.NPROBE_GRID)
+    # more probes -> monotonically more candidates and no recall loss
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_candidates"] > a["n_candidates"]
+        assert b["recall_fp"] >= a["recall_fp"]
+        assert b["n_hits"] >= a["n_hits"]
+    for r in rows:
+        assert r["recall_fp"] == r["n_hits"] * similarity.BALANCE_FP // r["k_total"]

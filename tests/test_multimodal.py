@@ -105,3 +105,24 @@ def test_audio_chunk_windows(spark):
     # determinism
     again = mm_audio_chunk(spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_cdc_chunking_recovers_shifted_blocks(spark):
+    from blog_snapshotbackup_azuredatalake_spark.operators.multimodal import (
+        mm_cdc_chunk_dedup,
+    )
+
+    rows = mm_cdc_chunk_dedup(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["cdc_distinct"] <= r["cdc_total"]
+        assert r["fixed_distinct"] <= r["fixed_total"]
+    # the shifted shared block is recoverable by CDC, not by fixed
+    # offsets: corpus-wide, CDC must dedup strictly more chunk mass
+    cdc = sum(r["cdc_total"] - r["cdc_distinct"] for r in rows) / sum(
+        r["cdc_total"] for r in rows
+    )
+    fixed = sum(r["fixed_total"] - r["fixed_distinct"] for r in rows) / sum(
+        r["fixed_total"] for r in rows
+    )
+    assert cdc > fixed, (cdc, fixed)

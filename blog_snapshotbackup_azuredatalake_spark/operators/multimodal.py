@@ -536,6 +536,8 @@ CDC_WIN = 8  # boundary-decision window, in payload bytes/chars
 CDC_MOD = 16  # expected chunk length ≈ CDC_MOD
 CDC_FIXED = 32  # fixed-size baseline chunk length
 CDC_FP = 1 << 20
+_CDC_K = 1_000_003  # rolling-poly base (prime, same family as grams_for)
+_CDC_P = 2_147_483_647  # 2^31 − 1
 
 
 def mm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -566,15 +568,27 @@ def mm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat(F.lit("tail"), F.col("doc_id").cast("string"))),
     )
     staged = docs.select("doc_id", "source", payload.alias("s"))
-    # boundary expression emitted as ONE SQL string (the Py4J
-    # literal-tree rule, SURVEY §6; substring's position arg also needs
-    # an INT cast the Column-API lambda can't express cleanly)
+    # char codes computed ONCE per payload, bound as a column in their
+    # own projection (the grams_for two-projection guard) — the window
+    # hash is then a pure integer polynomial per position. The naive
+    # md5(substring)-per-position variant measured 35 s at sf1 (7 µs of
+    # interpreted string/md5/conv per candidate); this is the same
+    # roll-the-cheap-poly-over-precomputed-hashes trick grams_for uses.
+    codes_sql = (
+        "transform(sequence(1, greatest(length(s), 1)),"
+        " i -> cast(ascii(substring(s, CAST(i AS INT), 1)) as bigint))"
+    )
+    poly = "element_at(cc, CAST(i AS INT))"
+    for o in range(1, CDC_WIN):
+        poly = (
+            f"({poly} * {_CDC_K} + element_at(cc, CAST(i AS INT) + {o}))"
+            f" % {_CDC_P}"
+        )
     cut_sql = (
         "array_sort(concat(array(1L), "
         "filter(transform(sequence(2L, greatest(length(s) - "
         f"{CDC_WIN - 1}, 1L)), i -> CASE WHEN "
-        f"conv(substring(md5(substring(s, CAST(i AS INT), {CDC_WIN})), 1, 15),"
-        f" 16, 10) % {CDC_MOD} = 0 THEN i END), x -> x IS NOT NULL), "
+        f"{poly} % {CDC_MOD} = 0 THEN i END), x -> x IS NOT NULL), "
         "array(length(s) + 1L)))"
     )
     chunk_sql = (
@@ -587,10 +601,20 @@ def mm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(1, CAST(ceil(length(s) / {CDC_FIXED}.0) AS INT)),"
         f" j -> md5(substring(s, (j - 1) * {CDC_FIXED} + 1, {CDC_FIXED})))"
     )
-    chunked = staged.withColumn("cuts", F.expr(cut_sql)).select(
-        "source",
-        F.expr(chunk_sql).alias("cdc_chunks"),
-        F.expr(fixed_sql).alias("fixed_chunks"),
+    # checkpoint the coded relation: CollapseProject otherwise inlines
+    # the codes transform into all 8 element_ats of every position's
+    # polynomial and planning/eval blows up (the grams_for trap again —
+    # measured: hangs at sf0.01 without this, 2 s with it)
+    coded = staged.select(
+        "source", "s", F.expr(codes_sql).alias("cc")
+    ).localCheckpoint(eager=True)
+    chunked = (
+        coded.select("source", "s", F.expr(cut_sql).alias("cuts"))
+        .select(
+            "source",
+            F.expr(chunk_sql).alias("cdc_chunks"),
+            F.expr(fixed_sql).alias("fixed_chunks"),
+        )
     )
     cdc = (
         chunked.select("source", F.explode("cdc_chunks").alias("h"))
@@ -635,17 +659,21 @@ WITH staged AS (
                 repeat(md5(source), 2),
                 md5(concat('tail', CAST(doc_id AS VARCHAR)))) AS s
   FROM documents
+), coded AS (
+  SELECT source, s,
+         list_transform(range(1, greatest(length(s), 1) + 1),
+           i -> CAST(ord(substr(s, CAST(i AS INT), 1)) AS BIGINT)) AS cc
+  FROM staged
 ), cutted AS (
   SELECT source, s,
          list_sort(list_concat(list_concat([CAST(1 AS BIGINT)],
            list_filter(list_transform(
-             range(2, greatest(length(s) - {CDC_WIN - 1}, 1) + 1),
+             range(2, greatest(length(s) - 7, 1) + 1),
              i -> CASE WHEN
-               {_H60_SQL.format(x=f"substr(s, CAST(i AS INT), {CDC_WIN})")}
-                 % {CDC_MOD} = 0 THEN i END),
+               (((((((cc[CAST(i AS INT)] * 1000003 + cc[CAST(i AS INT) + 1]) % 2147483647 * 1000003 + cc[CAST(i AS INT) + 2]) % 2147483647 * 1000003 + cc[CAST(i AS INT) + 3]) % 2147483647 * 1000003 + cc[CAST(i AS INT) + 4]) % 2147483647 * 1000003 + cc[CAST(i AS INT) + 5]) % 2147483647 * 1000003 + cc[CAST(i AS INT) + 6]) % 2147483647 * 1000003 + cc[CAST(i AS INT) + 7]) % 2147483647 % 16 = 0 THEN i END),
              x -> x IS NOT NULL)),
            [CAST(length(s) + 1 AS BIGINT)])) AS cuts
-  FROM staged
+  FROM coded
 ), chunked AS (
   SELECT source,
          list_transform(range(1, len(cuts)),

@@ -726,7 +726,58 @@ FROM terms GROUP BY col
 """
 
 
+# ---------------------------------------------------------------------------
+# feed freshness / staleness gate
+# ---------------------------------------------------------------------------
+
+FRESH_SLA_US = 3_600_000_000  # 1 h staleness SLA, in epoch-micros
+
+
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feed freshness gate — the is-anything-stale check an
+    ingestion pipeline runs before promoting a snapshot: each event
+    feed's (event_type's) high-watermark vs the global high-watermark,
+    lag in epoch-micros, and the SLA verdict (> {FRESH_SLA_US} µs
+    behind ⇒ the feed stalled while others kept flowing — a silently
+    dead upstream that row counts alone don't catch, because
+    yesterday's volume still looks plausible). One scan, one
+    feed-count-sized aggregate, global row broadcast back via the
+    one-row certificate crossJoin; timestamps stay epoch-micros BIGINTs
+    (SURVEY §4) so the lag arithmetic is engine-exact."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("ts div 1000").alias("ts_us")
+    )
+    per = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts_us").alias("max_ts_us"),
+    )
+    overall = per.agg(F.max("max_ts_us").alias("global_max_us"))
+    return per.crossJoin(F.broadcast(overall)).select(
+        "event_type",
+        "n_events",
+        "max_ts_us",
+        (F.col("global_max_us") - F.col("max_ts_us")).alias("lag_us"),
+        (
+            F.col("global_max_us") - F.col("max_ts_us") > FRESH_SLA_US
+        ).alias("is_stale"),
+    )
+
+
+_DQ_FRESHNESS_SQL = f"""
+WITH per AS (
+  SELECT event_type, COUNT(*) AS n_events,
+         MAX(epoch_ns(ts) // 1000) AS max_ts_us
+  FROM events GROUP BY event_type
+), overall AS (SELECT MAX(max_ts_us) AS global_max_us FROM per)
+SELECT event_type, n_events, max_ts_us,
+       global_max_us - max_ts_us AS lag_us,
+       global_max_us - max_ts_us > {FRESH_SLA_US} AS is_stale
+FROM per CROSS JOIN overall
+"""
+
+
 QUERIES = {
+    "dq_freshness": dq_freshness,
     "snap_gdpr_delete": snap_gdpr_delete,
     "dq_drift": dq_drift,
     "dq_profile": dq_profile,
@@ -739,6 +790,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dq_freshness": _DQ_FRESHNESS_SQL,
     "snap_gdpr_delete": _gdpr_sql(),
     "dq_drift": _drift_sql(),
     "dq_profile": _DQ_PROFILE_SQL,

@@ -196,5 +196,86 @@ def snap_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"snap_copy_roundtrip": snap_copy_roundtrip}
-ORACLES: dict[str, str] = {}  # rows-only: writes files, then reports on them
+PRUNE_DAY_LO = 19732  # 2024-01-10, days since epoch
+PRUNE_DAY_HI = 19741  # 2024-01-19 inclusive — a 10-day restore window
+
+
+def snap_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruning certificate: write events day-partitioned (the
+    layout `copy_table` documents as the point of partitioning), read
+    back a 10-day restore window, and emit the pruning evidence AS
+    DATA — day-partitions on disk, rows and days inside the window, and
+    whether the physical scan carries the window as PartitionFilters
+    (directory-level pruning planned, not a post-scan filter; checked
+    against the executed plan text, the diag_plan_audit technique). The
+    oracle recomputes the logical side from the same day rule and pins
+    `partition_filters_pushed` TRUE — if Spark ever stopped pruning
+    (filter not pushed, layout broken), the driver gate goes red. Day =
+    epoch-nanos div 86 400e9, an integer rule both engines share
+    (SURVEY §4). (`inputFiles()` is NOT the right observer here — it
+    lists the relation's files ignoring filters, measured.)"""
+    import io
+    from contextlib import redirect_stdout
+
+    from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
+        load_table,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.expr("ts div 86400000000000").alias("day"),
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_id",
+    )
+    target = f"{scratch_dir('prune_')}/events_by_day"
+    events.write.partitionBy("day").mode("overwrite").parquet(target)
+    back = spark.read.parquet(target)
+    filtered = back.filter(
+        (F.col("day") >= PRUNE_DAY_LO) & (F.col("day") <= PRUNE_DAY_HI)
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        filtered.explain("formatted")
+    plan = buf.getvalue()
+    pruned = (
+        "PartitionFilters" in plan
+        and f"(day#" in plan
+        and str(PRUNE_DAY_LO) in plan
+        and str(PRUNE_DAY_HI) in plan
+    )
+    stats = filtered.agg(
+        F.count(F.lit(1)).alias("rows_read"),
+        F.count_distinct("day").alias("days_with_rows"),
+    )
+    total_days = back.select(
+        F.count_distinct("day").alias("partitions_total")
+    )
+    return stats.crossJoin(total_days).select(
+        "partitions_total",
+        "days_with_rows",
+        "rows_read",
+        F.lit(bool(pruned)).alias("partition_filters_pushed"),
+    )
+
+
+_PARTITION_PRUNE_SQL = f"""
+WITH days AS (
+  SELECT epoch_ns(ts) // 86400000000000 AS day FROM events
+), win AS (
+  SELECT day FROM days
+  WHERE day BETWEEN {PRUNE_DAY_LO} AND {PRUNE_DAY_HI}
+)
+SELECT (SELECT COUNT(DISTINCT day) FROM days) AS partitions_total,
+       (SELECT COUNT(DISTINCT day) FROM win) AS days_with_rows,
+       (SELECT COUNT(*) FROM win) AS rows_read,
+       TRUE AS partition_filters_pushed
+"""
+
+
+QUERIES = {
+    "snap_copy_roundtrip": snap_copy_roundtrip,
+    "snap_partitioned_prune": snap_partitioned_prune,
+}
+ORACLES: dict[str, str] = {
+    # snap_copy_roundtrip rows-only: writes files, then reports on them
+    "snap_partitioned_prune": _PARTITION_PRUNE_SQL,
+}

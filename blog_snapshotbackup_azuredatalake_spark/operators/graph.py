@@ -537,16 +537,229 @@ QUALIFY rank <= {LINK_TOP_N}
 """
 
 
+# ---------------------------------------------------------------------------
+# co-purchase graph: triangle counting and community detection
+# ---------------------------------------------------------------------------
+
+TRI_FP = 1 << 20  # fixed-point scale for the clustering coefficient
+LPA_ROUNDS = 2
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-purchase edge list over parts: (u, v) with u < v
+    iff the two parts appear in the same order. One equi-self-join on
+    the order key (per-order fanout is bounded by order size — ≤7 items
+    in this schema, so the pair blowup is a small constant) followed by
+    one distinct shuffle on the pair. The edge list — part-catalog
+    sized, not lineitem sized — is the working set for everything
+    downstream."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase graph, degree-oriented — the
+    MapReduce-classic mitigation for "the curse of the last reducer"
+    (Suri & Vassilvitskii, WWW'11): orient every undirected edge from
+    the lower-(degree, id) endpoint to the higher, so wedge generation
+    at a node is C(out_deg, 2) with out_deg ≤ O(√m) REGARDLESS of how
+    hub-skewed the raw degrees are — the hot hub's million incident
+    edges become in-edges, and the join key load is bounded by
+    arboricity, not by the hub. Wedges close against the canonical
+    (u < v) edge set with a pure equality join (an OR-disjunction join
+    here degenerates to nested-loop — measured, not theoretical).
+    Output is a one-row certificate: node/edge/wedge/triangle counts
+    plus the integer-exact global clustering coefficient
+    3·triangles·FP div Σ C(deg,2)."""
+    e0 = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionByName(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    lower_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        e0.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    o2 = o.select(F.col("src"), F.col("dst").alias("dst2"))
+    wedges = (
+        o.join(o2, "src")
+        .filter(F.col("dst") < F.col("dst2"))
+        .select(F.col("dst").alias("wu"), F.col("dst2").alias("wv"))
+    )
+    n_wedges_oriented = wedges.groupBy().agg(
+        F.count(F.lit(1)).alias("n_wedges_oriented")
+    )
+    n_tri = (
+        wedges.join(
+            e0, (e0.u == F.col("wu")) & (e0.v == F.col("wv")), "inner"
+        )
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    summary = deg.groupBy().agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.expr("deg * (deg - 1)")) / F.lit(2))
+        .cast("bigint")
+        .alias("n_wedges_undirected"),
+    )
+    n_edges = e0.groupBy().agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        summary.crossJoin(n_edges)
+        .crossJoin(n_wedges_oriented)
+        .crossJoin(n_tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges_undirected",
+            "n_wedges_oriented",
+            "n_triangles",
+            F.expr(
+                f"3 * n_triangles * {TRI_FP}L div n_wedges_undirected"
+            ).alias("clustering_fp"),
+        )
+    )
+
+
+_COPURCHASE_SQL = """
+e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       FROM lineitem a JOIN lineitem b USING (l_orderkey)
+       WHERE a.l_partkey < b.l_partkey)
+"""
+
+_TRIANGLE_SQL = f"""
+WITH {_COPURCHASE_SQL},
+deg AS (SELECT node, COUNT(*) AS deg
+        FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        GROUP BY node),
+o AS (SELECT CASE WHEN (du.deg, u) < (dv.deg, v) THEN u ELSE v END AS src,
+             CASE WHEN (du.deg, u) < (dv.deg, v) THEN v ELSE u END AS dst
+      FROM e0 JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+w AS (SELECT o1.dst AS wu, o2.dst AS wv
+      FROM o o1 JOIN o o2 USING (src) WHERE o1.dst < o2.dst),
+tri AS (SELECT COUNT(*) AS n FROM w JOIN e0 ON e0.u = w.wu AND e0.v = w.wv)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS n_edges,
+       CAST((SELECT SUM(deg * (deg - 1)) // 2 FROM deg) AS BIGINT)
+         AS n_wedges_undirected,
+       CAST((SELECT COUNT(*) FROM w) AS BIGINT) AS n_wedges_oriented,
+       CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles,
+       CAST(3 * (SELECT n FROM tri) * {TRI_FP}
+            // (SELECT SUM(deg * (deg - 1)) // 2 FROM deg) AS BIGINT)
+         AS clustering_fp
+"""
+
+
+def graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation over the co-purchase
+    graph: every node starts as its own label and, each round, adopts
+    the most frequent label among its neighbors (ties broken by min
+    label — the determinism knob plain LPA lacks). {LPA_ROUNDS} fixed
+    synchronous rounds, so the output is well-defined even on graphs
+    where free-running LPA oscillates; each round is one edge-keyed
+    join + one (node, label) count + one per-node argmax window — all
+    edge-list-sized, the corpus never reshuffles, lineage cut per round
+    (the `connected_components` loop pattern). Oracle: the same
+    {LPA_ROUNDS} rounds unrolled as SQL CTEs."""
+    from pyspark.sql import Window
+
+    e0 = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    sym = e0.select(
+        F.col("u").alias("s"), F.col("v").alias("d")
+    ).unionByName(e0.select(F.col("v").alias("s"), F.col("u").alias("d")))
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    pick = Window.partitionBy("node").orderBy(
+        F.desc("cnt"), F.asc("label")
+    )
+    for _ in range(LPA_ROUNDS):
+        labels = (
+            sym.join(labels, sym.s == labels.node)
+            .select(F.col("d").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("part_id"),
+        F.col("label").alias("community"),
+        "community_size",
+    )
+
+
+def _lpa_sql() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, LPA_ROUNDS + 1):
+        rounds.append(f"""
+c{i} AS (SELECT sym.d AS node, l.label, COUNT(*) AS cnt
+        FROM sym JOIN {prev} l ON l.node = sym.s
+        GROUP BY sym.d, l.label),
+l{i} AS (SELECT node, label FROM (
+          SELECT node, label,
+                 ROW_NUMBER() OVER (PARTITION BY node
+                                    ORDER BY cnt DESC, label) AS rn
+          FROM c{i}) WHERE rn = 1)""")
+        prev = f"l{i}"
+    last = f"l{LPA_ROUNDS}"
+    return f"""
+WITH {_COPURCHASE_SQL},
+sym AS (SELECT u AS s, v AS d FROM e0 UNION ALL SELECT v, u FROM e0),
+l0 AS (SELECT node, node AS label
+       FROM (SELECT DISTINCT s AS node FROM sym)),
+{",".join(rounds)}
+SELECT l.node AS part_id, l.label AS community,
+       CAST(s.community_size AS BIGINT) AS community_size
+FROM {last} l
+JOIN (SELECT label, COUNT(*) AS community_size FROM {last} GROUP BY label) s
+  USING (label)
+"""
+
+
 QUERIES = {
     "dedup_cluster_cc": dedup_cluster_cc,
     "corpus_split_leakage_safe": corpus_split_leakage_safe,
     "dedup_keep_best": dedup_keep_best,
     "graph_pagerank": graph_pagerank,
     "graph_link_predict": graph_link_predict,
+    "graph_triangle_count": graph_triangle_count,
+    "graph_community_lpa": graph_community_lpa,
 }
 ORACLES = {
     "dedup_cluster_cc": _CLUSTER_CC_SQL,
     "corpus_split_leakage_safe": _leakage_safe_sql(),
     "dedup_keep_best": _keep_best_sql(),
     "graph_link_predict": _link_predict_sql(),
+    "graph_triangle_count": _TRIANGLE_SQL,
+    "graph_community_lpa": _lpa_sql(),
 }

@@ -167,3 +167,52 @@ def test_link_predict_pairs_are_novel_and_share_neighbors(spark):
         # claimed common-neighbor count is the true intersection size
         assert r["cn"] == len(nbrs.get(a, set()) & nbrs.get(b, set()))
         assert r["cn"] >= 1
+
+
+def test_triangle_count_matches_oracle(spark, ddb):
+    df = graph.graph_triangle_count(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, graph.ORACLES["graph_triangle_count"])
+
+
+def test_triangle_count_brute_force_parity(spark):
+    # the degree-oriented census must agree with the O(n^3)-ish brute
+    # force on the actual sf0.001 co-purchase graph
+    from itertools import combinations
+
+    from blog_snapshotbackup_azuredatalake_spark.operators.graph import (
+        _copurchase_edges,
+    )
+
+    edges = {
+        (r["u"], r["v"]) for r in _copurchase_edges(spark, SF_DIR).collect()
+    }
+    nbrs = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    brute = sum(
+        1
+        for u in nbrs
+        for v, w in combinations(sorted(nbrs[u]), 2)
+        if u < v and (v, w) in edges
+    )
+    row = graph.graph_triangle_count(spark, SF_DIR).collect()[0]
+    assert row["n_triangles"] == brute
+    assert row["n_edges"] == len(edges)
+
+
+def test_community_lpa_matches_oracle(spark, ddb):
+    df = graph.graph_community_lpa(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, graph.ORACLES["graph_community_lpa"])
+
+
+def test_community_lpa_covers_every_node_once(spark):
+    out = graph.graph_community_lpa(spark, SF_DIR).collect()
+    nodes = [r["part_id"] for r in out]
+    assert len(nodes) == len(set(nodes))
+    # sizes are consistent with the actual membership counts
+    from collections import Counter
+
+    sizes = Counter(r["community"] for r in out)
+    for r in out:
+        assert r["community_size"] == sizes[r["community"]]

@@ -776,7 +776,84 @@ FROM per CROSS JOIN overall
 """
 
 
+# table -> primary-key columns (composite for lineitem) for the
+# uniqueness certificate; every table the driver registers is covered
+_UNIQ_KEYS = {
+    "orders": ("o_orderkey",),
+    "customer": ("c_custkey",),
+    "part": ("p_partkey",),
+    "supplier": ("s_suppkey",),
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+
+def dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness certificate across every table in the
+    catalog: row count, distinct key count, duplicate-row count, and
+    null-key count per table — the precondition every upsert/merge
+    operator in this engine silently assumes, surfaced as checkable
+    data. One aggregate-only pass per table (map-side partials collapse
+    before the single shuffle on the key); the exact distinct exists
+    for oracle parity, production swaps `approx_count_distinct` on the
+    same plan shape. Tables never join each other — the certificate is
+    a union of eight one-row aggregates."""
+    parts = []
+    for table, keys in _UNIQ_KEYS.items():
+        t = load_table(spark, sf_dir, table)
+        null_key = F.lit(False)
+        for k in keys:
+            null_key = null_key | F.col(k).isNull()
+        parts.append(
+            t.agg(
+                F.lit(table).alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_distinct(*[F.col(k) for k in keys]).alias(
+                    "n_distinct_keys"
+                ),
+                (
+                    F.count(F.lit(1)) - F.count_distinct(*[F.col(k) for k in keys])
+                ).alias("n_dup_rows"),
+                F.sum(null_key.cast("long")).alias("n_null_keys"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _uniq_distinct_expr(keys: tuple[str, ...]) -> str:
+    """Spark's COUNT(DISTINCT a, b) skips rows where ANY key column is
+    null; DuckDB's COUNT(DISTINCT (a, b)) would count the null-field
+    struct — so the oracle nulls out any-null rows explicitly to stay
+    truthful on referentially-imperfect data (the gdpr-oracle lesson)."""
+    anynull = " OR ".join(f"{k} IS NULL" for k in keys)
+    tup = ", ".join(keys)
+    return (
+        f"COUNT(DISTINCT CASE WHEN {anynull} THEN NULL"
+        f" ELSE ({tup}) END)"
+    )
+
+
+_DQ_UNIQUENESS_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{table}' AS table_name,"
+    f" CAST(COUNT(*) AS BIGINT) AS n_rows,"
+    f" CAST({_uniq_distinct_expr(keys)} AS BIGINT)"
+    f"   AS n_distinct_keys,"
+    f" CAST(COUNT(*) - {_uniq_distinct_expr(keys)} AS BIGINT)"
+    f"   AS n_dup_rows,"
+    f" CAST(SUM(CASE WHEN {' OR '.join(f'{k} IS NULL' for k in keys)}"
+    f"   THEN 1 ELSE 0 END) AS BIGINT) AS n_null_keys"
+    f" FROM {table}"
+    for table, keys in _UNIQ_KEYS.items()
+)
+
+
 QUERIES = {
+    "dq_uniqueness": dq_uniqueness,
     "dq_freshness": dq_freshness,
     "snap_gdpr_delete": snap_gdpr_delete,
     "dq_drift": dq_drift,
@@ -790,6 +867,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dq_uniqueness": _DQ_UNIQUENESS_SQL,
     "dq_freshness": _DQ_FRESHNESS_SQL,
     "snap_gdpr_delete": _gdpr_sql(),
     "dq_drift": _drift_sql(),

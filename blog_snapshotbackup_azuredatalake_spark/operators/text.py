@@ -1490,7 +1490,81 @@ QUALIFY rank <= {COOC_TOP_N}
 """
 
 
+# ---------------------------------------------------------------------------
+# character-diversity quality gate (Gini-Simpson, integer-exact)
+# ---------------------------------------------------------------------------
+
+DIVERSITY_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+DIVERSITY_FP = 1 << 20
+# Gini-Simpson of uniform 27 symbols is 1-1/27 ≈ .963; natural word-soup
+# English sits ~.92-.94. Below .80 the doc is dominated by few symbols —
+# encoding damage, char floods, single-word spam.
+DIVERSITY_LOW_FP = int(0.80 * DIVERSITY_FP)
+
+
+def _simpson_expr(intdiv: str) -> str:
+    """Per-doc Gini-Simpson char-diversity as ONE generated SQL string
+    (emitting 27 Column nodes via Py4J costs driver round-trips — the
+    emb_pq_adc lesson), integer-exact so Spark and DuckDB agree bitwise:
+    FP·(total² − Σcnt²) div total², where cnt is per-symbol occurrence
+    via length-minus-replaced-length (no explode — the corpus never
+    multiplies by its character count). BIGINT-safe to ~10⁸-char docs
+    (total²·FP < 2⁶³); `intdiv` is the engine's integer-division token."""
+    terms = [
+        f"(length(text) - length(replace(text, '{c}', '')))"
+        for c in DIVERSITY_ALPHABET
+    ]
+    sumsq = " + ".join(f"{t} * {t}" for t in terms)
+    total2 = "(CAST(length(text) AS BIGINT) * length(text))"
+    return (
+        f"CAST(CASE WHEN length(text) = 0 THEN 0 ELSE"
+        f" (({total2} - ({sumsq})) * {DIVERSITY_FP}) {intdiv} {total2}"
+        f" END AS BIGINT)"
+    )
+
+
+def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-diversity quality gate per source: the Gini-Simpson
+    index 1 − Σ p_c² over the a-z/space alphabet, in integer fixed
+    point (Σ cnt² is exact arithmetic, so there is NO float anywhere —
+    unlike Shannon entropy, whose log() differs across libm builds and
+    would poison the oracle hash). Catches what token-level quality
+    scoring misses: encoding damage, character floods, single-symbol
+    spam. One projection over the corpus (27 in-register replace scans
+    per doc, whole-stage codegen, no explode) then one groupBy(source)
+    — partial-aggregable, shuffle carries one row per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source", F.expr(_simpson_expr("div")).alias("simpson_fp")
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(f"sum(simpson_fp) div count(1)").alias("avg_simpson_fp"),
+        F.min("simpson_fp").alias("min_simpson_fp"),
+        F.max("simpson_fp").alias("max_simpson_fp"),
+        F.sum(
+            (F.col("simpson_fp") < DIVERSITY_LOW_FP).cast("long")
+        ).alias("n_low_diversity"),
+    )
+
+
+_CHAR_DIVERSITY_SQL = f"""
+WITH scored AS (
+  SELECT source, {_simpson_expr("//")} AS simpson_fp FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(simpson_fp) // COUNT(*) AS BIGINT) AS avg_simpson_fp,
+       CAST(MIN(simpson_fp) AS BIGINT) AS min_simpson_fp,
+       CAST(MAX(simpson_fp) AS BIGINT) AS max_simpson_fp,
+       CAST(SUM(CASE WHEN simpson_fp < {DIVERSITY_LOW_FP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low_diversity
+FROM scored GROUP BY source
+"""
+
+
 QUERIES = {
+    "text_char_diversity": text_char_diversity,
     "text_cooccurrence": text_cooccurrence,
     "text_gram_novelty": text_gram_novelty,
     "text_perplexity_filter": text_perplexity_filter,
@@ -1510,6 +1584,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_char_diversity": _CHAR_DIVERSITY_SQL,
     "text_cooccurrence": _COOC_SQL,
     "text_gram_novelty": _gram_novelty_sql(),
     "text_perplexity_filter": _PERPLEXITY_FILTER_SQL,

@@ -600,7 +600,50 @@ HAVING (window_start_us + {LATE_WINDOW_US}) // 1000 <= wm_final_ms
 """
 
 
+STREAM_TOPK_K = 3
+
+
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-K event types per tumbling window: the stateful
+    windowed count/sum runs as a REAL stream (watermarked, complete-mode
+    drain — all the heavy lifting and all the state), then one batch
+    rank window over the drained sink picks the K heads per window,
+    deterministic on (n_events DESC, event_type ASC). The rank is
+    post-drain by design: per-window top-K inside a live stream churns
+    with every late row, so the production shape is exactly this —
+    stream maintains the aggregate, the dashboard query ranks the
+    sink. Sink is window-count-sized, so the rank window is trivially
+    bounded."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    work = scratch_dir("stream_topk_")
+    src = f"{work}/events_src"
+    events.coalesce(DEMO_STATE_PARTITIONS).write.parquet(src)
+    name = f"topk_{uuid.uuid4().hex[:8]}"
+    with demo_state_partitions(spark):
+        sink = run_windowed_stream(
+            spark, src, f"{work}/ckpt", events.schema, name
+        )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        sink.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= STREAM_TOPK_K)
+        .select(
+            F.unix_micros("window_start").alias("window_start_us"),
+            F.unix_micros("window_end").alias("window_end_us"),
+            F.col("rank").cast("int").alias("rank"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 QUERIES = {
+    "stream_topk_per_window": stream_topk_per_window,
     "stream_late_drop": stream_late_drop,
     "stream_ivm": stream_ivm,
     "stream_hist_quantile": stream_hist_quantile,
@@ -711,6 +754,15 @@ def _oracles() -> dict[str, str]:
 
     return {
         "stream_windowed_agg": _STREAM_WINDOWED_SQL,
+        "stream_topk_per_window": f"""
+WITH agg AS ({_STREAM_WINDOWED_SQL})
+SELECT window_start_us, window_end_us,
+       CAST(ROW_NUMBER() OVER (PARTITION BY window_start_us
+              ORDER BY n_events DESC, event_type) AS INT) AS rank,
+       event_type, CAST(n_events AS BIGINT) AS n_events, total_value
+FROM agg
+QUALIFY rank <= {STREAM_TOPK_K}
+""",
         "stream_late_drop": _STREAM_LATE_DROP_SQL,
         "stream_sessionize": _STREAM_SESSIONIZE_SQL,
         "stream_dedup": _STREAM_DEDUP_SQL,

@@ -151,3 +151,39 @@ def test_gdpr_delete_purges_all_subject_rows(spark):
         assert r["n_before"] == r["n_purged"] + r["n_after"]
     # subjects exist in the testdata, so the purge is non-trivial
     assert sum(r["n_purged"] for r in rows.values()) > 0
+
+
+def test_dq_uniqueness_matches_oracle(spark, ddb):
+    df = quality.dq_uniqueness(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, quality.ORACLES["dq_uniqueness"])
+
+
+def test_dq_uniqueness_clean_keys_have_no_dups(spark):
+    rows = {r["table_name"]: r for r in quality.dq_uniqueness(spark, SF_DIR).collect()}
+    assert set(rows) == set(quality._UNIQ_KEYS)
+    for t, r in rows.items():
+        assert r["n_dup_rows"] == r["n_rows"] - r["n_distinct_keys"]
+        assert r["n_null_keys"] == 0  # generator emits clean keys
+
+
+def test_dq_uniqueness_flags_injected_duplicates(spark, tmp_path):
+    # copy the sf dir view by overriding just `orders` with a dup-injected one
+    import shutil, os
+
+    src = SF_DIR
+    dst = str(tmp_path / "sfdup")
+    os.makedirs(dst)
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(src, f), os.path.join(dst, f))
+    orders = spark.read.parquet(f"{dst}/orders.parquet")
+    orders.unionByName(orders.limit(5)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{dst}/orders.parquet_new")
+    os.remove(f"{dst}/orders.parquet")
+    os.rename(f"{dst}/orders.parquet_new", f"{dst}/orders.parquet")
+    rows = {
+        r["table_name"]: r
+        for r in quality.dq_uniqueness(spark, dst).collect()
+    }
+    assert rows["orders"]["n_dup_rows"] == 5

@@ -292,3 +292,24 @@ def test_stream_apply_cdc_certificate(spark):
     rows = {r["check"]: r["ok"] for r in
             entries.stream_apply_cdc(spark, SF_DIR).collect()}
     assert rows and all(rows.values()), rows
+
+
+def test_stream_topk_per_window_matches_oracle(spark, ddb):
+    df = entries.stream_topk_per_window(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, entries.ORACLES["stream_topk_per_window"])
+
+
+def test_stream_topk_per_window_rank_contract(spark):
+    rows = entries.stream_topk_per_window(spark, SF_DIR).collect()
+    assert rows
+    per_win = {}
+    for r in rows:
+        per_win.setdefault(r["window_start_us"], []).append(r)
+    for win, rs in per_win.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len(rs) <= entries.STREAM_TOPK_K
+        # counts are non-increasing with rank
+        by_rank = sorted(rs, key=lambda r: r["rank"])
+        counts = [r["n_events"] for r in by_rank]
+        assert counts == sorted(counts, reverse=True)

@@ -160,3 +160,35 @@ def test_cooccurrence_counts_are_exact(spark, tmp_path):
     # (b,c),(a,c); doc1: (b,a) → a-b:3, a-a:1, a-c:2, b-c:1
     assert got == {("a", "b"): 3, ("a", "a"): 1, ("a", "c"): 2,
                    ("b", "c"): 1}
+
+
+def test_char_diversity_matches_oracle(spark, ddb):
+    df = text.text_char_diversity(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, text.ORACLES["text_char_diversity"])
+
+
+def test_char_diversity_fixed_point_bounds(spark):
+    rows = text.text_char_diversity(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # Gini-Simpson over 27 symbols lies in [0, 1-1/27]
+        assert 0 <= r["min_simpson_fp"] <= r["max_simpson_fp"]
+        assert r["max_simpson_fp"] <= int((1 - 1 / 27) * text.DIVERSITY_FP) + 1
+        assert r["min_simpson_fp"] <= r["avg_simpson_fp"] <= r["max_simpson_fp"]
+
+
+def test_char_diversity_flags_char_flood(spark):
+    # a single-symbol flood scores ~0; normal prose scores high
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+         (2, "the quick brown fox jumps over the lazy dog again and again")],
+        "doc_id bigint, text string",
+    )
+    from pyspark.sql import functions as F
+
+    scored = df.select(
+        "doc_id", F.expr(text._simpson_expr("div")).alias("fp")
+    ).collect()
+    by_id = {r["doc_id"]: r["fp"] for r in scored}
+    assert by_id[1] == 0
+    assert by_id[2] > text.DIVERSITY_LOW_FP

@@ -635,9 +635,100 @@ def snap_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(checks, "check string, ok boolean")
 
 
+def snap_restore_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restore drill — the backup-operations staple "a backup you never
+    restored is not a backup", as an oracle-gated certificate. Builds a
+    real differential chain in a scratch store (full v0, deltas v1/v2
+    of the deterministic perturbed days), then restores EVERY version
+    and fingerprints the materialized state: row count + 60-bit xor of
+    the canonical row hash, plus the delta-chain length the restore
+    folded. `checksum_match` compares the restored fingerprint against
+    the directly-constructed state's — both computed Spark-side, each a
+    two-number aggregate (the 100 TB verify cost is one scan per side,
+    shuffling two numbers; nothing row-sized leaves the executors).
+    The oracle recomputes count/xor straight from the state SQL, so a
+    restore that drops a tombstone or resurrects a deleted key flips
+    BOTH the fingerprint columns and the match flag."""
+    from blog_snapshotbackup_azuredatalake_spark.operators.snapshot import (
+        _hash60,
+        _orders_hash_expr,
+        _perturbed_orders,
+        _perturbed_orders_v2,
+    )
+    from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
+        load_table,
+    )
+
+    keyed = F.col("o_orderkey") % 10 == 0
+    v0 = load_table(spark, sf_dir, "orders").filter(keyed)
+    v1 = _perturbed_orders(spark, sf_dir).filter(keyed)
+    v2 = _perturbed_orders_v2(spark, sf_dir).filter(keyed)
+    work = scratch_dir("snap_restore_drill_")
+    mgr = SnapshotManager(spark, work)
+    sids = [mgr.snapshot(v, "orders", "o_orderkey") for v in (v0, v1, v2)]
+
+    def fingerprint(df: DataFrame):
+        row = (
+            df.select(_hash60(_orders_hash_expr()).alias("h"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(h)").alias("x"),
+            )
+            .collect()[0]
+        )
+        return int(row["n"]), int(row["x"])
+
+    rows = []
+    for ver, (sid, direct) in enumerate(zip(sids, (v0, v1, v2))):
+        chain_len, cur = 0, sid
+        while cur is not None:
+            meta = mgr._read_meta("orders", cur)
+            chain_len += 1
+            cur = meta["base"]
+        rn, rx = fingerprint(mgr.restore("orders", sid))
+        dn, dx = fingerprint(direct)
+        rows.append(
+            (ver, chain_len, rn, rx, rn == dn and rx == dx)
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, chain_len int, n_rows bigint, xor_checksum bigint,"
+        " checksum_match boolean",
+    )
+
+
+def _restore_drill_sql() -> str:
+    from blog_snapshotbackup_azuredatalake_spark.operators.snapshot import (
+        _hash60_sql,
+        _ORDERS_HASH_SQL,
+        _PERTURBED_SQL,
+        _PERTURBED_V2_SQL,
+    )
+
+    h = _hash60_sql(_ORDERS_HASH_SQL)
+    selects = []
+    # chain layout by construction: v0 full, v1/v2 deltas against v0
+    for ver, (src, chain_len) in enumerate(
+        [("orders", 1), ("v1", 2), ("v2", 2)]
+    ):
+        selects.append(f"""
+SELECT {ver} AS version, {chain_len} AS chain_len,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       BIT_XOR({h}) AS xor_checksum,
+       TRUE AS checksum_match
+FROM {src} WHERE o_orderkey % 10 = 0""")
+    return (
+        f"WITH v1 AS ({_PERTURBED_SQL}), v2 AS ({_PERTURBED_V2_SQL})\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
 QUERIES = {
     "snap_txn_log": snap_txn_log,
     "snap_vacuum": snap_vacuum,
     "snap_clone": snap_clone,
+    "snap_restore_drill": snap_restore_drill,
 }
-ORACLES: dict[str, str] = {}  # rows-only: the log is filesystem metadata
+# the lifecycle ops stay rows-only (their result is filesystem
+# metadata); the restore drill's certificate IS SQL-derivable
+ORACLES: dict[str, str] = {"snap_restore_drill": _restore_drill_sql()}

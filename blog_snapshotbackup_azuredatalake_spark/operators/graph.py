@@ -607,15 +607,20 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dst") < F.col("dst2"))
         .select(F.col("dst").alias("wu"), F.col("dst2").alias("wv"))
     )
-    n_wedges_oriented = wedges.groupBy().agg(
-        F.count(F.lit(1)).alias("n_wedges_oriented")
-    )
-    n_tri = (
+    # ONE pass over the wedge stream: a left join against the canonical
+    # edge set counts wedges and closed wedges together (e0 pairs are
+    # unique, so the left join never multiplies) — a separate count
+    # consumer would re-run the wedge self-join, ReusedExchange does not
+    # deduplicate across differently-shaped consumers (§6 traps)
+    wedge_agg = (
         wedges.join(
-            e0, (e0.u == F.col("wu")) & (e0.v == F.col("wv")), "inner"
+            e0, (e0.u == F.col("wu")) & (e0.v == F.col("wv")), "left"
         )
         .groupBy()
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .agg(
+            F.count(F.lit(1)).alias("n_wedges_oriented"),
+            F.count("u").alias("n_triangles"),
+        )
     )
     summary = deg.groupBy().agg(
         F.count(F.lit(1)).alias("n_nodes"),
@@ -626,8 +631,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = e0.groupBy().agg(F.count(F.lit(1)).alias("n_edges"))
     return (
         summary.crossJoin(n_edges)
-        .crossJoin(n_wedges_oriented)
-        .crossJoin(n_tri)
+        .crossJoin(wedge_agg)
         .select(
             "n_nodes",
             "n_edges",

@@ -681,12 +681,10 @@ def graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     label — the determinism knob plain LPA lacks). {LPA_ROUNDS} fixed
     synchronous rounds, so the output is well-defined even on graphs
     where free-running LPA oscillates; each round is one edge-keyed
-    join + one (node, label) count + one per-node argmax window — all
+    join + one (node, label) count + one per-node max_by argmax — all
     edge-list-sized, the corpus never reshuffles, lineage cut per round
     (the `connected_components` loop pattern). Oracle: the same
     {LPA_ROUNDS} rounds unrolled as SQL CTEs."""
-    from pyspark.sql import Window
-
     e0 = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     sym = e0.select(
         F.col("u").alias("s"), F.col("v").alias("d")
@@ -697,18 +695,22 @@ def graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
-    pick = Window.partitionBy("node").orderBy(
-        F.desc("cnt"), F.asc("label")
-    )
+    # per-node argmax as a hash aggregate, NOT a rank window: a window
+    # over (node) sorts the full (node, label, cnt) relation — measured
+    # super-linear at sf3 (alpha 1.64, 90 s; sort + spill over 72 M
+    # rows). max_by over a (cnt, -label) struct is the same
+    # deterministic argmax but partial-aggregable map-side, and its
+    # input is the already-reduced count relation.
     for _ in range(LPA_ROUNDS):
         labels = (
             sym.join(labels, sym.s == labels.node)
             .select(F.col("d").alias("node"), "label")
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .withColumn("rn", F.row_number().over(pick))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+            .groupBy("node")
+            .agg(
+                F.expr("max_by(label, struct(cnt, -label))").alias("label")
+            )
             .localCheckpoint(eager=True)
         )
     sizes = labels.groupBy("label").agg(

@@ -535,6 +535,88 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof
+    direction='nearest'): each purchase matched to the temporally
+    CLOSEST click, before or after, tie → the earlier one. Same
+    union-window shape as ``q_asof_join`` — one sort per user carries
+    the last prior click forward AND the first later click backward
+    (two frames over the same sorted stream, no second shuffle), then a
+    pure projection picks the smaller gap. No range join, no
+    candidate explosion, scales exactly like the backward variant."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts_us"))
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = ev.select(
+        "*",
+        F.last(click_ts, ignorenulls=True).over(back).alias("prev_click"),
+        F.first(click_ts, ignorenulls=True).over(fwd).alias("next_click"),
+    )
+    prev_gap = F.col("ts_us") - F.col("prev_click")
+    next_gap = F.col("next_click") - F.col("ts_us")
+    take_prev = F.col("prev_click").isNotNull() & (
+        F.col("next_click").isNull() | (prev_gap <= next_gap)
+    )
+    return carried.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        F.when(take_prev, F.col("prev_click"))
+        .otherwise(F.col("next_click"))
+        .alias("nearest_click_ts_us"),
+        F.when(take_prev, prev_gap).otherwise(next_gap).alias("abs_gap_us"),
+        F.when(take_prev, F.lit("before"))
+        .when(F.col("next_click").isNotNull(), F.lit("after"))
+        .alias("direction"),
+    )
+
+
+_Q_ASOF_NEAREST_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         (epoch_ns(ts) // 1000) AS ts_us
+  FROM events
+), carried AS (
+  SELECT *,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN ts_us END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS prev_click,
+         FIRST_VALUE(CASE WHEN event_type = 'click' THEN ts_us END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS next_click
+  FROM ev
+)
+SELECT event_id, user_id, ts_us AS purchase_ts_us,
+       CASE WHEN take_prev THEN prev_click ELSE next_click END
+         AS nearest_click_ts_us,
+       CASE WHEN take_prev THEN ts_us - prev_click
+            ELSE next_click - ts_us END AS abs_gap_us,
+       CASE WHEN take_prev THEN 'before'
+            WHEN next_click IS NOT NULL THEN 'after' END AS direction
+FROM (SELECT *,
+             prev_click IS NOT NULL AND
+             (next_click IS NULL OR ts_us - prev_click <= next_click - ts_us)
+               AS take_prev
+      FROM carried)
+WHERE event_type = 'purchase'
+"""
+
+
 _Q_ASOF_SQL = """
 WITH ev AS (
   SELECT event_id, user_id, event_type,
@@ -735,6 +817,7 @@ GROUP BY c_nationkey
 
 
 QUERIES = {
+    "q_asof_nearest": q_asof_nearest,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
@@ -766,6 +849,7 @@ ORACLES = {
     "q_events_rolling": _Q_ROLLING_SQL,
     "q_events_funnel": _Q_FUNNEL_SQL,
     "q_asof_join": _Q_ASOF_SQL,
+    "q_asof_nearest": _Q_ASOF_NEAREST_SQL,
     "q14_promo_revenue": _Q14_SQL,
     "q18_large_orders": _Q18_SQL,
     "q19_disjunctive_revenue": _Q19_SQL,

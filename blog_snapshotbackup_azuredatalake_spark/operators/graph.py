@@ -674,6 +674,61 @@ SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
 """
 
 
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution histogram of the co-purchase graph — the
+    skew census you run BEFORE committing to any join strategy on a
+    100 TB graph (it is the empirical input to the degree-orientation
+    argument in ``graph_triangle_count``). One shuffle to build the
+    degree relation; the histogram groupBy and the share window both
+    run over bucket-count-sized data (≤ ~10 rows), so the edge list is
+    touched exactly once. Bucket = decimal digit count of the degree
+    (an integer order-of-magnitude that is bit-portable across engines,
+    unlike floor(log2) whose libm rounding differs); share is integer
+    fixed-point parts-per-million."""
+    e0 = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionByName(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    agg = deg.groupBy(
+        F.length(F.col("deg").cast("string")).cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("deg").alias("min_deg"),
+        F.max("deg").alias("max_deg"),
+        F.sum("deg").alias("sum_deg"),
+    )
+    return agg.select(
+        "bucket",
+        "n_nodes",
+        "min_deg",
+        "max_deg",
+        "sum_deg",
+        F.expr(
+            "n_nodes * 1000000 div sum(n_nodes) over ()"
+        ).alias("share_ppm"),
+    )
+
+
+_DEGREE_STATS_SQL = f"""
+WITH {_COPURCHASE_SQL},
+deg AS (SELECT node, COUNT(*) AS deg
+        FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        GROUP BY node),
+agg AS (SELECT CAST(LENGTH(CAST(deg AS VARCHAR)) AS INT) AS bucket,
+               COUNT(*) AS n_nodes,
+               MIN(deg) AS min_deg, MAX(deg) AS max_deg,
+               CAST(SUM(deg) AS BIGINT) AS sum_deg
+        FROM deg GROUP BY bucket)
+SELECT bucket, n_nodes, min_deg, max_deg, sum_deg,
+       CAST(n_nodes * 1000000 // SUM(n_nodes) OVER () AS BIGINT)
+         AS share_ppm
+FROM agg
+"""
+
+
 def graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synchronous label propagation over the co-purchase
     graph: every node starts as its own label and, each round, adopts
@@ -759,6 +814,7 @@ QUERIES = {
     "graph_pagerank": graph_pagerank,
     "graph_link_predict": graph_link_predict,
     "graph_triangle_count": graph_triangle_count,
+    "graph_degree_stats": graph_degree_stats,
     "graph_community_lpa": graph_community_lpa,
 }
 ORACLES = {
@@ -767,5 +823,6 @@ ORACLES = {
     "dedup_keep_best": _keep_best_sql(),
     "graph_link_predict": _link_predict_sql(),
     "graph_triangle_count": _TRIANGLE_SQL,
+    "graph_degree_stats": _DEGREE_STATS_SQL,
     "graph_community_lpa": _lpa_sql(),
 }

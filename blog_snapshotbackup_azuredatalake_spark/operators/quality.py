@@ -852,7 +852,87 @@ _DQ_UNIQUENESS_SQL = "\nUNION ALL\n".join(
 )
 
 
+# robust-statistics consistency scale: 1/Φ⁻¹(3/4), the factor that makes
+# MAD a consistent σ estimator under normality. Computed ONCE here and
+# embedded verbatim in the oracle so both engines parse the identical
+# double literal.
+MAD_K = 3 * 1.4826
+
+
+def dq_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier gate: per order priority, median/MAD fences on the
+    order total — the complement of ``q_events_anomaly``'s 3-sigma gate
+    (mean/stddev are themselves dragged by the outliers they hunt; a
+    50%-breakdown median/MAD fence is what a data-quality gate should
+    threshold on). Flags |x − median| > 3·1.4826·MAD.
+
+    Bit-portability: totals become integer CENTS first, so every
+    median/MAD interpolation lands on an exact .0/.5/.25 binary double
+    and the engines cannot disagree by a ulp (arbitrary-double
+    quantiles are the §4 divergence class). Scale: two grouped exact
+    percentiles + one counting pass — three shuffles of a
+    priority-partitioned relation, no window over the full table; at
+    100 TB swap `percentile` for `percentile_approx` and the plan shape
+    is unchanged."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(cents, 0.5)").alias("med")
+    )
+    dev = o.join(med, "o_orderpriority").select(
+        "o_orderpriority",
+        "cents",
+        "med",
+        F.abs(F.col("cents") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(mad, "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("med").alias("med_cents"),
+            F.max("mad").alias("mad_cents"),
+            F.sum(
+                (F.col("adev") > F.lit(MAD_K) * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+            F.max("adev").alias("max_abs_dev"),
+        )
+    )
+
+
+_DQ_MAD_SQL = f"""
+WITH o AS (
+  SELECT o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+med AS (SELECT o_orderpriority, quantile_cont(cents, 0.5) AS med
+        FROM o GROUP BY o_orderpriority),
+dev AS (SELECT o.o_orderpriority, cents, med, ABS(cents - med) AS adev
+        FROM o JOIN med USING (o_orderpriority)),
+mad AS (SELECT o_orderpriority, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY o_orderpriority)
+SELECT d.o_orderpriority,
+       COUNT(*) AS n_orders,
+       MAX(d.med) AS med_cents,
+       MAX(m.mad) AS mad_cents,
+       CAST(SUM(CASE WHEN d.adev > {MAD_K!r} * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       MAX(d.adev) AS max_abs_dev
+FROM dev d JOIN mad m USING (o_orderpriority)
+GROUP BY d.o_orderpriority
+"""
+
+
 QUERIES = {
+    "dq_mad_outlier": dq_mad_outlier,
     "dq_uniqueness": dq_uniqueness,
     "dq_freshness": dq_freshness,
     "snap_gdpr_delete": snap_gdpr_delete,
@@ -867,6 +947,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dq_mad_outlier": _DQ_MAD_SQL,
     "dq_uniqueness": _DQ_UNIQUENESS_SQL,
     "dq_freshness": _DQ_FRESHNESS_SQL,
     "snap_gdpr_delete": _gdpr_sql(),

@@ -1401,6 +1401,120 @@ def _gram_novelty_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# boilerplate detection (document-frequency-common phrases, C4-style)
+# ---------------------------------------------------------------------------
+
+BOILER_MIN_DF = 4  # absolute floor for the df threshold
+BOILER_DF_DIVISOR = 50  # threshold scales as n_docs // divisor
+
+
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-phrase audit, the C4/RefinedWeb cleanup step that is
+    NOT deduplication: a 5-gram appearing in ≥ max({BOILER_MIN_DF},
+    n_docs // {BOILER_DF_DIVISOR}) distinct documents is boilerplate
+    (nav bars, license footers, template headers), regardless of
+    whether any two documents are near-duplicates of each other. Per
+    source: docs, gram mass, boilerplate gram mass, and a fixed-point
+    mean per-doc boilerplate ratio — the score a filtering pipeline
+    thresholds on before training.
+
+    Distinct from ``text_gram_novelty`` (first-occurrence marginal
+    contribution, ingestion-order-dependent) — df-threshold boilerplate
+    is order-free and catches phrases that are common WITHOUT any pair
+    of docs being near-dups. Scale: one explode → gram-keyed count
+    (map-side combine), one join back on gram, two small aggs — all
+    linear, threshold is a scalar derived from the corpus itself, no
+    pair enumeration. Checkpoint before explode+join per §6
+    (CollapseProject re-inlining trap)."""
+    from blog_snapshotbackup_azuredatalake_spark.operators.dedup import (
+        grams_for,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    k = max(BOILER_MIN_DF, n_docs // BOILER_DF_DIVISOR)
+    g = (
+        grams_for(docs, keep=("source",))
+        .localCheckpoint(eager=True)
+        .select("doc_id", "source", F.explode("sh").alias("gram"))
+    )
+    dfreq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        g.join(dfreq, "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("df") >= k).cast("long")).alias("n_boiler"),
+        )
+    )
+    return (
+        per_doc.select(
+            "source",
+            "n_grams",
+            "n_boiler",
+            F.floor(
+                F.col("n_boiler").cast("double")
+                / F.col("n_grams")
+                * (1 << 30)
+            )
+            .cast("bigint")
+            .alias("br_fp"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").alias("total_grams"),
+            F.sum("n_boiler").alias("boiler_grams"),
+            (
+                F.sum("br_fp").cast("double")
+                / F.lit(float(1 << 30))
+                / F.count(F.lit(1))
+            ).alias("avg_boiler_ratio"),
+        )
+    )
+
+
+_BOILER_SQL_T = """
+WITH sh AS (
+  SELECT doc_id, source, {grams} AS sh
+  FROM (SELECT doc_id, source, {tokh} AS th FROM documents)
+),
+g AS (SELECT doc_id, source, unnest(sh) AS gram FROM sh),
+dfreq AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram),
+thr AS (SELECT GREATEST({min_df}, COUNT(*) // {divisor}) AS k
+        FROM documents),
+per_doc AS (
+  SELECT doc_id, source, COUNT(*) AS n_grams,
+         CAST(SUM(CASE WHEN df >= (SELECT k FROM thr) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_boiler
+  FROM g JOIN dfreq USING (gram)
+  GROUP BY doc_id, source
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+       CAST(SUM(n_boiler) AS BIGINT) AS boiler_grams,
+       CAST(SUM(CAST(floor(CAST(n_boiler AS DOUBLE) / n_grams * 1073741824)
+                     AS BIGINT)) AS DOUBLE)
+         / 1073741824.0 / COUNT(*) AS avg_boiler_ratio
+FROM per_doc GROUP BY source
+"""
+
+
+def _boilerplate_sql() -> str:
+    from blog_snapshotbackup_azuredatalake_spark.operators.dedup import (
+        _SQL_GRAM_HASHES,
+        _SQL_TOKH,
+    )
+
+    return _BOILER_SQL_T.format(
+        grams=_SQL_GRAM_HASHES,
+        tokh=_SQL_TOKH,
+        min_df=BOILER_MIN_DF,
+        divisor=BOILER_DF_DIVISOR,
+    )
+
+
+# ---------------------------------------------------------------------------
 # windowed token co-occurrence (the GloVe matrix build)
 # ---------------------------------------------------------------------------
 
@@ -1567,6 +1681,7 @@ QUERIES = {
     "text_char_diversity": text_char_diversity,
     "text_cooccurrence": text_cooccurrence,
     "text_gram_novelty": text_gram_novelty,
+    "text_boilerplate": text_boilerplate,
     "text_perplexity_filter": text_perplexity_filter,
     "text_repetition": text_repetition,
     "text_compress_quality": text_compress_quality,
@@ -1587,6 +1702,7 @@ ORACLES = {
     "text_char_diversity": _CHAR_DIVERSITY_SQL,
     "text_cooccurrence": _COOC_SQL,
     "text_gram_novelty": _gram_novelty_sql(),
+    "text_boilerplate": _boilerplate_sql(),
     "text_perplexity_filter": _PERPLEXITY_FILTER_SQL,
     "text_repetition": _REPETITION_SQL,
     "text_ngram_lm": _NGRAM_LM_SQL,

@@ -1063,6 +1063,61 @@ FROM j
 """
 
 
+def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsample to hourly OHLC bars (open/high/low/close +
+    exact average) per event type — the classic hypertable rollup every
+    monitoring store ships. The scale-critical choice is ``min_by`` /
+    ``max_by`` with a (ts, event_id) struct key instead of a
+    ``row_number`` window: a window that exists only to pick one row per
+    key sorts the whole relation (super-linear under spill), while the
+    argmax aggregate is a hash agg with map-side partials — the raw
+    table meets exactly ONE shuffle (SURVEY.md §6 "argmax in
+    disguise"). event_id breaks ts ties so the pick is deterministic.
+    open/high/low/close carry raw parquet doubles (no arithmetic →
+    bit-portable); the average is a DECIMAL-exact sum divided once at
+    the end (§4)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(f"(ts div 1000) div {_HOUR_US}").cast("bigint").alias("hr"),
+        "event_type",
+        "event_id",
+        F.col("ts").alias("tsn"),
+        F.col("value").alias("val"),
+        F.col("value").cast("decimal(18,6)").alias("dval"),
+    )
+    return ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min_by("val", F.struct("tsn", "event_id")).alias("open_val"),
+        F.max_by("val", F.struct("tsn", "event_id")).alias("close_val"),
+        F.max("val").alias("high_val"),
+        F.min("val").alias("low_val"),
+        (F.sum("dval").cast("double") / F.count(F.lit(1))).alias("avg_val"),
+    )
+
+
+_Q_OHLC_SQL = f"""
+WITH ev AS (
+  SELECT CAST(epoch_ns(ts) // 1000 // {_HOUR_US} AS BIGINT) AS hr,
+         event_type, value AS val,
+         CAST(value AS DECIMAL(18,6)) AS dval,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type, epoch_ns(ts) // 1000 // {_HOUR_US}
+           ORDER BY epoch_ns(ts), event_id) AS rn_a,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type, epoch_ns(ts) // 1000 // {_HOUR_US}
+           ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, hr,
+       COUNT(*) AS n_events,
+       MAX(CASE WHEN rn_a = 1 THEN val END) AS open_val,
+       MAX(CASE WHEN rn_d = 1 THEN val END) AS close_val,
+       MAX(val) AS high_val,
+       MIN(val) AS low_val,
+       CAST(SUM(dval) AS DOUBLE) / COUNT(*) AS avg_val
+FROM ev GROUP BY event_type, hr
+"""
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — the hand-picked subtotal list a report
     actually wants, cheaper than CUBE's full lattice: (priority ×
@@ -1104,6 +1159,7 @@ GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
 
 QUERIES = {
     "q_grouping_sets": q_grouping_sets,
+    "q_events_ohlc": q_events_ohlc,
     "q_revenue_yoy": q_revenue_yoy,
     "q_gap_fill": q_gap_fill,
     "q_events_continuous_agg": q_events_continuous_agg,
@@ -1128,6 +1184,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_events_ohlc": _Q_OHLC_SQL,
     "q_revenue_yoy": _Q_YOY_SQL,
     "q_gap_fill": _Q_GAP_FILL_SQL,
     "q_events_continuous_agg": _Q_CONT_AGG_SQL,

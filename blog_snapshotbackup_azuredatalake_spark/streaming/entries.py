@@ -642,7 +642,61 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bars: tumbling 10-minute open/high/low/close per
+    event type, maintained by the state store as the stream drains —
+    the continuously-materialized twin of ``q_events_ohlc``'s hourly
+    batch rollup. open/close are ``min_by``/``max_by`` argmax AGGREGATES
+    over a (ts, event_id) struct key, which matters doubly in
+    streaming: an argmax aggregate has an incremental merge (new batch
+    folds into per-window state in O(1) per row), whereas a rank-window
+    formulation is not a streaming aggregate at all. Watermarked,
+    complete-mode, availableNow drain ⇒ result ≡ the batch answer over
+    the same input (the exactly-once contract the oracle checks)."""
+    events = load_table(spark, sf_dir, "events")
+    work = scratch_dir("stream_ohlc_")
+    src = f"{work}/events_src"
+    events.coalesce(DEMO_STATE_PARTITIONS).write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    with_ts = stream.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    agg = (
+        with_ts.withWatermark("event_time", "30 minutes")
+        .groupBy(F.window("event_time", "10 minutes"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min_by("value", F.struct("ts", "event_id")).alias("open_val"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("close_val"),
+            F.max("value").alias("high_val"),
+            F.min("value").alias("low_val"),
+        )
+    )
+    name = f"ohlc_{uuid.uuid4().hex[:8]}"
+    with demo_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_micros("window.start").alias("window_start_us"),
+        F.unix_micros("window.end").alias("window_end_us"),
+        "event_type",
+        "n_events",
+        "open_val",
+        "close_val",
+        "high_val",
+        "low_val",
+    )
+
+
 QUERIES = {
+    "stream_ohlc": stream_ohlc,
     "stream_topk_per_window": stream_topk_per_window,
     "stream_late_drop": stream_late_drop,
     "stream_ivm": stream_ivm,
@@ -742,6 +796,32 @@ FROM ev JOIN dim USING (user_id)
 """
 
 
+# stream_ohlc: same drained-≡-batch contract as stream_windowed_agg.
+# O/H/L/C carry raw parquet doubles (no arithmetic), ties on the argmax
+# key broken by event_id — bit-portable without any fixed-point step.
+_STREAM_OHLC_SQL = f"""
+WITH ev AS (
+  SELECT (epoch_ns(ts) // 1000) AS ts_us, event_type, value AS val,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type, epoch_ns(ts) // 1000 // {_WINDOW_US}
+           ORDER BY epoch_ns(ts), event_id) AS rn_a,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type, epoch_ns(ts) // 1000 // {_WINDOW_US}
+           ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT (ts_us // {_WINDOW_US}) * {_WINDOW_US} AS window_start_us,
+       (ts_us // {_WINDOW_US}) * {_WINDOW_US} + {_WINDOW_US}
+         AS window_end_us,
+       event_type, COUNT(*) AS n_events,
+       MAX(CASE WHEN rn_a = 1 THEN val END) AS open_val,
+       MAX(CASE WHEN rn_d = 1 THEN val END) AS close_val,
+       MAX(val) AS high_val,
+       MIN(val) AS low_val
+FROM ev GROUP BY 1, 2, 3
+"""
+
+
 def _oracles() -> dict[str, str]:
     from blog_snapshotbackup_azuredatalake_spark.operators.sketch import (
         _HIST_QUANTILE_SQL,
@@ -753,6 +833,7 @@ def _oracles() -> dict[str, str]:
     )
 
     return {
+        "stream_ohlc": _STREAM_OHLC_SQL,
         "stream_windowed_agg": _STREAM_WINDOWED_SQL,
         "stream_topk_per_window": f"""
 WITH agg AS ({_STREAM_WINDOWED_SQL})

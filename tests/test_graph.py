@@ -216,3 +216,22 @@ def test_community_lpa_covers_every_node_once(spark):
     sizes = Counter(r["community"] for r in out)
     for r in out:
         assert r["community_size"] == sizes[r["community"]]
+
+
+def test_degree_stats_matches_oracle(spark, ddb):
+    df = graph.graph_degree_stats(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, graph.ORACLES["graph_degree_stats"])
+
+
+def test_degree_stats_accounts_for_every_edge_endpoint(spark):
+    rows = graph.graph_degree_stats(spark, SF_DIR).collect()
+    e0 = graph._copurchase_edges(spark, SF_DIR)
+    n_edges = e0.count()
+    # every endpoint lands in exactly one bucket: Σ sum_deg = 2m
+    assert sum(r["sum_deg"] for r in rows) == 2 * n_edges
+    # shares are ppm truncations: they sum to ≤ 1e6 within bucket-count
+    total_ppm = sum(r["share_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) <= total_ppm <= 1_000_000
+    for r in rows:
+        assert len(str(r["min_deg"])) == r["bucket"]
+        assert len(str(r["max_deg"])) == r["bucket"]

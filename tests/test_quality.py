@@ -187,3 +187,19 @@ def test_dq_uniqueness_flags_injected_duplicates(spark, tmp_path):
         for r in quality.dq_uniqueness(spark, dst).collect()
     }
     assert rows["orders"]["n_dup_rows"] == 5
+
+
+def test_dq_mad_outlier_matches_oracle(spark, ddb):
+    df = quality.dq_mad_outlier(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, quality.ORACLES["dq_mad_outlier"])
+
+
+def test_dq_mad_outlier_fences_are_robust(spark):
+    rows = quality.dq_mad_outlier(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_outliers"] < r["n_orders"] // 2  # 50% breakdown point
+        assert r["mad_cents"] <= r["max_abs_dev"]
+        # integer-cents medians interpolate on exact binary fractions
+        assert (r["med_cents"] * 2) == int(r["med_cents"] * 2)
+        assert (r["mad_cents"] * 4) == int(r["mad_cents"] * 4)

@@ -192,3 +192,30 @@ def test_char_diversity_flags_char_flood(spark):
     by_id = {r["doc_id"]: r["fp"] for r in scored}
     assert by_id[1] == 0
     assert by_id[2] > text.DIVERSITY_LOW_FP
+
+
+def test_boilerplate_mass_bounded_and_threshold_scales(spark):
+    rows = text.text_boilerplate(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["boiler_grams"] <= r["total_grams"]
+        assert 0.0 <= r["avg_boiler_ratio"] <= 1.0
+    # parity against a direct recompute of the df-threshold semantics
+    # (at sf0.001 no gram clears the threshold — zero boilerplate must
+    # mean max df is genuinely below k, not a broken join)
+    from pyspark.sql import functions as F
+    from blog_snapshotbackup_azuredatalake_spark.operators.dedup import (
+        grams_for,
+    )
+    from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    k = max(text.BOILER_MIN_DF, docs.count() // text.BOILER_DF_DIVISOR)
+    g = grams_for(docs).localCheckpoint(eager=True).select(
+        "doc_id", F.explode("sh").alias("gram")
+    )
+    dfreq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    expected = g.join(dfreq, "gram").filter(F.col("df") >= k).count()
+    assert sum(r["boiler_grams"] for r in rows) == expected

@@ -1873,7 +1873,127 @@ GROUP BY d.label
 """
 
 
+# corpus_version_diff's deterministic v2 mutation (the snap_diff pattern
+# applied to the corpus): these three integer rules ARE the spec, shared
+# verbatim with the oracle.
+_CVD_REMOVE_MOD, _CVD_CHANGE_MOD, _CVD_ADD_MOD = 17, 11, 13
+_CVD_ADD_OFFSET = 10_000_000
+
+
+def _documents_v2(docs: DataFrame) -> DataFrame:
+    """Next corpus version: drop ids ≡0 (mod {remove}), append ' edited'
+    to ids ≡3 (mod {change}), and add a shortened copy of ids ≡1
+    (mod {add}) under id+offset — adds, removes, AND changes, per
+    source, so the diff exercises every branch."""
+    kept = docs.filter(F.col("doc_id") % _CVD_REMOVE_MOD != 0)
+    changed = kept.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % _CVD_CHANGE_MOD == 3,
+            F.concat(F.col("text"), F.lit(" edited")),
+        ).otherwise(F.col("text")),
+    )
+    added = docs.filter(F.col("doc_id") % _CVD_ADD_MOD == 1).select(
+        (F.col("doc_id") + _CVD_ADD_OFFSET).alias("doc_id"),
+        F.substring("text", 1, 200).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return changed.unionByName(added)
+
+
+def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version report — what changed between corpus v1 and v2,
+    at the grain a training-data owner reviews before re-training: per
+    source, docs added / removed / changed / unchanged plus the
+    whitespace-token mass delta. The diff is a full-outer join of
+    (doc_id, text-hash, token-count) manifests — hashes and counts
+    shuffle, the text never does (the snap_diff discipline applied to
+    the corpus); everything downstream of the join is one per-source
+    agg. At 100 TB the wire cost is |catalog|, not |corpus|."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def manifest(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            "source",
+            F.md5("text").alias("h"),
+            F.size(F.split("text", " ")).cast("bigint").alias("toks"),
+        )
+
+    a = manifest(docs).alias("a")
+    b = manifest(_documents_v2(docs)).alias("b")
+    j = a.join(b, "doc_id", "full_outer").select(
+        F.coalesce(F.col("a.source"), F.col("b.source")).alias("source"),
+        F.when(F.col("a.h").isNull(), F.lit("added"))
+        .when(F.col("b.h").isNull(), F.lit("removed"))
+        .when(F.col("a.h") != F.col("b.h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+        (
+            F.coalesce(F.col("b.toks"), F.lit(0))
+            - F.coalesce(F.col("a.toks"), F.lit(0))
+        ).alias("tok_delta"),
+    )
+    return j.groupBy("source").agg(
+        F.sum((F.col("change_type") == "added").cast("long")).alias(
+            "n_added"
+        ),
+        F.sum((F.col("change_type") == "removed").cast("long")).alias(
+            "n_removed"
+        ),
+        F.sum((F.col("change_type") == "changed").cast("long")).alias(
+            "n_changed"
+        ),
+        F.sum((F.col("change_type") == "unchanged").cast("long")).alias(
+            "n_unchanged"
+        ),
+        F.sum("tok_delta").alias("token_delta"),
+    )
+
+
+_VERSION_DIFF_SQL = f"""
+WITH v2 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % {_CVD_CHANGE_MOD} = 3
+              THEN text || ' edited' ELSE text END AS text
+  FROM documents WHERE doc_id % {_CVD_REMOVE_MOD} <> 0
+  UNION ALL
+  SELECT doc_id + {_CVD_ADD_OFFSET}, source, substr(text, 1, 200)
+  FROM documents WHERE doc_id % {_CVD_ADD_MOD} = 1
+),
+a AS (SELECT doc_id, source, md5(text) AS h,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      FROM documents),
+b AS (SELECT doc_id, source, md5(text) AS h,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      FROM v2),
+j AS (
+  SELECT COALESCE(a.source, b.source) AS source,
+         CASE WHEN a.h IS NULL THEN 'added'
+              WHEN b.h IS NULL THEN 'removed'
+              WHEN a.h <> b.h THEN 'changed'
+              ELSE 'unchanged' END AS change_type,
+         COALESCE(b.toks, 0) - COALESCE(a.toks, 0) AS tok_delta
+  FROM a FULL OUTER JOIN b USING (doc_id)
+)
+SELECT source,
+       CAST(SUM(CASE WHEN change_type = 'added' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_added,
+       CAST(SUM(CASE WHEN change_type = 'removed' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN change_type = 'changed' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_changed,
+       CAST(SUM(CASE WHEN change_type = 'unchanged' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unchanged,
+       CAST(SUM(tok_delta) AS BIGINT) AS token_delta
+FROM j GROUP BY source
+"""
+
+
 QUERIES = {
+    "corpus_version_diff": corpus_version_diff,
     "corpus_token_budget_plan": corpus_token_budget_plan,
     "emb_label_drift": emb_label_drift,
     "emb_outlier_zscore": emb_outlier_zscore,
@@ -1897,6 +2017,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_version_diff": _VERSION_DIFF_SQL,
     "corpus_token_budget_plan": _TOKEN_BUDGET_SQL,
     "emb_outlier_zscore": _EMB_OUTLIER_SQL,
     "corpus_decontaminate_semantic": _decontaminate_semantic_sql(),

@@ -674,6 +674,71 @@ SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
 """
 
 
+BFS_HOPS = 3
+BFS_SEED_MOD = 100  # seed set = parts whose id ≡ 0 mod this
+
+
+def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-hop BFS from a seed set over the co-purchase graph —
+    the blast-radius / influence-reach primitive (recall expansion from
+    labeled seeds, contamination spread from flagged nodes). Frontier
+    expansion is {BFS_HOPS} unrolled rounds of one edge join + per-node
+    min-distance fold (map-side combinable), lineage cut per round —
+    the `connected_components` loop shape, every stage edge-list-sized.
+    Output is the distance census (nodes at hop 0..{BFS_HOPS}, plus a
+    dist=-1 row for the unreached remainder), so the result is
+    O(hops) rows regardless of graph size. Oracle: recursive CTE with
+    UNION-dedup on (node, dist) pairs, min-dist folded at the end."""
+    e0 = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    sym = e0.select(
+        F.col("u").alias("s"), F.col("v").alias("d")
+    ).unionByName(e0.select(F.col("v").alias("s"), F.col("u").alias("d")))
+    nodes = sym.select(F.col("s").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    labels = nodes.filter(F.col("node") % BFS_SEED_MOD == 0).select(
+        "node", F.lit(0).cast("int").alias("dist")
+    )
+    for _ in range(BFS_HOPS):
+        nxt = sym.join(labels, sym.s == labels.node).select(
+            F.col("d").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        labels = (
+            labels.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("dist").cast("int").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    census = labels.groupBy("dist").agg(F.count(F.lit(1)).alias("n_nodes"))
+    unreached = (
+        nodes.join(labels, "node", "left_anti")
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(F.lit(-1).cast("int").alias("dist"), "n_nodes")
+    )
+    return census.unionByName(unreached).filter(F.col("n_nodes") > 0)
+
+
+_BFS_REACH_SQL = f"""
+WITH RECURSIVE {_COPURCHASE_SQL},
+sym AS (SELECT u AS s, v AS d FROM e0 UNION ALL SELECT v, u FROM e0),
+nodes AS (SELECT DISTINCT s AS node FROM sym),
+reach(node, dist) AS (
+  SELECT node, 0 FROM nodes WHERE node % {BFS_SEED_MOD} = 0
+  UNION
+  SELECT sym.d, r.dist + 1 FROM reach r JOIN sym ON sym.s = r.node
+  WHERE r.dist < {BFS_HOPS}
+),
+best AS (SELECT node, MIN(dist) AS dist FROM reach GROUP BY node),
+census AS (SELECT CAST(dist AS INT) AS dist, COUNT(*) AS n_nodes
+           FROM best GROUP BY dist
+           UNION ALL
+           SELECT -1, (SELECT COUNT(*) FROM nodes)
+                      - (SELECT COUNT(*) FROM best))
+SELECT dist, n_nodes FROM census WHERE n_nodes > 0
+"""
+
+
 def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-distribution histogram of the co-purchase graph — the
     skew census you run BEFORE committing to any join strategy on a
@@ -815,6 +880,7 @@ QUERIES = {
     "graph_link_predict": graph_link_predict,
     "graph_triangle_count": graph_triangle_count,
     "graph_degree_stats": graph_degree_stats,
+    "graph_bfs_reach": graph_bfs_reach,
     "graph_community_lpa": graph_community_lpa,
 }
 ORACLES = {
@@ -824,5 +890,6 @@ ORACLES = {
     "graph_link_predict": _link_predict_sql(),
     "graph_triangle_count": _TRIANGLE_SQL,
     "graph_degree_stats": _DEGREE_STATS_SQL,
+    "graph_bfs_reach": _BFS_REACH_SQL,
     "graph_community_lpa": _lpa_sql(),
 }

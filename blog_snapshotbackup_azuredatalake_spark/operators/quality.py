@@ -852,6 +852,62 @@ _DQ_UNIQUENESS_SQL = "\nUNION ALL\n".join(
 )
 
 
+_HOUR_US = 3_600 * 1_000_000
+# a uniform load spreads 1e6/24 ≈ 41 666 ppm per hour-of-day cell; flag
+# cells outside [½×, 1½×] uniform
+_HOD_LO_PPM = 1_000_000 // 24 // 2
+_HOD_HI_PPM = 3 * 1_000_000 // 24 // 2
+
+
+def dq_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal load profile: per (event type, hour-of-day) event share
+    in integer ppm, with cells flagged when they deviate from uniform
+    by more than ±50% — the diurnal-pattern baseline that tells an
+    ingestion monitor whether a quiet hour is normal seasonality or a
+    pipeline stall (and sizes per-hour capacity). One groupBy over the
+    raw table; the per-type share window runs on ≤ 24·|types| cells.
+    Pure integer arithmetic end-to-end — no doubles to diverge."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.expr(f"(ts div 1000) div {_HOUR_US}") % 24).alias("hod"),
+    )
+    cells = ev.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return cells.select(
+        "event_type",
+        F.col("hod").cast("int").alias("hod"),
+        "n_events",
+        F.expr(
+            "n_events * 1000000 div sum(n_events)"
+            " over (partition by event_type)"
+        ).alias("share_ppm"),
+    ).withColumn(
+        "skew_flag",
+        (F.col("share_ppm") < _HOD_LO_PPM)
+        | (F.col("share_ppm") > _HOD_HI_PPM),
+    )
+
+
+_DQ_HOURLY_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST((epoch_ns(ts) // 1000 // {_HOUR_US}) % 24 AS INT) AS hod
+  FROM events
+),
+cells AS (SELECT event_type, hod, COUNT(*) AS n_events
+          FROM ev GROUP BY event_type, hod)
+SELECT event_type, hod, n_events,
+       CAST(n_events * 1000000 // SUM(n_events)
+              OVER (PARTITION BY event_type) AS BIGINT) AS share_ppm,
+       (n_events * 1000000 // SUM(n_events) OVER (PARTITION BY event_type)
+          < {_HOD_LO_PPM}
+        OR n_events * 1000000 // SUM(n_events)
+             OVER (PARTITION BY event_type) > {_HOD_HI_PPM}) AS skew_flag
+FROM cells
+"""
+
+
 # robust-statistics consistency scale: 1/Φ⁻¹(3/4), the factor that makes
 # MAD a consistent σ estimator under normality. Computed ONCE here and
 # embedded verbatim in the oracle so both engines parse the identical
@@ -932,6 +988,7 @@ GROUP BY d.o_orderpriority
 
 
 QUERIES = {
+    "dq_hourly_profile": dq_hourly_profile,
     "dq_mad_outlier": dq_mad_outlier,
     "dq_uniqueness": dq_uniqueness,
     "dq_freshness": dq_freshness,
@@ -947,6 +1004,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dq_hourly_profile": _DQ_HOURLY_SQL,
     "dq_mad_outlier": _DQ_MAD_SQL,
     "dq_uniqueness": _DQ_UNIQUENESS_SQL,
     "dq_freshness": _DQ_FRESHNESS_SQL,

@@ -271,11 +271,76 @@ SELECT (SELECT COUNT(DISTINCT day) FROM days) AS partitions_total,
 """
 
 
+_RT_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+_RT_SCHEMA = (
+    "c_custkey bigint, c_name string, c_nationkey int, "
+    "c_acctbal double, c_mktsegment string"
+)
+
+
+def snap_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interchange-format round-trip certificate: export `customer` to
+    CSV (header) and JSON-lines, read each back with an EXPLICIT schema
+    (inference on a 100 TB export is a full extra scan — and a schema
+    drift landmine), and emit per-format (row count, order-insensitive
+    bit_xor content checksum). The oracle computes the same two numbers
+    straight from the parquet source — so a lossy hop (float repr
+    truncation, quoting damage, type coercion) mismatches the driver
+    gate rather than silently corrupting the export. The checksum
+    stages are count+xor aggregates: four numbers cross the wire per
+    format, never the data."""
+    from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
+        load_table,
+    )
+
+    src = load_table(spark, sf_dir, "customer").select(*_RT_COLS)
+    work = scratch_dir("fmt_roundtrip_")
+    src.write.option("header", True).mode("overwrite").csv(f"{work}/csv")
+    src.write.mode("overwrite").json(f"{work}/jsonl")
+    back = {
+        "csv": spark.read.schema(_RT_SCHEMA)
+        .option("header", True)
+        .csv(f"{work}/csv"),
+        "jsonl": spark.read.schema(_RT_SCHEMA).json(f"{work}/jsonl"),
+    }
+
+    def cert(fmt: str, df: DataFrame) -> DataFrame:
+        return (
+            df.select(row_hash_int(*_RT_COLS).alias("h"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.expr("bit_xor(h)").alias("xor_checksum"),
+            )
+            .select(F.lit(fmt).alias("fmt"), "n_rows", "xor_checksum")
+        )
+
+    return cert("csv", back["csv"]).unionByName(cert("jsonl", back["jsonl"]))
+
+
+def _format_roundtrip_sql() -> str:
+    from blog_snapshotbackup_azuredatalake_spark.functions.hashing import (
+        sql_row_hash,
+    )
+
+    h = f"cast(concat('0x', substr({sql_row_hash(_RT_COLS)}, 1, 15)) as bigint)"
+    return f"""
+WITH base AS (
+  SELECT COUNT(*) AS n_rows, bit_xor(h) AS xor_checksum
+  FROM (SELECT {h} AS h FROM customer)
+)
+SELECT 'csv' AS fmt, n_rows, xor_checksum FROM base
+UNION ALL
+SELECT 'jsonl' AS fmt, n_rows, xor_checksum FROM base
+"""
+
+
 QUERIES = {
     "snap_copy_roundtrip": snap_copy_roundtrip,
     "snap_partitioned_prune": snap_partitioned_prune,
+    "snap_format_roundtrip": snap_format_roundtrip,
 }
 ORACLES: dict[str, str] = {
     # snap_copy_roundtrip rows-only: writes files, then reports on them
     "snap_partitioned_prune": _PARTITION_PRUNE_SQL,
+    "snap_format_roundtrip": _format_roundtrip_sql(),
 }

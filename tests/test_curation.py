@@ -232,3 +232,26 @@ def test_label_drift_planted_shift_dominates(spark, tmp_path):
     assert rows[1]["drift_sq_fp2"] > rows[0]["drift_sq_fp2"]
     assert rows[1]["top_dim"] == 7
     assert rows[1]["top_dim_drift_fp"] > 0  # shifted above the corpus mean
+
+
+def test_version_diff_branches_all_exercised_and_consistent(spark):
+    rows = curation.corpus_version_diff(spark, SF_DIR).collect()
+    assert rows
+    tot = {
+        k: sum(r[k] for r in rows)
+        for k in ("n_added", "n_removed", "n_changed", "n_unchanged")
+    }
+    # the mutation rules guarantee every branch fires somewhere
+    assert all(v > 0 for v in tot.values())
+    from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n_v1 = docs.count()
+    assert tot["n_removed"] + tot["n_changed"] + tot["n_unchanged"] == n_v1
+    n_v2 = curation._documents_v2(docs).count()
+    assert tot["n_added"] + tot["n_changed"] + tot["n_unchanged"] == n_v2
+    # added docs are truncated copies; removals drop whole docs → the
+    # corpus can only lose token mass overall under this mutation
+    assert sum(r["token_delta"] for r in rows) < 0

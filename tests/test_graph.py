@@ -235,3 +235,25 @@ def test_degree_stats_accounts_for_every_edge_endpoint(spark):
     for r in rows:
         assert len(str(r["min_deg"])) == r["bucket"]
         assert len(str(r["max_deg"])) == r["bucket"]
+
+
+def test_bfs_reach_matches_oracle(spark, ddb):
+    df = graph.graph_bfs_reach(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, graph.ORACLES["graph_bfs_reach"])
+
+
+def test_bfs_census_is_total_and_monotone_from_seeds(spark):
+    rows = {r["dist"]: r["n_nodes"] for r in graph.graph_bfs_reach(spark, SF_DIR).collect()}
+    e0 = graph._copurchase_edges(spark, SF_DIR)
+    from pyspark.sql import functions as F
+
+    nodes = (
+        e0.select(F.col("u").alias("n"))
+        .unionByName(e0.select(F.col("v").alias("n")))
+        .distinct()
+    )
+    n_total = nodes.count()
+    n_seeds = nodes.filter(F.col("n") % graph.BFS_SEED_MOD == 0).count()
+    assert sum(rows.values()) == n_total  # census covers every node once
+    assert rows.get(0, 0) == n_seeds
+    assert all(d in range(-1, graph.BFS_HOPS + 1) for d in rows)

@@ -203,3 +203,24 @@ def test_dq_mad_outlier_fences_are_robust(spark):
         # integer-cents medians interpolate on exact binary fractions
         assert (r["med_cents"] * 2) == int(r["med_cents"] * 2)
         assert (r["mad_cents"] * 4) == int(r["mad_cents"] * 4)
+
+
+def test_dq_hourly_profile_matches_oracle(spark, ddb):
+    df = quality.dq_hourly_profile(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, quality.ORACLES["dq_hourly_profile"])
+
+
+def test_dq_hourly_profile_shares_partition_per_type(spark):
+    rows = quality.dq_hourly_profile(spark, SF_DIR).collect()
+    by_type = {}
+    for r in rows:
+        assert 0 <= r["hod"] <= 23
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, cells in by_type.items():
+        tot = sum(c["share_ppm"] for c in cells)
+        assert 1_000_000 - len(cells) <= tot <= 1_000_000
+        for c in cells:
+            expected = (c["share_ppm"] < quality._HOD_LO_PPM) or (
+                c["share_ppm"] > quality._HOD_HI_PPM
+            )
+            assert c["skew_flag"] == expected

@@ -121,3 +121,20 @@ def test_copy_roundtrip_entry(spark):
     assert all(r["verified"] for r in rows)
     total = sum(r["n_rows"] for r in rows)
     assert total == load_table(spark, SF_DIR, "orders").count()
+
+
+def test_format_roundtrip_matches_oracle(spark, ddb):
+    from blog_snapshotbackup_azuredatalake_spark.sources import sinks
+    from tests.conftest import assert_matches_oracle
+
+    df = sinks.snap_format_roundtrip(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, sinks.ORACLES["snap_format_roundtrip"])
+
+
+def test_format_roundtrip_formats_agree(spark):
+    from blog_snapshotbackup_azuredatalake_spark.sources import sinks
+
+    rows = {r["fmt"]: r for r in sinks.snap_format_roundtrip(spark, SF_DIR).collect()}
+    assert set(rows) == {"csv", "jsonl"}
+    assert rows["csv"]["n_rows"] == rows["jsonl"]["n_rows"] > 0
+    assert rows["csv"]["xor_checksum"] == rows["jsonl"]["xor_checksum"]

@@ -130,6 +130,75 @@ FROM comp JOIN sizes USING (cluster_id)
 """
 
 
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size census over the near-dup graph — the one-page
+    answer to "how much of my corpus is duplicates, and in what
+    shape": for each cluster size, how many clusters, how many docs
+    they hold, and how many are redundant (removable by keep-one
+    dedup). Size-1 row = the unclustered remainder, derived from the
+    corpus count minus the clustered mass (CC only materializes nodes
+    that have edges). Everything after the CC fold runs on
+    cluster-count-sized data; the census itself is ≤ max-cluster-size
+    rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(
+        minhash_pairs(grams_for(docs).localCheckpoint(eager=True))
+    )
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    census = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+    tot = docs.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    cl_sum = census.groupBy().agg(
+        F.coalesce(
+            F.sum(F.expr("cluster_size * n_clusters")), F.lit(0)
+        ).alias("n_clustered")
+    )
+    singles = tot.crossJoin(cl_sum).select(
+        F.lit(1).cast("bigint").alias("cluster_size"),
+        (F.col("n_total") - F.col("n_clustered")).alias("n_clusters"),
+    )
+    return (
+        census.unionByName(singles)
+        .groupBy("cluster_size")
+        .agg(F.sum("n_clusters").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            F.expr("cluster_size * n_clusters").alias("n_docs"),
+            F.expr("(cluster_size - 1) * n_clusters").alias("n_redundant"),
+        )
+    )
+
+
+_CLUSTER_SIZES_SQL = f"""
+WITH RECURSIVE {sql_minhash_pair_ctes()},
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         FROM reach GROUP BY src),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+          FROM comp GROUP BY cluster_id),
+census AS (SELECT cluster_size, COUNT(*) AS n_clusters
+           FROM sizes GROUP BY cluster_size
+           UNION ALL
+           SELECT 1, (SELECT COUNT(*) FROM documents)
+                     - (SELECT COALESCE(SUM(cluster_size), 0) FROM sizes))
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(SUM(n_clusters) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size * n_clusters) AS BIGINT) AS n_docs,
+       CAST(SUM((cluster_size - 1) * n_clusters) AS BIGINT) AS n_redundant
+FROM census GROUP BY cluster_size
+"""
+
+
 def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split: the unit of assignment is the
     NEAR-DUP CLUSTER, not the document. A doc-keyed hash split
@@ -874,6 +943,7 @@ JOIN (SELECT label, COUNT(*) AS community_size FROM {last} GROUP BY label) s
 
 QUERIES = {
     "dedup_cluster_cc": dedup_cluster_cc,
+    "dedup_cluster_sizes": dedup_cluster_sizes,
     "corpus_split_leakage_safe": corpus_split_leakage_safe,
     "dedup_keep_best": dedup_keep_best,
     "graph_pagerank": graph_pagerank,
@@ -885,6 +955,7 @@ QUERIES = {
 }
 ORACLES = {
     "dedup_cluster_cc": _CLUSTER_CC_SQL,
+    "dedup_cluster_sizes": _CLUSTER_SIZES_SQL,
     "corpus_split_leakage_safe": _leakage_safe_sql(),
     "dedup_keep_best": _keep_best_sql(),
     "graph_link_predict": _link_predict_sql(),

@@ -1634,7 +1634,86 @@ FROM merged GROUP BY state_a, state_b, outcome
 """
 
 
+# per-class row TTLs (days): hot interaction events expire fast, audit
+# classes live longer. The CASE rule is the policy — shared with the oracle.
+_TTL_DAYS = {"click": 30, "view": 60}
+_TTL_DEFAULT_DAYS = 90
+_DAY_US = 86_400 * 1_000_000
+
+
+def snap_ttl_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level TTL enforcement plan — the third retention granularity
+    next to version-level ``snap_retention`` and file-level
+    ``snap_vacuum``: each event CLASS carries its own time-to-live
+    (clicks 30 d, views 60 d, default 90 d), measured back from the
+    lake's own max event time (so the plan is deterministic and
+    re-runnable, not wall-clock-dependent). Emits the per-class purge
+    certificate: totals, purged/kept counts, the cutoff applied, and
+    the oldest surviving timestamp (must be ≥ cutoff — the invariant a
+    GDPR/retention audit checks). Two linear scans: one row for the
+    global max (broadcast back as a one-row join), one counting pass;
+    nothing row-count-sized crosses the wire. At 100 TB the same plan
+    prunes day-partitions wholesale before touching row groups."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("ts div 1000").alias("ts_us")
+    )
+    gmax = ev.groupBy().agg(F.max("ts_us").alias("gmax_us"))
+    ttl_days = F.when(
+        F.col("event_type") == "click", F.lit(_TTL_DAYS["click"])
+    ).when(
+        F.col("event_type") == "view", F.lit(_TTL_DAYS["view"])
+    ).otherwise(F.lit(_TTL_DEFAULT_DAYS))
+    with_cut = ev.crossJoin(F.broadcast(gmax)).select(
+        "event_type",
+        "ts_us",
+        ttl_days.cast("int").alias("ttl_days"),
+        (
+            F.col("gmax_us") - ttl_days.cast("bigint") * _DAY_US
+        ).alias("cutoff_us"),
+    )
+    return with_cut.groupBy("event_type", "ttl_days", "cutoff_us").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum((F.col("ts_us") < F.col("cutoff_us")).cast("long")).alias(
+            "n_purged"
+        ),
+        F.sum((F.col("ts_us") >= F.col("cutoff_us")).cast("long")).alias(
+            "n_kept"
+        ),
+        F.min(
+            F.when(F.col("ts_us") >= F.col("cutoff_us"), F.col("ts_us"))
+        ).alias("min_kept_ts_us"),
+    )
+
+
+_SNAP_TTL_SQL = f"""
+WITH ev AS (
+  SELECT event_type, epoch_ns(ts) // 1000 AS ts_us FROM events
+),
+g AS (SELECT MAX(ts_us) AS gmax_us FROM ev),
+w AS (
+  SELECT event_type, ts_us,
+         CASE WHEN event_type = 'click' THEN {_TTL_DAYS["click"]}
+              WHEN event_type = 'view' THEN {_TTL_DAYS["view"]}
+              ELSE {_TTL_DEFAULT_DAYS} END AS ttl_days,
+         gmax_us - CASE WHEN event_type = 'click' THEN {_TTL_DAYS["click"]}
+                        WHEN event_type = 'view' THEN {_TTL_DAYS["view"]}
+                        ELSE {_TTL_DEFAULT_DAYS} END * {_DAY_US}
+           AS cutoff_us
+  FROM ev, g
+)
+SELECT event_type, CAST(ttl_days AS INT) AS ttl_days, cutoff_us,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN ts_us < cutoff_us THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purged,
+       CAST(SUM(CASE WHEN ts_us >= cutoff_us THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       MIN(CASE WHEN ts_us >= cutoff_us THEN ts_us END) AS min_kept_ts_us
+FROM w GROUP BY event_type, ttl_days, cutoff_us
+"""
+
+
 QUERIES = {
+    "snap_ttl_enforce": snap_ttl_enforce,
     "snap_branch_merge": snap_branch_merge,
     "snap_merge_upsert": snap_merge_upsert,
     "snap_scd2_history": snap_scd2_history,
@@ -1656,6 +1735,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "snap_ttl_enforce": _SNAP_TTL_SQL,
     "snap_branch_merge": _SNAP_BRANCH_MERGE_SQL,
     "snap_merge_upsert": _SNAP_MERGE_UPSERT_SQL,
     "snap_scd2_history": _SCD2_SQL,

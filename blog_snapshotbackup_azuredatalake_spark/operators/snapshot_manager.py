@@ -526,6 +526,58 @@ def snap_txn_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snap_txn_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic-concurrency certificate: two writers race on the same
+    base version; the log's atomic version claim must let exactly one
+    win, raise ``CommitConflict`` for the stale writer, and accept its
+    retry only after a re-read — the lost-update protection everything
+    else in the store assumes. The emitted history is fully determined
+    by the contract, so the oracle is the literal expected log: if the
+    conflict were NOT raised (interleaved commit, silent overwrite) the
+    row set changes and the driver gate goes red. Metadata-only: the
+    'table' here is the commit log itself."""
+    from blog_snapshotbackup_azuredatalake_spark.operators.txnlog import (
+        CommitConflict,
+        TransactionLog,
+    )
+
+    work = scratch_dir("txn_conflict_")
+    log = TransactionLog(work)
+    v0 = log.commit("init", [{"add": {"path": "base"}}])
+    log.commit("writer_a", [{"add": {"path": "a1"}}], read_version=v0)
+    n_conflicts = 0
+    try:
+        # writer B still believes v0 is HEAD — must NOT be accepted
+        log.commit("writer_b", [{"add": {"path": "b1"}}], read_version=v0)
+    except CommitConflict:
+        n_conflicts += 1
+        log.commit(
+            "writer_b_retry",
+            [{"add": {"path": "b1"}}],
+            read_version=log.latest_version(),
+        )
+    live = set(log.state().keys())
+    rows = [
+        (h["version"], h["op"], h["n_add"], n_conflicts)
+        for h in log.history()
+    ]
+    out = spark.createDataFrame(
+        rows, "version int, op string, n_add bigint, n_conflicts int"
+    )
+    return out.withColumn(
+        "all_live", F.lit(live == {"base", "a1", "b1"})
+    )
+
+
+_TXN_CONFLICT_SQL = """
+SELECT * FROM (VALUES
+  (0, 'init', CAST(1 AS BIGINT), 1, TRUE),
+  (1, 'writer_a', CAST(1 AS BIGINT), 1, TRUE),
+  (2, 'writer_b_retry', CAST(1 AS BIGINT), 1, TRUE)
+) AS t(version, op, n_add, n_conflicts, all_live)
+"""
+
+
 def snap_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orphan-file GC drill: run a snapshot lifecycle, then simulate the
     two classic failure leftovers — a writer that died after its data
@@ -725,10 +777,15 @@ FROM {src} WHERE o_orderkey % 10 = 0""")
 
 QUERIES = {
     "snap_txn_log": snap_txn_log,
+    "snap_txn_conflict": snap_txn_conflict,
     "snap_vacuum": snap_vacuum,
     "snap_clone": snap_clone,
     "snap_restore_drill": snap_restore_drill,
 }
 # the lifecycle ops stay rows-only (their result is filesystem
-# metadata); the restore drill's certificate IS SQL-derivable
-ORACLES: dict[str, str] = {"snap_restore_drill": _restore_drill_sql()}
+# metadata); the restore drill's certificate IS SQL-derivable, and the
+# conflict drill's history is fully pinned by the concurrency contract
+ORACLES: dict[str, str] = {
+    "snap_restore_drill": _restore_drill_sql(),
+    "snap_txn_conflict": _TXN_CONFLICT_SQL,
+}

@@ -264,6 +264,47 @@ FROM best
 """
 
 
+def dq_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-vs-label agreement audit: the confusion matrix
+    between the heuristic language ID and the corpus's labeled ``lang``
+    column, each cell with its within-label share (ppm) and match flag
+    — the audit you run before TRUSTING either side (a label pipeline
+    regression and a classifier drift look identical until you see
+    which rows of the matrix smeared). One narrow scan + one
+    |langs|²-cell groupBy; the share window runs on the matrix, not
+    the corpus."""
+    pred = text_langid(spark, sf_dir)
+    cells = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return cells.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n_docs",
+        F.expr(
+            "n_docs * 1000000 div sum(n_docs)"
+            " over (partition by labeled_lang)"
+        ).alias("label_share_ppm"),
+        (F.col("labeled_lang") == F.col("predicted_lang")).alias(
+            "is_match"
+        ),
+    )
+
+
+def _langid_agreement_sql() -> str:
+    return f"""
+WITH pred AS ({_langid_sql()}),
+cells AS (SELECT labeled_lang, predicted_lang, COUNT(*) AS n_docs
+          FROM pred GROUP BY labeled_lang, predicted_lang)
+SELECT labeled_lang, predicted_lang, n_docs,
+       CAST(n_docs * 1000000 // SUM(n_docs)
+              OVER (PARTITION BY labeled_lang) AS BIGINT)
+         AS label_share_ppm,
+       labeled_lang = predicted_lang AS is_match
+FROM cells
+"""
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: exact content md5 plus a winnowing-style
     minimum over token-5-gram hashes (robust to local edits — two docs
@@ -1682,6 +1723,7 @@ QUERIES = {
     "text_cooccurrence": text_cooccurrence,
     "text_gram_novelty": text_gram_novelty,
     "text_boilerplate": text_boilerplate,
+    "dq_langid_agreement": dq_langid_agreement,
     "text_perplexity_filter": text_perplexity_filter,
     "text_repetition": text_repetition,
     "text_compress_quality": text_compress_quality,
@@ -1703,6 +1745,7 @@ ORACLES = {
     "text_cooccurrence": _COOC_SQL,
     "text_gram_novelty": _gram_novelty_sql(),
     "text_boilerplate": _boilerplate_sql(),
+    "dq_langid_agreement": _langid_agreement_sql(),
     "text_perplexity_filter": _PERPLEXITY_FILTER_SQL,
     "text_repetition": _REPETITION_SQL,
     "text_ngram_lm": _NGRAM_LM_SQL,

@@ -501,6 +501,110 @@ SELECT (SELECT COUNT(*) FROM su) AS n_signup,
 """
 
 
+_MIN_US = 60 * 1_000_000
+_HOUR_LAT_US = 3_600 * 1_000_000
+_DAY_LAT_US = 24 * _HOUR_LAT_US
+
+
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency SLA report on top of the funnel: per stage
+    transition (signup→click, click→purchase), how long converting
+    users took — min/mean/max plus SLA buckets (<1 min, <1 h, <1 d).
+    Buckets instead of exact quantiles by design: integer threshold
+    counts are partial-aggregable (one map-side-combining shuffle) and
+    bit-portable, where a cross-engine quantile interpolation on
+    arbitrary µs gaps is the §4 divergence class. Same three
+    conditional-agg joins as ``q_events_funnel`` — per-user stage
+    timestamps, never a self-join of raw events."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+    )
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("ts_signup"))
+    )
+    click = (
+        ev.filter(F.col("event_type") == "click")
+        .join(signup, "user_id")
+        .filter(F.col("ts_us") > F.col("ts_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("ts_click"), F.min("ts_signup").alias("ts_signup_k"))
+    )
+    purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(click, "user_id")
+        .filter(F.col("ts_us") > F.col("ts_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("ts_purchase"), F.min("ts_click").alias("ts_click_k"))
+    )
+    lat1 = click.select(
+        F.lit("signup_to_click").alias("stage"),
+        (F.col("ts_click") - F.col("ts_signup_k")).alias("lat_us"),
+    )
+    lat2 = purchase.select(
+        F.lit("click_to_purchase").alias("stage"),
+        (F.col("ts_purchase") - F.col("ts_click_k")).alias("lat_us"),
+    )
+    return (
+        lat1.unionByName(lat2)
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("lat_us").alias("min_us"),
+            F.max("lat_us").alias("max_us"),
+            F.expr("sum(lat_us) div count(1)").alias("avg_us"),
+            F.sum((F.col("lat_us") < _MIN_US).cast("long")).alias(
+                "n_lt_1m"
+            ),
+            F.sum((F.col("lat_us") < _HOUR_LAT_US).cast("long")).alias(
+                "n_lt_1h"
+            ),
+            F.sum((F.col("lat_us") < _DAY_LAT_US).cast("long")).alias(
+                "n_lt_1d"
+            ),
+        )
+    )
+
+
+_Q_FUNNEL_LATENCY_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type, (epoch_ns(ts) // 1000) AS ts_us
+  FROM events
+), su AS (
+  SELECT user_id, MIN(ts_us) AS ts_signup FROM ev
+  WHERE event_type = 'signup' GROUP BY user_id
+), cl AS (
+  SELECT e.user_id, MIN(e.ts_us) AS ts_click,
+         MIN(su.ts_signup) AS ts_signup_k
+  FROM ev e JOIN su USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts_us > su.ts_signup
+  GROUP BY e.user_id
+), pu AS (
+  SELECT e.user_id, MIN(e.ts_us) AS ts_purchase,
+         MIN(cl.ts_click) AS ts_click_k
+  FROM ev e JOIN cl USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts_us > cl.ts_click
+  GROUP BY e.user_id
+), lat AS (
+  SELECT 'signup_to_click' AS stage, ts_click - ts_signup_k AS lat_us
+  FROM cl
+  UNION ALL
+  SELECT 'click_to_purchase', ts_purchase - ts_click_k FROM pu
+)
+SELECT stage, COUNT(*) AS n_users,
+       MIN(lat_us) AS min_us, MAX(lat_us) AS max_us,
+       CAST(SUM(lat_us) // COUNT(*) AS BIGINT) AS avg_us,
+       CAST(SUM(CASE WHEN lat_us < {_MIN_US} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lt_1m,
+       CAST(SUM(CASE WHEN lat_us < {_HOUR_LAT_US} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_lt_1h,
+       CAST(SUM(CASE WHEN lat_us < {_DAY_LAT_US} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_lt_1d
+FROM lat GROUP BY stage
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the user's latest prior click.
 
@@ -829,6 +933,7 @@ QUERIES = {
     "q_events_sessionize": q_events_sessionize,
     "q_events_rolling": q_events_rolling,
     "q_events_funnel": q_events_funnel,
+    "q_funnel_latency": q_funnel_latency,
     "q_asof_join": q_asof_join,
     "q14_promo_revenue": q14_promo_revenue,
     "q18_large_orders": q18_large_orders,
@@ -848,6 +953,7 @@ ORACLES = {
     "q_events_sessionize": _Q_SESSIONIZE_SQL,
     "q_events_rolling": _Q_ROLLING_SQL,
     "q_events_funnel": _Q_FUNNEL_SQL,
+    "q_funnel_latency": _Q_FUNNEL_LATENCY_SQL,
     "q_asof_join": _Q_ASOF_SQL,
     "q_asof_nearest": _Q_ASOF_NEAREST_SQL,
     "q14_promo_revenue": _Q14_SQL,

@@ -334,13 +334,77 @@ SELECT 'jsonl' AS fmt, n_rows, xor_checksum FROM base
 """
 
 
+_SE_MOD = 5  # v2 batch = orders with o_orderkey ≡ 0 (mod this)
+_SE_SCORE_MOD = 97  # deterministic new-column payload
+
+
+def snap_merge_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution certificate: a v2 batch lands with a NEW column
+    (`o_risk_score`) next to v1 files that lack it; the lake read must
+    merge footers (`mergeSchema`) and surface v1 rows with NULLs — the
+    append-a-column migration every long-lived table goes through.
+    Emits the one-row proof: total rows, v1/v2 row split by new-column
+    presence, merged field count, and the decimal-exact payload sum of
+    the new column. The oracle recomputes all five from the source
+    table and the two integer batch rules — a silent merge failure
+    (dropped column, misaligned rows, zero-filled NULLs) cannot pass.
+    mergeSchema is a footer-level merge: cost ∝ #files at planning
+    time, no data rewrite — exactly why it is the right evolution path
+    at 100 TB (rewriting history for a new column is not)."""
+    from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
+        load_table,
+    )
+
+    base_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders").select(*base_cols)
+    work = scratch_dir("schema_evolve_")
+    tgt = f"{work}/orders_evolving"
+    orders.write.parquet(tgt)
+    v2 = orders.filter(F.col("o_orderkey") % _SE_MOD == 0).withColumn(
+        "o_risk_score", (F.col("o_orderkey") % _SE_SCORE_MOD).cast("int")
+    )
+    v2.write.mode("append").parquet(tgt)
+    merged = spark.read.option("mergeSchema", "true").parquet(tgt)
+    n_fields = len(merged.columns)
+    return merged.groupBy().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_risk_score").alias("n_v2_rows"),
+        F.sum(F.col("o_risk_score").isNull().cast("long")).alias(
+            "n_v1_rows"
+        ),
+        F.coalesce(F.sum("o_risk_score"), F.lit(0)).alias("score_sum"),
+    ).select(
+        "n_rows",
+        "n_v1_rows",
+        "n_v2_rows",
+        "score_sum",
+        F.lit(n_fields).cast("int").alias("n_fields"),
+    )
+
+
+_SCHEMA_EVOLVE_SQL = f"""
+WITH v2 AS (
+  SELECT o_orderkey % {_SE_SCORE_MOD} AS o_risk_score
+  FROM orders WHERE o_orderkey % {_SE_MOD} = 0
+)
+SELECT (SELECT COUNT(*) FROM orders) + (SELECT COUNT(*) FROM v2) AS n_rows,
+       (SELECT COUNT(*) FROM orders) AS n_v1_rows,
+       (SELECT COUNT(*) FROM v2) AS n_v2_rows,
+       (SELECT CAST(COALESCE(SUM(o_risk_score), 0) AS BIGINT) FROM v2)
+         AS score_sum,
+       4 AS n_fields
+"""
+
+
 QUERIES = {
     "snap_copy_roundtrip": snap_copy_roundtrip,
     "snap_partitioned_prune": snap_partitioned_prune,
     "snap_format_roundtrip": snap_format_roundtrip,
+    "snap_merge_schema_evolve": snap_merge_schema_evolve,
 }
 ORACLES: dict[str, str] = {
     # snap_copy_roundtrip rows-only: writes files, then reports on them
     "snap_partitioned_prune": _PARTITION_PRUNE_SQL,
     "snap_format_roundtrip": _format_roundtrip_sql(),
+    "snap_merge_schema_evolve": _SCHEMA_EVOLVE_SQL,
 }

@@ -257,3 +257,26 @@ def test_bfs_census_is_total_and_monotone_from_seeds(spark):
     assert sum(rows.values()) == n_total  # census covers every node once
     assert rows.get(0, 0) == n_seeds
     assert all(d in range(-1, graph.BFS_HOPS + 1) for d in rows)
+
+
+def test_cluster_sizes_matches_oracle(spark, ddb):
+    df = graph.dedup_cluster_sizes(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, graph.ORACLES["dedup_cluster_sizes"])
+
+
+def test_cluster_sizes_census_is_total(spark):
+    from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = graph.dedup_cluster_sizes(spark, SF_DIR).collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+        assert r["n_redundant"] == (r["cluster_size"] - 1) * r["n_clusters"]
+    # census must agree with the per-doc cluster relation it summarizes
+    cc = graph.dedup_cluster_cc(spark, SF_DIR)
+    assert sum(r["n_redundant"] for r in rows) == cc.filter(
+        "NOT is_canonical"
+    ).count()

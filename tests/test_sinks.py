@@ -138,3 +138,20 @@ def test_format_roundtrip_formats_agree(spark):
     assert set(rows) == {"csv", "jsonl"}
     assert rows["csv"]["n_rows"] == rows["jsonl"]["n_rows"] > 0
     assert rows["csv"]["xor_checksum"] == rows["jsonl"]["xor_checksum"]
+
+
+def test_merge_schema_evolve_matches_oracle(spark, ddb):
+    from blog_snapshotbackup_azuredatalake_spark.sources import sinks
+    from tests.conftest import assert_matches_oracle
+
+    df = sinks.snap_merge_schema_evolve(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, sinks.ORACLES["snap_merge_schema_evolve"])
+
+
+def test_merge_schema_evolve_null_fills_v1(spark):
+    from blog_snapshotbackup_azuredatalake_spark.sources import sinks
+
+    r = sinks.snap_merge_schema_evolve(spark, SF_DIR).collect()[0]
+    assert r["n_rows"] == r["n_v1_rows"] + r["n_v2_rows"]
+    assert r["n_v2_rows"] > 0 and r["n_v1_rows"] > r["n_v2_rows"]
+    assert r["n_fields"] == 4

@@ -160,3 +160,16 @@ def test_branch_merge_key_conservation_and_conflicts(spark):
     assert clean_same and clean_same[0]["n_keys"] == max(
         r["n_keys"] for r in rows
     )
+
+
+def test_ttl_enforce_cutoffs_ordered_and_certified(spark):
+    rows = snapshot.snap_ttl_enforce(spark, SF_DIR).collect()
+    by_type = {r["event_type"]: r for r in rows}
+    assert by_type["click"]["ttl_days"] == 30
+    assert by_type["view"]["ttl_days"] == 60
+    for r in rows:
+        assert r["n_purged"] + r["n_kept"] == r["n_total"]
+        if r["min_kept_ts_us"] is not None:
+            assert r["min_kept_ts_us"] >= r["cutoff_us"]
+    # shorter TTL => later cutoff (measured back from the same max)
+    assert by_type["click"]["cutoff_us"] > by_type["view"]["cutoff_us"]

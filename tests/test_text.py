@@ -219,3 +219,20 @@ def test_boilerplate_mass_bounded_and_threshold_scales(spark):
     dfreq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     expected = g.join(dfreq, "gram").filter(F.col("df") >= k).count()
     assert sum(r["boiler_grams"] for r in rows) == expected
+
+
+def test_langid_agreement_diagonal_dominates(spark):
+    rows = text.dq_langid_agreement(spark, SF_DIR).collect()
+    diag = sum(r["n_docs"] for r in rows if r["is_match"])
+    total = sum(r["n_docs"] for r in rows)
+    # marker sets are arbitrary vocab slices (see test_langid_beats_chance)
+    # — the audit's job is a consistent matrix, not classifier quality
+    assert 0 < diag <= total == 500
+    for r in rows:
+        assert r["is_match"] == (r["labeled_lang"] == r["predicted_lang"])
+    per_label = {}
+    for r in rows:
+        per_label.setdefault(r["labeled_lang"], 0)
+        per_label[r["labeled_lang"]] += r["label_share_ppm"]
+    for lab, tot in per_label.items():
+        assert 1_000_000 - 25 <= tot <= 1_000_000

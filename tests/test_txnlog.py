@@ -99,3 +99,13 @@ def test_manager_compact_is_logged_and_lossless(spark, tmp_path):
     assert [h["op"] for h in hist] == ["snapshot", "compact"]
     # compact must not change which snapshots are live
     assert set(mgr.log.state()) == {"orders/snap_000000"}
+
+
+def test_txn_conflict_entry_matches_contract(spark, ddb):
+    from blog_snapshotbackup_azuredatalake_spark.operators import (
+        snapshot_manager as sm,
+    )
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    df = sm.snap_txn_conflict(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, sm.ORACLES["snap_txn_conflict"])

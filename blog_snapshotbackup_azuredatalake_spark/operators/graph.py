@@ -863,6 +863,73 @@ FROM agg
 """
 
 
+KCORE_K = 16
+KCORE_ROUNDS = 3
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling ({KCORE_ROUNDS} rounds at k={KCORE_K}):
+    repeatedly drop nodes whose CURRENT degree is below k — the
+    standard densest-region extractor (spam/bot ring detection, the
+    retention set for graph-based sampling). Each round is one degree
+    count + two semi-joins, all edge-list-sized, lineage cut per round;
+    emitted as the per-round shrink census (nodes, undirected edges
+    surviving), which is what you watch to pick k on a real graph.
+    Fixed round count makes the result well-defined data (full peeling
+    to fixpoint is value-identical once the census stops moving).
+    Oracle: the same rounds unrolled as SQL CTEs."""
+    e0 = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    sym = e0.select(
+        F.col("u").alias("s"), F.col("v").alias("d")
+    ).unionByName(e0.select(F.col("v").alias("s"), F.col("u").alias("d")))
+    rows = []
+    for rnd in range(1, KCORE_ROUNDS + 1):
+        deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+        keep = (
+            deg.filter(F.col("c") >= KCORE_K)
+            .select(F.col("s").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        sym = (
+            sym.join(keep, sym.s == keep.node)
+            .select("s", "d")
+            .join(
+                keep.select(F.col("node").alias("node_d")),
+                F.col("d") == F.col("node_d"),
+            )
+            .select("s", "d")
+            .localCheckpoint(eager=True)
+        )
+        rows.append((rnd, KCORE_K, keep.count(), sym.count() // 2))
+    return spark.createDataFrame(
+        rows, "round int, k int, n_nodes bigint, n_edges bigint"
+    )
+
+
+def _kcore_sql() -> str:
+    ctes, selects = [], []
+    prev = "sym0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        ctes.append(f"""
+deg{r} AS (SELECT s, COUNT(*) AS c FROM {prev} GROUP BY s),
+keep{r} AS (SELECT s AS node FROM deg{r} WHERE c >= {KCORE_K}),
+sym{r} AS (SELECT s, d FROM {prev}
+           WHERE s IN (SELECT node FROM keep{r})
+             AND d IN (SELECT node FROM keep{r}))""")
+        selects.append(
+            f"SELECT {r} AS round, {KCORE_K} AS k,"
+            f" (SELECT COUNT(*) FROM keep{r}) AS n_nodes,"
+            f" (SELECT COUNT(*) // 2 FROM sym{r}) AS n_edges"
+        )
+        prev = f"sym{r}"
+    return f"""
+WITH {_COPURCHASE_SQL},
+sym0 AS (SELECT u AS s, v AS d FROM e0 UNION ALL SELECT v, u FROM e0),
+{",".join(ctes)}
+{" UNION ALL ".join(selects)}
+"""
+
+
 def graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synchronous label propagation over the co-purchase
     graph: every node starts as its own label and, each round, adopts
@@ -951,6 +1018,7 @@ QUERIES = {
     "graph_triangle_count": graph_triangle_count,
     "graph_degree_stats": graph_degree_stats,
     "graph_bfs_reach": graph_bfs_reach,
+    "graph_kcore": graph_kcore,
     "graph_community_lpa": graph_community_lpa,
 }
 ORACLES = {
@@ -962,5 +1030,6 @@ ORACLES = {
     "graph_triangle_count": _TRIANGLE_SQL,
     "graph_degree_stats": _DEGREE_STATS_SQL,
     "graph_bfs_reach": _BFS_REACH_SQL,
+    "graph_kcore": _kcore_sql(),
     "graph_community_lpa": _lpa_sql(),
 }

@@ -108,5 +108,81 @@ FROM assigned GROUP BY source, split
 """
 
 
-QUERIES = {"curate_corpus": curate_corpus}
-ORACLES = {"curate_corpus": _CURATE_SQL}
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attrition report for the curation funnel — per stage (raw →
+    quality gate → near-dup removal), how many documents survive and
+    what each gate dropped, in absolute counts and ppm of the raw
+    corpus. ``curate_corpus`` produces the curated OUTPUT; this emits
+    the funnel's OBSERVABILITY (the numbers a pipeline dashboard plots
+    per snapshot, and the first thing to diff when a filter change
+    tanks corpus size). Same staged plan: the dedup stage fingerprints
+    quality survivors only; all three counts fold in one pass each —
+    output is 3 rows regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    kept = with_quality_stats(docs).filter(
+        F.col("quality_score") >= QUALITY_THRESHOLD
+    )
+    drops = (
+        minhash_pairs(grams_for(kept).localCheckpoint(eager=True))
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    n_raw = docs.groupBy().agg(F.count(F.lit(1)).alias("n_raw"))
+    n_kept = kept.groupBy().agg(F.count(F.lit(1)).alias("n_kept"))
+    n_drop = drops.groupBy().agg(F.count(F.lit(1)).alias("n_drop"))
+    wide = n_raw.crossJoin(n_kept).crossJoin(n_drop)
+    stages = wide.select(
+        F.expr(
+            """stack(3,
+              0, 'raw',            n_raw,          CAST(0 AS BIGINT),
+              1, 'quality_gate',   n_kept,         n_raw - n_kept,
+              2, 'near_dup_removal', n_kept - n_drop, n_drop
+            ) AS (stage_idx, stage, n_surviving, n_dropped)"""
+        ),
+        F.col("n_raw"),
+    )
+    return stages.select(
+        F.col("stage_idx").cast("int").alias("stage_idx"),
+        "stage",
+        "n_surviving",
+        "n_dropped",
+        F.expr("n_dropped * 1000000 div n_raw").alias("dropped_ppm"),
+    )
+
+
+_FILTER_FUNNEL_SQL = f"""
+WITH {sql_quality_ctes("(SELECT doc_id, text, source, n_chars FROM documents)")},
+kept AS (
+  SELECT * FROM qscored WHERE quality_score >= {QUALITY_THRESHOLD}
+),
+{sql_minhash_pair_ctes("kept")},
+drops AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+wide AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_raw,
+         (SELECT COUNT(*) FROM kept) AS n_kept,
+         (SELECT COUNT(*) FROM drops) AS n_drop
+),
+stages AS (
+  SELECT 0 AS stage_idx, 'raw' AS stage, n_raw AS n_surviving,
+         CAST(0 AS BIGINT) AS n_dropped, n_raw FROM wide
+  UNION ALL
+  SELECT 1, 'quality_gate', n_kept, n_raw - n_kept, n_raw FROM wide
+  UNION ALL
+  SELECT 2, 'near_dup_removal', n_kept - n_drop, n_drop, n_raw FROM wide
+)
+SELECT CAST(stage_idx AS INT) AS stage_idx, stage, n_surviving, n_dropped,
+       CAST(n_dropped * 1000000 // n_raw AS BIGINT) AS dropped_ppm
+FROM stages
+"""
+
+
+QUERIES = {
+    "curate_corpus": curate_corpus,
+    "corpus_filter_funnel": corpus_filter_funnel,
+}
+ORACLES = {
+    "curate_corpus": _CURATE_SQL,
+    "corpus_filter_funnel": _FILTER_FUNNEL_SQL,
+}

@@ -225,13 +225,72 @@ def diag_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def diag_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observation-API piggyback metrics: attach input-side counters
+    (row count, decimal-exact quantity mass, filter survivors) to a
+    production aggregation and harvest them from the SAME action — at
+    100 TB the difference between `df.observe(...)` and a separate
+    audit query is a second full scan of the lake. The returned row
+    carries both the query result and its observed input metrics, so
+    the oracle cross-checks that the observed numbers equal what SQL
+    computes from the source — i.e. the metrics really describe the
+    pass that produced the answer."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("decimal(12,2)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        F.col("l_discount").cast("decimal(12,2)").alias("disc"),
+    )
+    obs = Observation("input_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_input_rows"),
+        F.sum("qty").alias("qty_mass"),
+        F.sum((F.col("disc") > 0.05).cast("long")).alias("n_discounted"),
+    )
+    result = observed.groupBy().agg(
+        F.round(F.sum(F.expr("price * (1 - disc)")), 2)
+        .cast("double")
+        .alias("net_revenue")
+    )
+    row = result.collect()[0]  # the ONE action both result and metrics ride
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_input_rows"],
+                float(m["qty_mass"]),
+                m["n_discounted"],
+                row["net_revenue"],
+            )
+        ],
+        "n_input_rows bigint, qty_mass double, n_discounted bigint,"
+        " net_revenue double",
+    )
+
+
+_DIAG_OBSERVE_SQL = """
+SELECT COUNT(*) AS n_input_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_mass,
+       CAST(SUM(CASE WHEN CAST(l_discount AS DECIMAL(12,2)) > 0.05
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2)
+            AS DOUBLE) AS net_revenue
+FROM lineitem
+"""
+
+
 QUERIES = {
     "diag_plan_audit": diag_plan_audit,
     "diag_key_skew": diag_key_skew,
+    "diag_observe_metrics": diag_observe_metrics,
     "q_events_anomaly": q_events_anomaly,
 }
 
 ORACLES = {
     "diag_key_skew": _DIAG_SKEW_SQL,
+    "diag_observe_metrics": _DIAG_OBSERVE_SQL,
     "q_events_anomaly": _ANOMALY_SQL,
 }

@@ -695,7 +695,57 @@ def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ALERT_MIN_EVENTS = 2  # burst threshold per (user, 10-min window)
+
+
+def stream_threshold_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming burst alerts: per (user, 10-minute tumbling window),
+    raise when the event count reaches {ALERT_MIN_EVENTS} — the
+    rate-limit / abuse-detection shape. The stream maintains plain
+    windowed counts; the threshold filter runs on the drained sink
+    (the ``stream_topk_per_window`` discipline — filtering inside the
+    stream makes every late row a retraction problem, filtering the
+    state-store output does not). Alert volume is bounded by active
+    (user, window) pairs over threshold, so the emitted relation is
+    tiny even when the input is not."""
+    events = load_table(spark, sf_dir, "events")
+    work = scratch_dir("stream_alert_")
+    src = f"{work}/events_src"
+    events.coalesce(DEMO_STATE_PARTITIONS).write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    with_ts = stream.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    agg = (
+        with_ts.withWatermark("event_time", "30 minutes")
+        .groupBy(F.window("event_time", "10 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = f"alert_{uuid.uuid4().hex[:8]}"
+    with demo_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .filter(F.col("n_events") >= ALERT_MIN_EVENTS)
+        .select(
+            F.unix_micros("window.start").alias("window_start_us"),
+            F.unix_micros("window.end").alias("window_end_us"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
 QUERIES = {
+    "stream_threshold_alert": stream_threshold_alert,
     "stream_ohlc": stream_ohlc,
     "stream_topk_per_window": stream_topk_per_window,
     "stream_late_drop": stream_late_drop,
@@ -833,6 +883,17 @@ def _oracles() -> dict[str, str]:
     )
 
     return {
+        "stream_threshold_alert": f"""
+WITH ev AS (
+  SELECT user_id, (epoch_ns(ts) // 1000) AS ts_us FROM events
+)
+SELECT (ts_us // {_WINDOW_US}) * {_WINDOW_US} AS window_start_us,
+       (ts_us // {_WINDOW_US}) * {_WINDOW_US} + {_WINDOW_US}
+         AS window_end_us,
+       user_id, COUNT(*) AS n_events
+FROM ev GROUP BY 1, 2, 3
+HAVING COUNT(*) >= {ALERT_MIN_EVENTS}
+""",
         "stream_ohlc": _STREAM_OHLC_SQL,
         "stream_windowed_agg": _STREAM_WINDOWED_SQL,
         "stream_topk_per_window": f"""

@@ -27,3 +27,10 @@ def test_plan_audit_all_green(spark):
     rows = diagnostics.diag_plan_audit(spark, SF_DIR).collect()
     assert len(rows) >= 7
     assert all(r["ok"] for r in rows), rows
+
+
+def test_observe_metrics_matches_oracle(spark, ddb):
+    from blog_snapshotbackup_azuredatalake_spark.plans import diagnostics
+
+    df = diagnostics.diag_observe_metrics(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, diagnostics.ORACLES["diag_observe_metrics"])

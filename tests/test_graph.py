@@ -280,3 +280,23 @@ def test_cluster_sizes_census_is_total(spark):
     assert sum(r["n_redundant"] for r in rows) == cc.filter(
         "NOT is_canonical"
     ).count()
+
+
+def test_kcore_matches_oracle(spark, ddb):
+    df = graph.graph_kcore(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, graph.ORACLES["graph_kcore"])
+
+
+def test_kcore_census_shrinks_monotonically(spark):
+    rows = sorted(
+        graph.graph_kcore(spark, SF_DIR).collect(), key=lambda r: r["round"]
+    )
+    assert len(rows) == graph.KCORE_ROUNDS
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_nodes"] <= a["n_nodes"]
+        assert b["n_edges"] <= a["n_edges"]
+    for r in rows:
+        assert r["k"] == graph.KCORE_K
+        # survivors each passed a ≥k degree test against the previous
+        # round's subgraph, so a non-empty survivor set implies edges
+        assert (r["n_edges"] > 0) or (r["n_nodes"] == 0)

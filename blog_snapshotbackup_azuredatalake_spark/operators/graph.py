@@ -878,29 +878,65 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fixed round count makes the result well-defined data (full peeling
     to fixpoint is value-identical once the census stops moving).
     Oracle: the same rounds unrolled as SQL CTEs."""
-    e0 = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    from pyspark import StorageLevel
+
+    e0 = _copurchase_edges(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    e0.count()  # materialize the compressed columnar cache once
     sym = e0.select(
         F.col("u").alias("s"), F.col("v").alias("d")
     ).unionByName(e0.select(F.col("v").alias("s"), F.col("u").alias("d")))
+    # Delta peeling: the naive formulation (re-materialize the filtered
+    # edge relation every round) shuffles the FULL 2m-row sym relation
+    # 3× — measured 58.8 s / alpha 1.24 at sf3, after first OOMing the
+    # driver via a Catalyst broadcast mis-estimate of the post-filter
+    # survivor set (§6: never broadcast a set that grows with the
+    # data). Instead: degrees are computed ONCE, then each round joins
+    # sym only against the REMOVED set (bounded by peeling activity,
+    # shuffle_hash-hinted all the same) and subtracts; the surviving
+    # edge count falls out of Σdeg/2 with no edge relation ever
+    # rebuilt. Every per-round relation is node-sized. The edge base is
+    # cached COLUMNAR (persist + count), not localCheckpoint'ed:
+    # checkpoint materializes row-object blocks whose footprint OOM'd
+    # the heap at sf3 (measured — UnsafeRow.copy), while the columnar
+    # cache is compressed and keeps lineage as the recompute safety
+    # net. sym stays a lazy union over the cached e0.
+    deg = (
+        sym.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     rows = []
     for rnd in range(1, KCORE_ROUNDS + 1):
-        deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
-        keep = (
-            deg.filter(F.col("c") >= KCORE_K)
+        removed = (
+            deg.filter(F.col("c") < KCORE_K)
             .select(F.col("s").alias("node"))
             .localCheckpoint(eager=True)
         )
-        sym = (
-            sym.join(keep, sym.s == keep.node)
-            .select("s", "d")
-            .join(
-                keep.select(F.col("node").alias("node_d")),
-                F.col("d") == F.col("node_d"),
+        delta = (
+            sym.join(
+                removed.hint("shuffle_hash"),
+                sym.d == F.col("node"),
             )
-            .select("s", "d")
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("dc"))
+        )
+        deg = (
+            deg.filter(F.col("c") >= KCORE_K)
+            .join(delta, "s", "left")
+            .select(
+                "s",
+                (F.col("c") - F.coalesce(F.col("dc"), F.lit(0))).alias("c"),
+            )
             .localCheckpoint(eager=True)
         )
-        rows.append((rnd, KCORE_K, keep.count(), sym.count() // 2))
+        stats = deg.groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("c"), F.lit(0)).alias("s2"),
+        ).collect()[0]
+        rows.append((rnd, KCORE_K, stats["n"], stats["s2"] // 2))
+    e0.unpersist()  # census is already driver-side literals
     return spark.createDataFrame(
         rows, "round int, k int, n_nodes bigint, n_edges bigint"
     )

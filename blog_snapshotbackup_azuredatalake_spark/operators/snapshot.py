@@ -1351,6 +1351,80 @@ FROM intervals GROUP BY valid_from, valid_to, valid_to = 2
 """
 
 
+_ASOF_D1, _ASOF_D2 = "1997-01-01", "1999-01-01"
+_ASOF_LO, _ASOF_HI = "1990-01-01", "2005-01-01"
+
+
+def snap_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) dimension join — the query SCD2 history
+    exists FOR: each order joins the customer-dimension version that
+    was valid on its order date, so facts are attributed to the
+    attributes of their time, not today's. Dimension = three dated
+    versions per customer (validity ranges tile the timeline; the
+    version attribute is a deterministic tier). Plan shape: dimension
+    equi-join on the customer key with the validity range as a
+    RESIDUAL filter — the dim side is catalog-sized ×versions, so AQE
+    broadcasts it and the fact table never shuffles (the q_range_join
+    discipline: equi-key first, range as residual — never a
+    range-condition join, which plans a per-key cross product).
+    Output: per (version, tier) order counts + decimal-exact revenue,
+    i.e. the time-correct attribution report."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ver = F.col("version")
+    dim = cust.select(
+        "c_custkey",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("version"),
+    ).select(
+        "c_custkey",
+        "version",
+        F.when(ver == 0, F.lit(_ASOF_LO).cast("date"))
+        .when(ver == 1, F.lit(_ASOF_D1).cast("date"))
+        .otherwise(F.lit(_ASOF_D2).cast("date"))
+        .alias("valid_from"),
+        F.when(ver == 0, F.lit(_ASOF_D1).cast("date"))
+        .when(ver == 1, F.lit(_ASOF_D2).cast("date"))
+        .otherwise(F.lit(_ASOF_HI).cast("date"))
+        .alias("valid_to"),
+        ((F.col("c_custkey") + ver) % 3).cast("int").alias("tier"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    j = o.join(dim, o.o_custkey == dim.c_custkey).filter(
+        (F.col("od") >= F.col("valid_from"))
+        & (F.col("od") < F.col("valid_to"))
+    )
+    return j.groupBy("version", "tier").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("price"), 2).cast("double").alias("revenue"),
+    )
+
+
+_SCD2_ASOF_SQL = f"""
+WITH dim AS (
+  SELECT c_custkey, version,
+         CASE version WHEN 0 THEN DATE '{_ASOF_LO}'
+                      WHEN 1 THEN DATE '{_ASOF_D1}'
+                      ELSE DATE '{_ASOF_D2}' END AS valid_from,
+         CASE version WHEN 0 THEN DATE '{_ASOF_D1}'
+                      WHEN 1 THEN DATE '{_ASOF_D2}'
+                      ELSE DATE '{_ASOF_HI}' END AS valid_to,
+         CAST((c_custkey + version) % 3 AS INT) AS tier
+  FROM customer, (SELECT unnest([0, 1, 2]) AS version)
+),
+o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      FROM orders)
+SELECT CAST(version AS INT) AS version, tier, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(price), 2) AS DOUBLE) AS revenue
+FROM o JOIN dim ON c_custkey = o_custkey
+                AND od >= valid_from AND od < valid_to
+GROUP BY version, tier
+"""
+
+
 # ---------------------------------------------------------------------------
 # MERGE INTO (upsert + delete in one pass)
 # ---------------------------------------------------------------------------
@@ -1717,6 +1791,7 @@ QUERIES = {
     "snap_branch_merge": snap_branch_merge,
     "snap_merge_upsert": snap_merge_upsert,
     "snap_scd2_history": snap_scd2_history,
+    "snap_scd2_asof_join": snap_scd2_asof_join,
     "snap_cdc": snap_cdc,
     "snap_ivm": snap_ivm,
     "snap_row_manifest": snap_row_manifest,
@@ -1739,6 +1814,7 @@ ORACLES = {
     "snap_branch_merge": _SNAP_BRANCH_MERGE_SQL,
     "snap_merge_upsert": _SNAP_MERGE_UPSERT_SQL,
     "snap_scd2_history": _SCD2_SQL,
+    "snap_scd2_asof_join": _SCD2_ASOF_SQL,
     "snap_cdc": _SNAP_CDC_SQL,
     "snap_ivm": _SNAP_IVM_SQL,
     "snap_row_manifest": _SNAP_ROW_MANIFEST_SQL,

@@ -345,6 +345,38 @@ FROM orders
 GROUP BY o_orderpriority
 """
 
+def q_orders_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """melt/UNPIVOT — the inverse reshape of ``q_orders_pivot``: the
+    wide per-priority status columns fold back into tidy (priority,
+    status, n_orders) rows via ``DataFrame.unpivot`` (ids/values/
+    variable/value — the Spark 4 melt API). Pivot→unpivot is the
+    round-trip every report-to-warehouse hand-off makes; the oracle is
+    the direct GROUP BY, so a lossy reshape (dropped zero cells,
+    swapped variable labels) goes gate-red. Zero-count cells are kept
+    (coalesce before the melt) and re-dropped explicitly — making the
+    n=0 semantics a visible choice, not an accident of the reshape."""
+    wide = q_orders_pivot(spark, sf_dir)
+    tidy = wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["f_cnt", "o_cnt", "p_cnt"],
+        variableColumnName="status_col",
+        valueColumnName="n_orders",
+    )
+    return tidy.select(
+        "o_orderpriority",
+        F.upper(F.substring("status_col", 1, 1)).alias("o_orderstatus"),
+        "n_orders",
+    ).filter(F.col("n_orders") > 0)
+
+
+_Q_UNPIVOT_SQL = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderstatus IN ('F', 'O', 'P')
+GROUP BY o_orderpriority, o_orderstatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # events suite: windows, sessionization, funnel, as-of
 # ---------------------------------------------------------------------------
@@ -934,6 +966,7 @@ QUERIES = {
     "q_events_rolling": q_events_rolling,
     "q_events_funnel": q_events_funnel,
     "q_funnel_latency": q_funnel_latency,
+    "q_orders_unpivot": q_orders_unpivot,
     "q_asof_join": q_asof_join,
     "q14_promo_revenue": q14_promo_revenue,
     "q18_large_orders": q18_large_orders,
@@ -954,6 +987,7 @@ ORACLES = {
     "q_events_rolling": _Q_ROLLING_SQL,
     "q_events_funnel": _Q_FUNNEL_SQL,
     "q_funnel_latency": _Q_FUNNEL_LATENCY_SQL,
+    "q_orders_unpivot": _Q_UNPIVOT_SQL,
     "q_asof_join": _Q_ASOF_SQL,
     "q_asof_nearest": _Q_ASOF_NEAREST_SQL,
     "q14_promo_revenue": _Q14_SQL,

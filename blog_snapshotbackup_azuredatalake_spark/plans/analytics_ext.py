@@ -1118,6 +1118,41 @@ FROM ev GROUP BY event_type, hr
 """
 
 
+def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction via the VARIANT type (Spark 4):
+    ``parse_json`` once into a binary variant column, then typed
+    ``variant_get`` paths — the modern lakehouse path for JSON-ish
+    payloads. Versus ``q_events_json_kv``'s ``get_json_object``
+    (string re-parse per extraction), VARIANT parses once and each
+    path extraction walks the binary encoding — the difference between
+    O(paths × parse) and O(parse + paths) per row, which is the whole
+    game when a 100 TB event table carries 20-field payloads. Output:
+    per-type stats over the extracted integer k."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.variant_get("v", "$.k", "int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k.cast("bigint")).alias("k_sum"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+        F.count_distinct(k).alias("k_distinct"),
+    )
+
+
+_Q_VARIANT_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(props->>'$.k' AS INT) AS k FROM events
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(k AS BIGINT)) AS BIGINT) AS k_sum,
+       MIN(k) AS k_min, MAX(k) AS k_max,
+       COUNT(DISTINCT k) AS k_distinct
+FROM ev GROUP BY event_type
+"""
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — the hand-picked subtotal list a report
     actually wants, cheaper than CUBE's full lattice: (priority ×
@@ -1160,6 +1195,7 @@ GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
 QUERIES = {
     "q_grouping_sets": q_grouping_sets,
     "q_events_ohlc": q_events_ohlc,
+    "q_events_variant": q_events_variant,
     "q_revenue_yoy": q_revenue_yoy,
     "q_gap_fill": q_gap_fill,
     "q_events_continuous_agg": q_events_continuous_agg,
@@ -1185,6 +1221,7 @@ QUERIES = {
 
 ORACLES = {
     "q_events_ohlc": _Q_OHLC_SQL,
+    "q_events_variant": _Q_VARIANT_SQL,
     "q_revenue_yoy": _Q_YOY_SQL,
     "q_gap_fill": _Q_GAP_FILL_SQL,
     "q_events_continuous_agg": _Q_CONT_AGG_SQL,

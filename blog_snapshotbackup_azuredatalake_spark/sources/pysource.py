@@ -1,0 +1,126 @@
+"""Python Data Source API (Spark 4) — a custom partitioned source.
+
+The lakehouse needs sources beyond files: feeds, synthetic generators,
+internal services. Spark 4's Python Data Source API
+(``pyspark.sql.datasource``) lets those live in the same plan as
+parquet scans — partitioned, parallel, Arrow-batched — without a JVM
+connector. This module ships a deterministic synthetic-events source
+(the row content is a pure function of the row id, so a SQL oracle can
+recompute every aggregate) and the driver-facing entry that proves the
+source: read through the registered format, aggregate per bucket, and
+let the DuckDB oracle derive the same numbers from ``range()``.
+
+Scale shape: ``partitions()`` splits the id space into fixed-size
+slices, so the read parallelizes like any file scan and each Python
+worker generates only its slice — no driver materialization anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+PYSRC_ROWS_PER_PARTITION = 25_000
+PYSRC_VAL_MOD = 97
+PYSRC_BUCKETS = 10
+
+
+class _IdSlice(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.read.format("synthetic_events").option("total_rows", n)``:
+    rows (id, bucket, val) with bucket = id % {PYSRC_BUCKETS} and
+    val = id² % {PYSRC_VAL_MOD} — deterministic, so oracle-checkable."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return "id bigint, bucket int, val bigint"
+
+    def reader(self, schema) -> "SyntheticEventsReader":
+        return SyntheticEventsReader(int(self.options.get("total_rows", 0)))
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, total_rows: int):
+        self.total_rows = total_rows
+
+    def partitions(self):
+        step = PYSRC_ROWS_PER_PARTITION
+        return [
+            _IdSlice(lo, min(lo + step, self.total_rows))
+            for lo in range(0, self.total_rows, step)
+        ] or [_IdSlice(0, 0)]
+
+    def read(self, partition: _IdSlice):
+        for i in range(partition.start, partition.end):
+            yield (i, i % PYSRC_BUCKETS, (i * i) % PYSRC_VAL_MOD)
+
+
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register the Python data source and prove it end-to-end: the
+    source generates exactly |events| rows (sf-proportional), the plan
+    aggregates per bucket, and the oracle recomputes count/Σval/
+    distinct-val per bucket from the same id rules over ``range()``.
+    A partition-count column pins that the read actually parallelized
+    (one slice per {PYSRC_ROWS_PER_PARTITION} ids), not a
+    single-partition fallback."""
+    from blog_snapshotbackup_azuredatalake_spark.session import (
+        ensure_package_on_workers,
+    )
+    from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
+        load_table,
+    )
+
+    ensure_package_on_workers(spark)  # reader class unpickles on workers
+    try:
+        spark.dataSource.register(SyntheticEventsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    total = load_table(spark, sf_dir, "events").count()
+    df = (
+        spark.read.format("synthetic_events")
+        .option("total_rows", str(total))
+        .load()
+    )
+    n_parts = df.rdd.getNumPartitions()
+    expected_parts = max(
+        1,
+        (total + PYSRC_ROWS_PER_PARTITION - 1) // PYSRC_ROWS_PER_PARTITION,
+    )
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("val").alias("val_sum"),
+        F.count_distinct("val").alias("val_distinct"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    ).withColumn(
+        "parallel_read", F.lit(bool(n_parts == expected_parts))
+    )
+
+
+_PYSOURCE_SQL = f"""
+WITH ids AS (
+  SELECT unnest(range(0, (SELECT COUNT(*) FROM events))) AS id
+),
+rows_ AS (
+  SELECT id, CAST(id % {PYSRC_BUCKETS} AS INT) AS bucket,
+         CAST((id * id) % {PYSRC_VAL_MOD} AS BIGINT) AS val
+  FROM ids
+)
+SELECT bucket, COUNT(*) AS n_rows,
+       CAST(SUM(val) AS BIGINT) AS val_sum,
+       COUNT(DISTINCT val) AS val_distinct,
+       MIN(id) AS min_id, MAX(id) AS max_id,
+       TRUE AS parallel_read
+FROM rows_ GROUP BY bucket
+"""
+
+QUERIES = {"source_python_datasource": source_python_datasource}
+ORACLES = {"source_python_datasource": _PYSOURCE_SQL}

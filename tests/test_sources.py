@@ -41,3 +41,24 @@ def test_binary_file_source(spark, tmp_path):
 def test_unknown_format_rejected(spark):
     with pytest.raises(KeyError):
         load_path(spark, "/nowhere", "xml")
+
+
+def test_python_datasource_matches_oracle(spark, ddb):
+    from blog_snapshotbackup_azuredatalake_spark.sources import pysource
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    df = pysource.source_python_datasource(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, pysource.ORACLES["source_python_datasource"])
+
+
+def test_python_datasource_partitions_scale_with_rows(spark):
+    from blog_snapshotbackup_azuredatalake_spark.sources import pysource
+
+    spark.dataSource.register(pysource.SyntheticEventsDataSource)
+    big = (
+        spark.read.format("synthetic_events")
+        .option("total_rows", str(3 * pysource.PYSRC_ROWS_PER_PARTITION + 1))
+        .load()
+    )
+    assert big.rdd.getNumPartitions() == 4
+    assert big.count() == 3 * pysource.PYSRC_ROWS_PER_PARTITION + 1

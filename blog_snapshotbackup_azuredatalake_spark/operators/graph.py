@@ -648,8 +648,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     here degenerates to nested-loop — measured, not theoretical).
     Output is a one-row certificate: node/edge/wedge/triangle counts
     plus the integer-exact global clustering coefficient
-    3·triangles·FP div Σ C(deg,2)."""
-    e0 = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    3·triangles·FP div Σ C(deg,2). Edge-sized relations (e0, the
+    oriented o) are cached COLUMNAR per the §6 iterative-graph recipe —
+    localCheckpoint row-blocks exhausted memory at sf10 on the BFS/
+    k-core ops with the same shape."""
+    from pyspark import StorageLevel
+
+    e0 = _copurchase_edges(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    e0.count()
     deg = (
         e0.select(F.col("u").alias("node"))
         .unionByName(e0.select(F.col("v").alias("node")))
@@ -668,8 +676,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    o.count()  # materialize columnar — o is edge-sized (§6 recipe)
     o2 = o.select(F.col("src"), F.col("dst").alias("dst2"))
     wedges = (
         o.join(o2, "src")
@@ -757,8 +766,19 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is the distance census (nodes at hop 0..{BFS_HOPS}, plus a
     dist=-1 row for the unreached remainder), so the result is
     O(hops) rows regardless of graph size. Oracle: recursive CTE with
-    UNION-dedup on (node, dist) pairs, min-dist folded at the end."""
-    e0 = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    UNION-dedup on (node, dist) pairs, min-dist folded at the end.
+
+    The edge base is cached COLUMNAR (persist+count), not
+    localCheckpoint'ed — at sf10 (120 M edges) the checkpoint's
+    deserialized row blocks exhausted execution memory mid-shuffle
+    (§6 trap, same failure as graph_kcore); per-round node-sized
+    states keep the cheap lineage cut."""
+    from pyspark import StorageLevel
+
+    e0 = _copurchase_edges(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    e0.count()
     sym = e0.select(
         F.col("u").alias("s"), F.col("v").alias("d")
     ).unionByName(e0.select(F.col("v").alias("s"), F.col("u").alias("d")))
@@ -769,7 +789,13 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.lit(0).cast("int").alias("dist")
     )
     for _ in range(BFS_HOPS):
-        nxt = sym.join(labels, sym.s == labels.node).select(
+        # shuffle_hash: build on the node-sized label side so the 2m-row
+        # edge stream is never SORTED — SMJ's per-task sort buffers over
+        # 240 M sym rows heap-OOM'd at sf10 (measured); a hash probe
+        # streams the big side
+        nxt = sym.join(
+            labels.hint("shuffle_hash"), sym.s == labels.node
+        ).select(
             F.col("d").alias("node"), (F.col("dist") + 1).alias("dist")
         )
         labels = (
@@ -976,8 +1002,16 @@ def graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     join + one (node, label) count + one per-node max_by argmax — all
     edge-list-sized, the corpus never reshuffles, lineage cut per round
     (the `connected_components` loop pattern). Oracle: the same
-    {LPA_ROUNDS} rounds unrolled as SQL CTEs."""
-    e0 = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    {LPA_ROUNDS} rounds unrolled as SQL CTEs. Edge base cached
+    columnar and the per-round join hash-built on the node-sized label
+    side (§6 iterative-graph recipe — row-block checkpoints and big-
+    side sorts both OOM'd at sf10 on ops of this shape)."""
+    from pyspark import StorageLevel
+
+    e0 = _copurchase_edges(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    e0.count()
     sym = e0.select(
         F.col("u").alias("s"), F.col("v").alias("d")
     ).unionByName(e0.select(F.col("v").alias("s"), F.col("u").alias("d")))
@@ -995,7 +1029,7 @@ def graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     # input is the already-reduced count relation.
     for _ in range(LPA_ROUNDS):
         labels = (
-            sym.join(labels, sym.s == labels.node)
+            sym.join(labels.hint("shuffle_hash"), sym.s == labels.node)
             .select(F.col("d").alias("node"), "label")
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))

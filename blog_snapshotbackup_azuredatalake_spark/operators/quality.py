@@ -852,6 +852,84 @@ _DQ_UNIQUENESS_SQL = "\nUNION ALL\n".join(
 )
 
 
+def dq_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data contract (the dbt-test / expectations shape):
+    every rule a stakeholder signed — non-null keys, value ranges,
+    enum domains, date sanity — checked in ONE aggregation pass over
+    the table and emitted as (rule, n_checked, n_violations, passed)
+    rows. The contract lives as code; a 100 TB nightly check costs one
+    scan regardless of how many rules it carries (conditional sums all
+    fold into the same map-side partial), versus one-query-per-rule
+    frameworks that scan per expectation."""
+    o = load_table(spark, sf_dir, "orders")
+    viol = {
+        "orderkey_not_null": F.col("o_orderkey").isNull(),
+        "orderkey_positive": F.col("o_orderkey") < 0,
+        "totalprice_range": (F.col("o_totalprice") <= 0)
+        | (F.col("o_totalprice") > 1_000_000),
+        "status_in_domain": ~F.col("o_orderstatus").isin("F", "O", "P"),
+        "orderdate_sane": (
+            F.col("o_orderdate").cast("date") < F.lit("1990-01-01")
+        )
+        | (F.col("o_orderdate").cast("date") > F.lit("2005-12-31")),
+    }
+    agg = o.groupBy().agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        *[
+            # NULL predicate counts as non-violation, mirroring SQL
+            # CASE-WHEN-ELSE-0 (explicit null rules catch the nulls)
+            F.sum(F.coalesce(c.cast("long"), F.lit(0))).alias(f"v_{name}")
+            for name, c in viol.items()
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{name}', v_{name}" for name in viol
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(viol)}, {stack_args}) AS (rule, n_violations)"
+        ),
+        "n_checked",
+    ).select(
+        "rule",
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+_DQ_CONTRACT_SQL = """
+WITH agg AS (
+  SELECT COUNT(*) AS n_checked,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_orderkey_not_null,
+         CAST(SUM(CASE WHEN o_orderkey < 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_orderkey_positive,
+         CAST(SUM(CASE WHEN o_totalprice <= 0 OR o_totalprice > 1000000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_totalprice_range,
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_status_in_domain,
+         CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1990-01-01'
+                         OR CAST(o_orderdate AS DATE) > DATE '2005-12-31'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_orderdate_sane
+  FROM orders
+),
+rules AS (
+  SELECT 'orderkey_not_null' AS rule, n_checked,
+         v_orderkey_not_null AS n_violations FROM agg
+  UNION ALL SELECT 'orderkey_positive', n_checked, v_orderkey_positive
+  FROM agg
+  UNION ALL SELECT 'totalprice_range', n_checked, v_totalprice_range
+  FROM agg
+  UNION ALL SELECT 'status_in_domain', n_checked, v_status_in_domain
+  FROM agg
+  UNION ALL SELECT 'orderdate_sane', n_checked, v_orderdate_sane FROM agg
+)
+SELECT rule, n_checked, n_violations, n_violations = 0 AS passed
+FROM rules
+"""
+
+
 _HOUR_US = 3_600 * 1_000_000
 # a uniform load spreads 1e6/24 ≈ 41 666 ppm per hour-of-day cell; flag
 # cells outside [½×, 1½×] uniform
@@ -988,6 +1066,7 @@ GROUP BY d.o_orderpriority
 
 
 QUERIES = {
+    "dq_schema_contract": dq_schema_contract,
     "dq_hourly_profile": dq_hourly_profile,
     "dq_mad_outlier": dq_mad_outlier,
     "dq_uniqueness": dq_uniqueness,
@@ -1004,6 +1083,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dq_schema_contract": _DQ_CONTRACT_SQL,
     "dq_hourly_profile": _DQ_HOURLY_SQL,
     "dq_mad_outlier": _DQ_MAD_SQL,
     "dq_uniqueness": _DQ_UNIQUENESS_SQL,

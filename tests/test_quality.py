@@ -224,3 +224,27 @@ def test_dq_hourly_profile_shares_partition_per_type(spark):
                 c["share_ppm"] > quality._HOD_HI_PPM
             )
             assert c["skew_flag"] == expected
+
+
+def test_dq_schema_contract_matches_oracle(spark, ddb):
+    df = quality.dq_schema_contract(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, quality.ORACLES["dq_schema_contract"])
+
+
+def test_dq_schema_contract_detects_planted_violations(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
+        load_table,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders")
+    bad = orders.limit(3).withColumn(
+        "o_orderstatus", F.lit("X")
+    ).withColumn("o_totalprice", F.lit(-5.0))
+    orders.unionByName(bad).write.parquet(f"{tmp_path}/orders.parquet")
+    rows = {r["rule"]: r for r in
+            quality.dq_schema_contract(spark, str(tmp_path)).collect()}
+    assert rows["status_in_domain"]["n_violations"] == 3
+    assert not rows["status_in_domain"]["passed"]
+    assert rows["totalprice_range"]["n_violations"] == 3
+    assert rows["orderkey_not_null"]["passed"]

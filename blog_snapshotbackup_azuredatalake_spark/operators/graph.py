@@ -1049,6 +1049,106 @@ def graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities — the number that says
+    whether the clustering MEANS anything (Q ≈ 0: no better than random
+    given the degree sequence). Q = Σ_c [e_c/m − (d_c/2m)²] computed as
+    the exact integer rational num/den with num = 4m·intra − Σ_c d_c²
+    and den = 4m²: both fit BIGINT, and the double division of two
+    identically-cast integers is bit-identical across engines — no
+    fixed-point machinery needed (§4). Everything after the LPA fold is
+    community-count-sized; the certificate is one row."""
+    comm = graph_community_lpa(spark, sf_dir).select(
+        F.col("part_id").alias("node"), F.col("community").alias("label")
+    ).localCheckpoint(eager=True)
+    e0 = _copurchase_edges(spark, sf_dir).persist()
+    m = e0.count()
+    la = comm.select(F.col("node").alias("u"), F.col("label").alias("lu"))
+    lb = comm.select(F.col("node").alias("v"), F.col("label").alias("lv"))
+    intra = (
+        e0.join(la.hint("shuffle_hash"), "u")
+        .join(lb.hint("shuffle_hash"), "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .count()
+    )
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionByName(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dsq = (
+        deg.join(comm, "node")
+        .groupBy("label")
+        .agg(F.sum("deg").alias("d_c"))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_communities"),
+            F.sum(F.expr("d_c * d_c")).alias("sum_dsq"),
+        )
+        .collect()[0]
+    )
+    e0.unpersist()
+    num = 4 * m * intra - dsq["sum_dsq"]
+    den = 4 * m * m
+    return spark.createDataFrame(
+        [
+            (
+                m,
+                int(intra),
+                int(dsq["n_communities"]),
+                num,
+                den,
+                float(num) / float(den),
+            )
+        ],
+        "n_edges bigint, intra_edges bigint, n_communities bigint,"
+        " q_num bigint, q_den bigint, modularity double",
+    )
+
+
+def _modularity_sql() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, LPA_ROUNDS + 1):
+        rounds.append(f"""
+c{i} AS (SELECT sym.d AS node, l.label, COUNT(*) AS cnt
+        FROM sym JOIN {prev} l ON l.node = sym.s
+        GROUP BY sym.d, l.label),
+l{i} AS (SELECT node, label FROM (
+          SELECT node, label,
+                 ROW_NUMBER() OVER (PARTITION BY node
+                                    ORDER BY cnt DESC, label) AS rn
+          FROM c{i}) WHERE rn = 1)""")
+        prev = f"l{i}"
+    return f"""
+WITH {_COPURCHASE_SQL},
+sym AS (SELECT u AS s, v AS d FROM e0 UNION ALL SELECT v, u FROM e0),
+l0 AS (SELECT node, node AS label
+       FROM (SELECT DISTINCT s AS node FROM sym)),
+{",".join(rounds)},
+lab AS (SELECT node, label FROM {prev}),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+intra AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+          FROM e0 JOIN lab a ON a.node = e0.u JOIN lab b ON b.node = e0.v
+          WHERE a.label = b.label),
+deg AS (SELECT node, COUNT(*) AS deg
+        FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        GROUP BY node),
+dc AS (SELECT l.label, CAST(SUM(deg) AS BIGINT) AS d_c
+       FROM deg JOIN lab l USING (node) GROUP BY l.label),
+agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+               CAST(SUM(d_c * d_c) AS BIGINT) AS sum_dsq
+        FROM dc)
+SELECT m AS n_edges, intra.n AS intra_edges, n_communities,
+       CAST(4 * m * intra.n - sum_dsq AS BIGINT) AS q_num,
+       CAST(4 * m * m AS BIGINT) AS q_den,
+       CAST(CAST(4 * m * intra.n - sum_dsq AS BIGINT) AS DOUBLE)
+         / CAST(CAST(4 * m * m AS BIGINT) AS DOUBLE) AS modularity
+FROM mm, intra, agg
+"""
+
+
 def _lpa_sql() -> str:
     rounds = []
     prev = "l0"
@@ -1090,6 +1190,7 @@ QUERIES = {
     "graph_bfs_reach": graph_bfs_reach,
     "graph_kcore": graph_kcore,
     "graph_community_lpa": graph_community_lpa,
+    "graph_modularity": graph_modularity,
 }
 ORACLES = {
     "dedup_cluster_cc": _CLUSTER_CC_SQL,
@@ -1102,4 +1203,5 @@ ORACLES = {
     "graph_bfs_reach": _BFS_REACH_SQL,
     "graph_kcore": _kcore_sql(),
     "graph_community_lpa": _lpa_sql(),
+    "graph_modularity": _modularity_sql(),
 }

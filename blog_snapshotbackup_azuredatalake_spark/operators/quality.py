@@ -852,6 +852,75 @@ _DQ_UNIQUENESS_SQL = "\nUNION ALL\n".join(
 )
 
 
+import math as _math
+
+# Benford first-digit expectation, ppm-floored — computed ONCE here and
+# embedded as identical literals in the plan and the oracle
+_BENFORD_PPM = {
+    d: int(_math.log10(1 + 1 / d) * 1_000_000) for d in range(1, 10)
+}
+
+
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit on order totals — the classic
+    fabricated-numbers screen (invented amounts are uniform-ish in the
+    leading digit; organic multiplicative amounts follow log10(1+1/d)).
+    Emits per digit: count, observed ppm share, the Benford expectation
+    (fixed integer literals shared with the oracle), and the absolute
+    deviation — the audit reads the deviation column, the gate hashes
+    all of it. One scan, 9-row output, integer end-to-end."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.substring(
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    cells = o.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    benford = F.create_map(
+        *[
+            x
+            for d, p in _BENFORD_PPM.items()
+            for x in (F.lit(d), F.lit(p))
+        ]
+    )
+    return cells.select(
+        "digit",
+        "n_orders",
+        F.expr("n_orders * 1000000 div sum(n_orders) over ()").alias(
+            "share_ppm"
+        ),
+        benford[F.col("digit")].cast("bigint").alias("benford_ppm"),
+    ).withColumn(
+        "dev_ppm", F.abs(F.col("share_ppm") - F.col("benford_ppm"))
+    )
+
+
+def _benford_sql() -> str:
+    case = " ".join(
+        f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+    )
+    return f"""
+WITH o AS (
+  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                          AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+),
+cells AS (SELECT digit, COUNT(*) AS n_orders FROM o GROUP BY digit)
+SELECT digit, n_orders,
+       CAST(n_orders * 1000000 // SUM(n_orders) OVER () AS BIGINT)
+         AS share_ppm,
+       CAST(CASE digit {case} END AS BIGINT) AS benford_ppm,
+       ABS(CAST(n_orders * 1000000 // SUM(n_orders) OVER () AS BIGINT)
+           - CASE digit {case} END) AS dev_ppm
+FROM cells
+"""
+
+
 def dq_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data contract (the dbt-test / expectations shape):
     every rule a stakeholder signed — non-null keys, value ranges,
@@ -1066,6 +1135,7 @@ GROUP BY d.o_orderpriority
 
 
 QUERIES = {
+    "dq_benford": dq_benford,
     "dq_schema_contract": dq_schema_contract,
     "dq_hourly_profile": dq_hourly_profile,
     "dq_mad_outlier": dq_mad_outlier,
@@ -1083,6 +1153,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dq_benford": _benford_sql(),
     "dq_schema_contract": _DQ_CONTRACT_SQL,
     "dq_hourly_profile": _DQ_HOURLY_SQL,
     "dq_mad_outlier": _DQ_MAD_SQL,

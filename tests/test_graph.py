@@ -300,3 +300,16 @@ def test_kcore_census_shrinks_monotonically(spark):
         # survivors each passed a ≥k degree test against the previous
         # round's subgraph, so a non-empty survivor set implies edges
         assert (r["n_edges"] > 0) or (r["n_nodes"] == 0)
+
+
+def test_modularity_matches_oracle(spark, ddb):
+    df = graph.graph_modularity(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, graph.ORACLES["graph_modularity"])
+
+
+def test_modularity_is_exact_rational_in_range(spark):
+    r = graph.graph_modularity(spark, SF_DIR).collect()[0]
+    assert r["q_den"] == 4 * r["n_edges"] * r["n_edges"]
+    assert r["modularity"] == r["q_num"] / r["q_den"]
+    assert -0.5 <= r["modularity"] <= 1.0
+    assert 0 < r["intra_edges"] <= r["n_edges"]

@@ -248,3 +248,21 @@ def test_dq_schema_contract_detects_planted_violations(spark, tmp_path):
     assert not rows["status_in_domain"]["passed"]
     assert rows["totalprice_range"]["n_violations"] == 3
     assert rows["orderkey_not_null"]["passed"]
+
+
+def test_dq_benford_matches_oracle(spark, ddb):
+    df = quality.dq_benford(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, quality.ORACLES["dq_benford"])
+
+
+def test_dq_benford_shares_and_expectations_complete(spark):
+    rows = {r["digit"]: r for r in quality.dq_benford(spark, SF_DIR).collect()}
+    assert set(rows) <= set(range(1, 10))
+    tot = sum(r["share_ppm"] for r in rows.values())
+    assert 1_000_000 - 9 <= tot <= 1_000_000
+    # Benford expectation literals sum to ~1e6 and decrease in d
+    exp = [quality._BENFORD_PPM[d] for d in range(1, 10)]
+    assert exp == sorted(exp, reverse=True)
+    assert 999_990 <= sum(exp) <= 1_000_000
+    for r in rows.values():
+        assert r["dev_ppm"] == abs(r["share_ppm"] - r["benford_ppm"])

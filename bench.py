@@ -43,14 +43,17 @@ def main() -> None:
     # one warm-up action so JVM/codegen startup doesn't land on the first query
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     total = 0.0
     for name in sorted(qs):
         try:
-            # min of two runs: single-run numbers swing ±20% with
-            # scheduler/GC noise on a shared box; the min is the
-            # steady-state plan cost (first run still includes planning)
+            # min of N runs (default 2): single-run numbers swing ±20%
+            # (sometimes 1.5×) with scheduler/GC noise on a shared box;
+            # the min is the steady-state plan cost (first run still
+            # includes planning). Cross-round comparisons must only be
+            # made between same-`runs_per_query` benches.
             best = None
-            for _ in range(2):
+            for _ in range(runs):
                 t0 = time.perf_counter()
                 df = qs[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
@@ -70,6 +73,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_failed": sum(1 for v in timings.values() if v < 0),
+        "runs_per_query": runs,
     }
     # full map first (earlier line + sidecar file), short summary LAST
     print(json.dumps(full))

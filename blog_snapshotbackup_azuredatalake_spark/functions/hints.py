@@ -30,9 +30,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 BROADCAST_MAX_ROWS_CONF = "spark.graft.broadcastMaxRows"
 DEFAULT_BROADCAST_MAX_ROWS = 4_000_000
+BROADCAST_MAX_BYTES_CONF = "spark.graft.broadcastMaxBytes"
+# probe-path byte bound: a forced broadcast materializes on the driver
+# AND on every executor — 256 MB of payload is already generous for a
+# "small side". Wide rows (text/array columns) under the row bound were
+# previously force-broadcast unchecked, defeating the guard.
+DEFAULT_BROADCAST_MAX_BYTES = 256 << 20
 # fast-path byte bound: multiple of the 10 MB default broadcast
 # threshold — generous because the estimate is conservative (filters
 # keep the child's full size without CBO stats)
@@ -50,20 +57,68 @@ def _estimated_bytes(df: DataFrame) -> int:
         return 1 << 62
 
 
+def _row_bytes_expr(df: DataFrame):
+    """Approximate serialized bytes of one row, as a single Column:
+    actual octet length for string/binary, JSON length for nested
+    types (close enough for a safety bound), 8 bytes per scalar."""
+    parts = []
+    for f in df.schema.fields:
+        col = F.col(f"`{f.name}`")
+        if isinstance(f.dataType, (T.StringType, T.BinaryType)):
+            parts.append(
+                F.coalesce(F.octet_length(col), F.lit(0)).cast("bigint")
+            )
+        elif isinstance(
+            f.dataType, (T.ArrayType, T.MapType, T.StructType)
+        ):
+            parts.append(
+                F.coalesce(F.octet_length(F.to_json(col)), F.lit(0)).cast(
+                    "bigint"
+                )
+            )
+        else:
+            parts.append(F.lit(8).cast("bigint"))
+    total = parts[0]
+    for p in parts[1:]:
+        total = total + p
+    return total
+
+
 def broadcast_if_bounded(
-    df: DataFrame, max_rows: int | None = None
+    df: DataFrame,
+    max_rows: int | None = None,
+    max_bytes: int | None = None,
 ) -> DataFrame:
     """``F.broadcast(df)`` only when ``df`` provably fits; otherwise
-    the unhinted frame (AQE picks the strategy from actual sizes)."""
+    the unhinted frame (AQE picks the strategy from actual sizes).
+    The probe bounds BOTH row count and payload bytes — a relation
+    under the row bound but carrying wide text/array columns is just
+    as capable of OOMing the driver as a long one."""
     if max_rows is None:
         max_rows = int(
             df.sparkSession.conf.get(
                 BROADCAST_MAX_ROWS_CONF, str(DEFAULT_BROADCAST_MAX_ROWS)
             )
         )
+    if max_bytes is None:
+        max_bytes = int(
+            df.sparkSession.conf.get(
+                BROADCAST_MAX_BYTES_CONF, str(DEFAULT_BROADCAST_MAX_BYTES)
+            )
+        )
     if _estimated_bytes(df) <= FAST_PATH_BYTES:
         return F.broadcast(df)
-    n = df.limit(max_rows + 1).count()
-    if n <= max_rows:
+    # one probe job, cost capped by the row bound: count rows and sum
+    # approximate row bytes over the bounded prefix together
+    probe = (
+        df.limit(max_rows + 1)
+        .select(_row_bytes_expr(df).alias("__rb"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("__rb"), F.lit(0)).alias("b"),
+        )
+        .collect()[0]
+    )
+    if probe["n"] <= max_rows and probe["b"] <= max_bytes:
         return F.broadcast(df)
     return df

@@ -439,15 +439,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     test pins that invariant plus determinism-insensitive shape checks.
     Rows-only entry: iterated double sums are fold-order-dependent, so
     no portable SQL hash exists (same class as emb_kmeans)."""
-    from blog_snapshotbackup_azuredatalake_spark.operators.similarity import (
-        ann_knn_graph,
-    )
-
-    edges = (
-        ann_knn_graph(spark, sf_dir)
-        .select("src", "dst")
-        .localCheckpoint(eager=True)
-    )
+    edges = knn_edges_cached(spark, sf_dir)
     nodes = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
@@ -512,16 +504,9 @@ def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     an all-pairs scan. Degrees are k-bounded by construction, so the
     Jaccard denominator is exact integer arithmetic; the final top-N is
     two-phase (per-src window prunes before one tiny global window)."""
-    from blog_snapshotbackup_azuredatalake_spark.operators.similarity import (
-        ann_knn_graph,
-    )
     from pyspark.sql import Window
 
-    edges = (
-        ann_knn_graph(spark, sf_dir)
-        .select("src", "dst")
-        .localCheckpoint(eager=True)
-    )
+    edges = knn_edges_cached(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     cand = (
         edges.alias("e1")
@@ -635,6 +620,77 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# session-scoped substrate cache: the graph suite shares its bases
+# ---------------------------------------------------------------------------
+# Six entries consume the co-purchase edge base and two more consume
+# the kNN edge list; each used to rebuild + re-persist them privately,
+# so a suite run paid the lineitem self-join 6× — graph_modularity
+# alone paid it twice (once itself, once inside its internal LPA run).
+# Entries stay standalone via build-if-absent: the first caller in a
+# session builds and materializes, the rest reuse. Keyed by
+# (applicationId, sf_dir) so fresh sessions and different SFs rebuild.
+# Entries must NOT unpersist a cached base — the cache owns lifetime;
+# call graph_cache_clear() for explicit teardown.
+
+_GRAPH_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _cache_key(spark: SparkSession, sf_dir: str, name: str):
+    return (spark.sparkContext.applicationId, str(sf_dir), name)
+
+
+def graph_cache_clear() -> None:
+    """Unpersist and drop every cached substrate relation."""
+    for df in _GRAPH_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session may already be gone
+    _GRAPH_CACHE.clear()
+
+
+def copurchase_edges_cached(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Build-if-absent co-purchase edge base, cached COLUMNAR
+    (persist MEMORY_AND_DISK + count — compressed, spillable, lineage
+    kept; the §6 recipe. localCheckpoint row-blocks OOM'd at 120 M
+    edges on relations of exactly this shape)."""
+    key = _cache_key(spark, sf_dir, "copurchase_edges")
+    df = _GRAPH_CACHE.get(key)
+    if df is None:
+        from pyspark import StorageLevel
+
+        df = _copurchase_edges(spark, sf_dir).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        df.count()
+        _GRAPH_CACHE[key] = df
+    return df
+
+
+def knn_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-if-absent kNN similarity edge list (src, dst) — the
+    substrate of graph_pagerank and graph_link_predict, previously
+    rebuilt (full LSH bucketing + top-k) by each. n·k-sized, so
+    localCheckpoint is the right cache (node-scale, not edge-scale)."""
+    key = _cache_key(spark, sf_dir, "knn_edges")
+    df = _GRAPH_CACHE.get(key)
+    if df is None:
+        from blog_snapshotbackup_azuredatalake_spark.operators.similarity import (  # noqa: E501
+            ann_knn_graph,
+        )
+
+        df = (
+            ann_knn_graph(spark, sf_dir)
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        _GRAPH_CACHE[key] = df
+    return df
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the co-purchase graph, degree-oriented — the
     MapReduce-classic mitigation for "the curse of the last reducer"
@@ -652,12 +708,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented o) are cached COLUMNAR per the §6 iterative-graph recipe —
     localCheckpoint row-blocks exhausted memory at sf10 on the BFS/
     k-core ops with the same shape."""
-    from pyspark import StorageLevel
-
-    e0 = _copurchase_edges(spark, sf_dir).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    e0.count()
+    e0 = copurchase_edges_cached(spark, sf_dir)
     deg = (
         e0.select(F.col("u").alias("node"))
         .unionByName(e0.select(F.col("v").alias("node")))
@@ -717,7 +768,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_wedges_oriented",
             "n_triangles",
             F.expr(
-                f"3 * n_triangles * {TRI_FP}L div n_wedges_undirected"
+                # greatest(·,1): a degenerate graph (no node of degree
+                # ≥2) has 0 wedges — Spark `div` would yield NULL but
+                # DuckDB `//` raises, so the guard keeps the oracle
+                # comparable (clustering is 0 there either way)
+                f"3 * n_triangles * {TRI_FP}L"
+                " div greatest(n_wedges_undirected, 1L)"
             ).alias("clustering_fp"),
         )
     )
@@ -747,7 +803,8 @@ SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
        CAST((SELECT COUNT(*) FROM w) AS BIGINT) AS n_wedges_oriented,
        CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles,
        CAST(3 * (SELECT n FROM tri) * {TRI_FP}
-            // (SELECT SUM(deg * (deg - 1)) // 2 FROM deg) AS BIGINT)
+            // GREATEST((SELECT SUM(deg * (deg - 1)) // 2 FROM deg), 1)
+            AS BIGINT)
          AS clustering_fp
 """
 
@@ -773,12 +830,7 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     deserialized row blocks exhausted execution memory mid-shuffle
     (§6 trap, same failure as graph_kcore); per-round node-sized
     states keep the cheap lineage cut."""
-    from pyspark import StorageLevel
-
-    e0 = _copurchase_edges(spark, sf_dir).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    e0.count()
+    e0 = copurchase_edges_cached(spark, sf_dir)
     sym = e0.select(
         F.col("u").alias("s"), F.col("v").alias("d")
     ).unionByName(e0.select(F.col("v").alias("s"), F.col("u").alias("d")))
@@ -845,7 +897,7 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (an integer order-of-magnitude that is bit-portable across engines,
     unlike floor(log2) whose libm rounding differs); share is integer
     fixed-point parts-per-million."""
-    e0 = _copurchase_edges(spark, sf_dir)
+    e0 = copurchase_edges_cached(spark, sf_dir)
     deg = (
         e0.select(F.col("u").alias("node"))
         .unionByName(e0.select(F.col("v").alias("node")))
@@ -904,12 +956,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fixed round count makes the result well-defined data (full peeling
     to fixpoint is value-identical once the census stops moving).
     Oracle: the same rounds unrolled as SQL CTEs."""
-    from pyspark import StorageLevel
-
-    e0 = _copurchase_edges(spark, sf_dir).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    e0.count()  # materialize the compressed columnar cache once
+    e0 = copurchase_edges_cached(spark, sf_dir)
     sym = e0.select(
         F.col("u").alias("s"), F.col("v").alias("d")
     ).unionByName(e0.select(F.col("v").alias("s"), F.col("u").alias("d")))
@@ -962,7 +1009,6 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("c"), F.lit(0)).alias("s2"),
         ).collect()[0]
         rows.append((rnd, KCORE_K, stats["n"], stats["s2"] // 2))
-    e0.unpersist()  # census is already driver-side literals
     return spark.createDataFrame(
         rows, "round int, k int, n_nodes bigint, n_edges bigint"
     )
@@ -1006,12 +1052,32 @@ def graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     columnar and the per-round join hash-built on the node-sized label
     side (§6 iterative-graph recipe — row-block checkpoints and big-
     side sorts both OOM'd at sf10 on ops of this shape)."""
-    from pyspark import StorageLevel
-
-    e0 = _copurchase_edges(spark, sf_dir).persist(
-        StorageLevel.MEMORY_AND_DISK
+    labels = lpa_labels_cached(spark, sf_dir)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("community_size")
     )
-    e0.count()
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("part_id"),
+        F.col("label").alias("community"),
+        "community_size",
+    )
+
+
+def lpa_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-if-absent final LPA label relation (node, label) — shared
+    by graph_community_lpa and graph_modularity (which previously
+    re-ran the full propagation internally). Node-sized, so the
+    per-round localCheckpoint of the last round IS the cache."""
+    key = _cache_key(spark, sf_dir, "lpa_labels")
+    df = _GRAPH_CACHE.get(key)
+    if df is None:
+        df = _lpa_label_relation(spark, sf_dir)
+        _GRAPH_CACHE[key] = df
+    return df
+
+
+def _lpa_label_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e0 = copurchase_edges_cached(spark, sf_dir)
     sym = e0.select(
         F.col("u").alias("s"), F.col("v").alias("d")
     ).unionByName(e0.select(F.col("v").alias("s"), F.col("u").alias("d")))
@@ -1039,14 +1105,7 @@ def graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    sizes = labels.groupBy("label").agg(
-        F.count(F.lit(1)).alias("community_size")
-    )
-    return labels.join(sizes, "label").select(
-        F.col("node").alias("part_id"),
-        F.col("label").alias("community"),
-        "community_size",
-    )
+    return labels
 
 
 def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1057,11 +1116,13 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     and den = 4m²: both fit BIGINT, and the double division of two
     identically-cast integers is bit-identical across engines — no
     fixed-point machinery needed (§4). Everything after the LPA fold is
-    community-count-sized; the certificate is one row."""
-    comm = graph_community_lpa(spark, sf_dir).select(
-        F.col("part_id").alias("node"), F.col("community").alias("label")
-    ).localCheckpoint(eager=True)
-    e0 = _copurchase_edges(spark, sf_dir).persist()
+    community-count-sized; the certificate is one row. Both substrates
+    come from the session cache — the edge base and the LPA labels are
+    shared with the other graph entries instead of recomputed (the
+    round-3 verdict's composition-cost finding: ~2/3 of this entry's
+    time was re-running LPA + the edge build internally)."""
+    comm = lpa_labels_cached(spark, sf_dir)
+    e0 = copurchase_edges_cached(spark, sf_dir)
     m = e0.count()
     la = comm.select(F.col("node").alias("u"), F.col("label").alias("lu"))
     lb = comm.select(F.col("node").alias("v"), F.col("label").alias("lv"))
@@ -1088,7 +1149,6 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()[0]
     )
-    e0.unpersist()
     num = 4 * m * intra - dsq["sum_dsq"]
     den = 4 * m * m
     return spark.createDataFrame(
@@ -1178,7 +1238,135 @@ JOIN (SELECT label, COUNT(*) AS community_size FROM {last} GROUP BY label) s
 """
 
 
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — Pearson r of
+    (deg_u, deg_v) over every edge end (both orientations, the Newman
+    2002 definition): do hubs link to hubs (r>0, social-graph shape)
+    or to spokes (r<0, tech/dependency shape)? The answer picks the
+    skew strategy — disassortative graphs concentrate join load on
+    hub keys and want salting/orientation; assortative ones spread it.
+
+    Exact integer moments: n, Σx, Σx², Σxy accumulate as BIGINT over
+    the end list (safe past 10⁸ edges with 10⁴-degree hubs); the
+    final r = (nΣxy − (Σx)²) / (nΣx² − (Σx)²) needs products near
+    10²⁵, so it folds driver-side in unbounded Python ints (oracle:
+    HUGEINT) with both engines casting the SAME exact integers to
+    double before one division — bit-portable like graph_modularity.
+    Symmetric ends make Σy ≡ Σx, so one moment pass suffices: edge
+    base from the session cache, two node-sized degree joins, one
+    4-number fold. Certificate is one row."""
+    e0 = copurchase_edges_cached(spark, sf_dir)
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionByName(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    pairs = e0.join(du, "u").join(dv, "v")
+    ends = pairs.select(
+        F.col("deg_u").alias("x"), F.col("deg_v").alias("y")
+    ).unionByName(
+        pairs.select(F.col("deg_v").alias("x"), F.col("deg_u").alias("y"))
+    )
+    s = ends.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    ).collect()[0]
+    n, sx, sxx, sxy = int(s["n"]), int(s["sx"]), int(s["sxx"]), int(s["sxy"])
+    num = n * sxy - sx * sx
+    den = n * sxx - sx * sx
+    r = 0.0 if den == 0 else float(num) / float(den)
+    return spark.createDataFrame(
+        [(n, sx, sxx, sxy, r)],
+        "n_edge_ends bigint, sum_deg bigint, sum_deg_sq bigint,"
+        " sum_deg_prod bigint, assortativity double",
+    )
+
+
+_ASSORTATIVITY_SQL = f"""
+WITH {_COPURCHASE_SQL},
+deg AS (SELECT node, COUNT(*) AS deg
+        FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        GROUP BY node),
+ends AS (
+  SELECT du.deg AS x, dv.deg AS y
+  FROM e0 JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v
+  UNION ALL
+  SELECT dv.deg, du.deg
+  FROM e0 JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v
+),
+s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx,
+             CAST(SUM(x * y) AS HUGEINT) AS sxy
+      FROM ends)
+SELECT CAST(n AS BIGINT) AS n_edge_ends,
+       CAST(sx AS BIGINT) AS sum_deg,
+       CAST(sxx AS BIGINT) AS sum_deg_sq,
+       CAST(sxy AS BIGINT) AS sum_deg_prod,
+       CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+            ELSE CAST(n * sxy - sx * sx AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+       END AS assortativity
+FROM s
+"""
+
+
+def graph_cc_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component census of the co-purchase graph: min-label
+    propagation to the fixpoint (the shared ``connected_components``
+    loop — one shuffle per round, lineage cut per round, convergence
+    via the monotone label-sum potential), then component sizes folded
+    into a digit-bucket histogram (same bit-portable bucketing as
+    ``graph_degree_stats``). The output answers the first question you
+    ask of any 100 TB graph — is it one giant component or dust? —
+    in O(log sizes) rows. Oracle: recursive-CTE reachability closure
+    with the min label folded at the end (closure is |component|²
+    pairs — oracle-scale only; the Spark side stays edge-list-sized
+    per round)."""
+    pairs = copurchase_edges_cached(spark, sf_dir).select(
+        F.col("u").alias("doc_a"), F.col("v").alias("doc_b")
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    agg = sizes.groupBy(
+        F.length(F.col("sz").cast("string")).cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_components"),
+        F.sum("sz").alias("n_nodes"),
+        F.min("sz").alias("min_size"),
+        F.max("sz").alias("max_size"),
+    )
+    return agg
+
+
+_CC_CENSUS_SQL = f"""
+WITH RECURSIVE {_COPURCHASE_SQL},
+sym AS (SELECT u AS s, v AS d FROM e0 UNION ALL SELECT v, u FROM e0),
+reach(node, lab) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM sym)
+  UNION
+  SELECT sym.d, r.lab FROM reach r JOIN sym ON sym.s = r.node
+),
+comp AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM comp GROUP BY cluster_id)
+SELECT CAST(LENGTH(CAST(sz AS VARCHAR)) AS INT) AS bucket,
+       COUNT(*) AS n_components,
+       CAST(SUM(sz) AS BIGINT) AS n_nodes,
+       MIN(sz) AS min_size, MAX(sz) AS max_size
+FROM sizes GROUP BY bucket
+"""
+
+
 QUERIES = {
+    "graph_assortativity": graph_assortativity,
+    "graph_cc_census": graph_cc_census,
     "dedup_cluster_cc": dedup_cluster_cc,
     "dedup_cluster_sizes": dedup_cluster_sizes,
     "corpus_split_leakage_safe": corpus_split_leakage_safe,
@@ -1193,6 +1381,8 @@ QUERIES = {
     "graph_modularity": graph_modularity,
 }
 ORACLES = {
+    "graph_assortativity": _ASSORTATIVITY_SQL,
+    "graph_cc_census": _CC_CENSUS_SQL,
     "dedup_cluster_cc": _CLUSTER_CC_SQL,
     "dedup_cluster_sizes": _CLUSTER_SIZES_SQL,
     "corpus_split_leakage_safe": _leakage_safe_sql(),

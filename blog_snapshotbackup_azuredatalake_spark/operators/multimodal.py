@@ -710,7 +710,73 @@ FROM cdc JOIN fixed USING (source)
 """
 
 
+SHARD_BYTES = 16_384  # demo-scale shard target (prod: 256MB-1GB tars)
+_PAYLOAD_BYTES = 76  # 12-byte ASCII header + 64 keystream bytes
+
+
+def mm_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-ordered shard packing for media assets — the WebDataset
+    / tar-shard layout step of a multimodal training pipeline: assets
+    are assigned to ~{SHARD_BYTES}-byte shards by running byte offset
+    (shard = start_offset div target — the greedy first-fit that every
+    sequential shard writer implements), per SOURCE, ordered by the
+    unique doc_id so the assignment is deterministic and append-stable.
+    The window partitions by source: per-partition state is one
+    source's asset list, so packing parallelizes across sources and no
+    global sort exists (the snap_compaction_plan rule). Output is the
+    shard manifest — per shard: item count, payload bytes, id range —
+    which is itself the input to the actual tar-writer job."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_binary_column(docs).join(
+        docs.select("doc_id", "source", "text"), "doc_id"
+    )
+    assets = media.select(
+        "doc_id",
+        "source",
+        (F.octet_length("payload") + F.octet_length("text")).alias(
+            "asset_bytes"
+        ),
+    )
+    packed = assets.select(
+        "doc_id",
+        "source",
+        "asset_bytes",
+        F.expr(
+            f"(sum(asset_bytes) over (partition by source order by doc_id"
+            f" rows between unbounded preceding and current row)"
+            f" - asset_bytes) div {SHARD_BYTES}"
+        ).alias("shard_id"),
+    )
+    return packed.groupBy("source", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("asset_bytes").alias("shard_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_MM_SHARD_PACK_SQL = f"""
+WITH assets AS (
+  SELECT doc_id, source,
+         {_PAYLOAD_BYTES} + octet_length(CAST(text AS BLOB)) AS asset_bytes
+  FROM documents
+), packed AS (
+  SELECT doc_id, source, asset_bytes,
+         (SUM(asset_bytes) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - asset_bytes) // {SHARD_BYTES} AS shard_id
+  FROM assets
+)
+SELECT source, CAST(shard_id AS BIGINT) AS shard_id,
+       COUNT(*) AS n_items,
+       CAST(SUM(asset_bytes) AS BIGINT) AS shard_bytes,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM packed GROUP BY source, shard_id
+"""
+
+
 QUERIES = {
+    "mm_shard_pack": mm_shard_pack,
     "mm_cdc_chunk_dedup": mm_cdc_chunk_dedup,
     "mm_audio_chunk": mm_audio_chunk,
     "mm_decode_pipeline": mm_decode_pipeline,
@@ -719,6 +785,7 @@ QUERIES = {
     "mm_payload_dedup": mm_payload_dedup,
 }
 ORACLES: dict[str, str] = {
+    "mm_shard_pack": _MM_SHARD_PACK_SQL,
     "mm_cdc_chunk_dedup": _CDC_CHUNK_SQL,
     "mm_meta_audit": _MM_META_AUDIT_SQL,
     "mm_payload_dedup": _MM_PAYLOAD_DEDUP_SQL,

@@ -148,7 +148,11 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage",
         "n_surviving",
         "n_dropped",
-        F.expr("n_dropped * 1000000 div n_raw").alias("dropped_ppm"),
+        # greatest(·,1): empty corpus → n_raw 0; Spark div would NULL,
+        # DuckDB // would raise — ppm is 0 on an empty funnel anyway
+        F.expr("n_dropped * 1000000 div greatest(n_raw, 1L)").alias(
+            "dropped_ppm"
+        ),
     )
 
 
@@ -173,7 +177,8 @@ stages AS (
   SELECT 2, 'near_dup_removal', n_kept - n_drop, n_drop, n_raw FROM wide
 )
 SELECT CAST(stage_idx AS INT) AS stage_idx, stage, n_surviving, n_dropped,
-       CAST(n_dropped * 1000000 // n_raw AS BIGINT) AS dropped_ppm
+       CAST(n_dropped * 1000000 // GREATEST(n_raw, 1) AS BIGINT)
+         AS dropped_ppm
 FROM stages
 """
 

@@ -1134,7 +1134,84 @@ GROUP BY d.o_orderpriority
 """
 
 
+RECON_TOL_CENTS = 1
+
+
+def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table financial reconciliation — the header-vs-detail
+    audit every billing/ledger snapshot runs before promotion: does
+    each order's stated total agree with the sum of its line items'
+    extended charges? Money folds in integer CENTS via floor fixed
+    point (floor of an identically-computed double is exact in both
+    engines, §4 — never ROUND, whose half-way rule differs); per-order
+    line sums are exact BIGINT, so the diff census is bit-portable.
+    One lineitem shuffle on orderkey, then an orders-sized left join
+    (headers with NO detail rows are their own defect class, counted
+    separately, diff not evaluated for them); output is one row per
+    order status. The synthetic schema's totals are independent of the
+    line items, so the interesting number is the drift PROFILE, not a
+    pass flag — on a real lakehouse this op gates the snapshot."""
+    line = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "CAST(floor(l_extendedprice * (1 - l_discount)"
+            " * (1 + l_tax) * 100) AS BIGINT)"
+        ).alias("line_cents"),
+    )
+    per_order = line.groupBy("l_orderkey").agg(
+        F.sum("line_cents").alias("detail_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias(
+            "header_cents"
+        ),
+    )
+    j = orders.join(
+        per_order, orders.o_orderkey == per_order.l_orderkey, "left"
+    )
+    diff = F.col("header_cents") - F.col("detail_cents")
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("detail_cents").isNull().cast("bigint")).alias(
+            "n_no_detail"
+        ),
+        F.sum(
+            (F.abs(diff) <= RECON_TOL_CENTS).cast("bigint")
+        ).alias("n_reconciled"),
+        F.sum(F.abs(diff)).alias("sum_abs_diff_cents"),
+        F.max(F.abs(diff)).alias("max_abs_diff_cents"),
+    )
+
+
+_DQ_RECONCILIATION_SQL = f"""
+WITH per_order AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT)
+           AS detail_cents,
+         COUNT(*) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN detail_cents IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_no_detail,
+       CAST(SUM(CASE WHEN abs(CAST(floor(o_totalprice * 100) AS BIGINT)
+                              - detail_cents) <= {RECON_TOL_CENTS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_reconciled,
+       CAST(SUM(abs(CAST(floor(o_totalprice * 100) AS BIGINT)
+                    - detail_cents)) AS BIGINT) AS sum_abs_diff_cents,
+       MAX(abs(CAST(floor(o_totalprice * 100) AS BIGINT)
+               - detail_cents)) AS max_abs_diff_cents
+FROM orders LEFT JOIN per_order ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
+    "dq_reconciliation": dq_reconciliation,
     "dq_benford": dq_benford,
     "dq_schema_contract": dq_schema_contract,
     "dq_hourly_profile": dq_hourly_profile,
@@ -1153,6 +1230,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dq_reconciliation": _DQ_RECONCILIATION_SQL,
     "dq_benford": _benford_sql(),
     "dq_schema_contract": _DQ_CONTRACT_SQL,
     "dq_hourly_profile": _DQ_HOURLY_SQL,

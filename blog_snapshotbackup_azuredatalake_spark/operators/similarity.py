@@ -1341,7 +1341,10 @@ def emb_pq_residual_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vectors",
         F.expr("sum_err_fp div n_vectors").cast("bigint").alias("mean_err_fp"),
         "max_err_fp",
-        F.expr(f"sum_err_fp * {BALANCE_FP}L div tot")
+        # greatest(·,1): tot is 0 when every vector reconstructs
+        # exactly (all-zero residuals) — Spark div would NULL, DuckDB
+        # // would raise; share is 0 there either way
+        F.expr(f"sum_err_fp * {BALANCE_FP}L div greatest(tot, 1L)")
         .cast("bigint")
         .alias("err_share_fp"),
     )
@@ -1369,7 +1372,8 @@ WITH sub AS (
 SELECT CAST(s AS INT) AS s, n_vectors,
        CAST(sum_err_fp // n_vectors AS BIGINT) AS mean_err_fp,
        CAST(max_err_fp AS BIGINT) AS max_err_fp,
-       CAST(sum_err_fp * {BALANCE_FP} // tot AS BIGINT) AS err_share_fp
+       CAST(sum_err_fp * {BALANCE_FP} // GREATEST(tot, 1) AS BIGINT)
+         AS err_share_fp
 FROM per CROSS JOIN total
 """
 
@@ -1659,10 +1663,14 @@ def emb_label_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything is edge-list-sized — one (dst, label) join, one
     (src, nlabel) count, one |labels|-row summary. The corpus embedding
     payload is never touched again."""
+    from blog_snapshotbackup_azuredatalake_spark.operators.graph import (
+        knn_edges_cached,
+    )
+
     labels = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("label").cast("int").alias("label")
     )
-    knn = ann_knn_graph(spark, sf_dir).select("src", "dst")
+    knn = knn_edges_cached(spark, sf_dir)
     votes = knn.join(
         labels.select(
             F.col("vec_id").alias("dst"), F.col("label").alias("nlabel")

@@ -1448,11 +1448,16 @@ def snap_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     upserts with a bumped price, 50 synthetic new keys insert, every
     89th ≡ 3 key deletes — the same perturbation family as snap_diff,
     but delivered as an op-tagged feed rather than a full next-day
-    state, which is the MERGE contract."""
+    state, which is the MERGE contract. Real MERGE INTO rejects a
+    source with multiple matches per target key, so the feed is
+    deduplicated up front with an explicit DELETE-WINS precedence:
+    keys hit by both rules (every lcm(97,89)·q + r id, one per ~8633)
+    carry only the delete — the conservative choice for a purge-class
+    op, and the one Delta's `whenMatchedDelete`-first ordering gives."""
     target = load_table(spark, sf_dir, "orders")
-    upd = target.filter(F.col("o_orderkey") % 97 == 0).withColumn(
-        "o_totalprice", F.col("o_totalprice") + 10.0
-    )
+    upd = target.filter(
+        (F.col("o_orderkey") % 97 == 0) & (F.col("o_orderkey") % 89 != 3)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + 10.0)
     new = (
         target.filter(F.col("o_orderkey") % 101 == 7)
         .orderBy("o_orderkey")
@@ -1510,7 +1515,7 @@ WITH changes AS (
   SELECT o_orderkey, o_custkey, o_orderstatus,
          o_totalprice + 10.0 AS o_totalprice, o_orderdate, o_orderpriority,
          'upsert' AS op
-  FROM orders WHERE o_orderkey % 97 = 0
+  FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey % 89 <> 3
   UNION ALL
   SELECT o_orderkey + {_MERGE_NEW_KEY_OFFSET}, o_custkey, o_orderstatus,
          o_totalprice, o_orderdate, o_orderpriority, 'upsert'

@@ -1655,6 +1655,11 @@ DIVERSITY_FP = 1 << 20
 # English sits ~.92-.94. Below .80 the doc is dominated by few symbols —
 # encoding damage, char floods, single-word spam.
 DIVERSITY_LOW_FP = int(0.80 * DIVERSITY_FP)
+# BIGINT ceiling for the fixed-point numerator: (total² − Σcnt²)·2²⁰
+# needs total² · 2²⁰ < 2⁶³, i.e. total < 2^21.5 ≈ 2.96M chars. Docs
+# beyond the guard get NULL (flagged, not silently wrapped) — both
+# engines skip NULLs in the aggregates identically.
+DIVERSITY_MAX_CHARS = 2_900_000
 
 
 def _simpson_expr(intdiv: str) -> str:
@@ -1663,16 +1668,22 @@ def _simpson_expr(intdiv: str) -> str:
     emb_pq_adc lesson), integer-exact so Spark and DuckDB agree bitwise:
     FP·(total² − Σcnt²) div total², where cnt is per-symbol occurrence
     via length-minus-replaced-length (no explode — the corpus never
-    multiplies by its character count). BIGINT-safe to ~10⁸-char docs
-    (total²·FP < 2⁶³); `intdiv` is the engine's integer-division token."""
+    multiplies by its character count). Every count term is CAST to
+    BIGINT before squaring (INT cnt² silently wraps past 46,341
+    occurrences of one char in non-ANSI Spark while DuckDB widens —
+    an engine-divergence class, not just an overflow); docs longer
+    than {DIVERSITY_MAX_CHARS} (the total²·2²⁰ < 2⁶³ BIGINT bound)
+    emit NULL rather than wrapping. `intdiv` is the engine's
+    integer-division token."""
     terms = [
-        f"(length(text) - length(replace(text, '{c}', '')))"
+        f"CAST(length(text) - length(replace(text, '{c}', '')) AS BIGINT)"
         for c in DIVERSITY_ALPHABET
     ]
     sumsq = " + ".join(f"{t} * {t}" for t in terms)
     total2 = "(CAST(length(text) AS BIGINT) * length(text))"
     return (
-        f"CAST(CASE WHEN length(text) = 0 THEN 0 ELSE"
+        f"CAST(CASE WHEN length(text) = 0 THEN 0"
+        f" WHEN length(text) > {DIVERSITY_MAX_CHARS} THEN NULL ELSE"
         f" (({total2} - ({sumsq})) * {DIVERSITY_FP}) {intdiv} {total2}"
         f" END AS BIGINT)"
     )
@@ -1718,7 +1729,89 @@ FROM scored GROUP BY source
 """
 
 
+ZIPF_TIERS = [10, 100, 1000]
+ZIPF_FP = 1_000_000  # mass shares in parts-per-million
+
+
+def text_zipf_topmass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf head-mass profile: what share of all token occurrences the
+    top-10/100/1000 ranked tokens carry — the distribution-shape audit
+    behind every vocab-size / stopword-list decision (natural language
+    ≈ 40-50% in the top-100; a flat profile means synthetic or
+    templated text, a spiked one means boilerplate). Deliberately NOT
+    a fitted Zipf exponent: the fit needs log() whose libm rounding
+    differs across engines (§4) — cumulative mass shares in integer
+    ppm answer the same question bit-portably.
+
+    Plan shape: the token explode collapses map-side to vocab-sized
+    partials (the text_vocab_topk shape), the rank window and the tier
+    sums run over the aggregated vocabulary only — the corpus is
+    touched once, nothing vocabulary-squared exists."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode_outer(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    agg = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.orderBy(F.desc("tf"), F.asc("tok"))
+    ranked = agg.withColumn("rank", F.row_number().over(w))
+    tiers = ", ".join(str(t) for t in ZIPF_TIERS)
+    return (
+        ranked.crossJoin(
+            spark.range(1).select(
+                F.explode(F.expr(f"array({tiers})")).alias("tier")
+            )
+        )
+        .groupBy("tier")
+        .agg(
+            F.sum(F.when(F.col("rank") <= F.col("tier"), 1).otherwise(0))
+            .alias("tier_tokens"),
+            F.sum(
+                F.when(F.col("rank") <= F.col("tier"), F.col("tf")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("tier_mass"),
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum("tf").alias("total_tokens"),
+        )
+        .select(
+            F.col("tier").cast("int").alias("tier"),
+            "tier_tokens",
+            "tier_mass",
+            F.expr(f"tier_mass * {ZIPF_FP} div total_tokens").alias(
+                "mass_ppm"
+            ),
+            "vocab_size",
+            "total_tokens",
+        )
+    )
+
+
+_ZIPF_TOPMASS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+), agg AS (
+  SELECT tok, COUNT(*) AS tf FROM toks WHERE tok <> '' GROUP BY tok
+), ranked AS (
+  SELECT tf, ROW_NUMBER() OVER (ORDER BY tf DESC, tok) AS rank FROM agg
+)
+SELECT CAST(tier AS INT) AS tier,
+       CAST(SUM(CASE WHEN rank <= tier THEN 1 ELSE 0 END) AS BIGINT)
+         AS tier_tokens,
+       CAST(SUM(CASE WHEN rank <= tier THEN tf ELSE 0 END) AS BIGINT)
+         AS tier_mass,
+       CAST(SUM(CASE WHEN rank <= tier THEN tf ELSE 0 END) * {ZIPF_FP}
+            // SUM(tf) AS BIGINT) AS mass_ppm,
+       COUNT(*) AS vocab_size,
+       CAST(SUM(tf) AS BIGINT) AS total_tokens
+FROM ranked CROSS JOIN (SELECT unnest([{", ".join(str(t) for t in ZIPF_TIERS)}]) AS tier)
+GROUP BY tier
+"""
+
+
 QUERIES = {
+    "text_zipf_topmass": text_zipf_topmass,
     "text_char_diversity": text_char_diversity,
     "text_cooccurrence": text_cooccurrence,
     "text_gram_novelty": text_gram_novelty,
@@ -1741,6 +1834,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_zipf_topmass": _ZIPF_TOPMASS_SQL,
     "text_char_diversity": _CHAR_DIVERSITY_SQL,
     "text_cooccurrence": _COOC_SQL,
     "text_gram_novelty": _gram_novelty_sql(),

@@ -1192,7 +1192,125 @@ GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
 """
 
 
+_DAY_US = 86_400 * 1_000_000
+PATH_TOP_N = 20
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic marketing/churn cut:
+    per customer recency (last order epoch-day — integer arithmetic,
+    no calendar functions, §4), frequency (order count), monetary
+    (decimal-exact spend), each quartiled by ntile(4) over a UNIQUE
+    (metric, custkey) sort so tile boundaries are engine-independent
+    (the q_balance_deciles rule). Output is the 64-cell segment grid
+    with counts and spend — customer-dimension-sized end to end: one
+    orders shuffle to fold per-customer stats, then three window
+    passes over the customer relation (global ntile needs one sorted
+    partition — fine for dimensions; never do this on a fact table)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "datediff(cast(o_orderdate as date), date'1970-01-01')"
+        ).cast("bigint").alias("day"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("day").alias("last_day"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price").cast("decimal(18,2)").alias("monetary"),
+    )
+    wr = Window.orderBy("last_day", "o_custkey")
+    wf = Window.orderBy("n_orders", "o_custkey")
+    wm = Window.orderBy("monetary", "o_custkey")
+    scored = per_cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(4).over(wr).alias("r_quartile"),
+        F.ntile(4).over(wf).alias("f_quartile"),
+        F.ntile(4).over(wm).alias("m_quartile"),
+    )
+    return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary").cast("double").alias("total_spend"),
+    )
+
+
+_Q_RFM_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT))
+           AS last_day,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS monetary
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey, monetary,
+         NTILE(4) OVER (ORDER BY last_day, o_custkey) AS r_quartile,
+         NTILE(4) OVER (ORDER BY n_orders, o_custkey) AS f_quartile,
+         NTILE(4) OVER (ORDER BY monetary, o_custkey) AS m_quartile
+  FROM per_cust
+)
+SELECT r_quartile, f_quartile, m_quartile, COUNT(*) AS n_customers,
+       CAST(SUM(monetary) AS DOUBLE) AS total_spend
+FROM scored GROUP BY r_quartile, f_quartile, m_quartile
+"""
+
+
+def q_events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event trigrams — the clickstream path-mining primitive
+    (which 3-step journeys dominate): per user, events ordered by the
+    unique (ts, event_id) key, consecutive triples via two lead()
+    passes over ONE window sort, then a global count + top-{PATH_TOP_N}
+    with a (count, path) deterministic tiebreak. The window partitions
+    by user — per-partition state is one user's events, so the sort
+    parallelizes over users and no global sort exists; the count
+    shuffle carries |distinct trigram| rows."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = ev.select(
+        F.concat_ws(
+            ">",
+            F.col("event_type"),
+            F.lead("event_type", 1).over(w),
+            F.lead("event_type", 2).over(w),
+        ).alias("path"),
+        F.lead("event_type", 2).over(w).alias("third"),
+    ).filter(F.col("third").isNotNull())
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.orderBy(F.desc("n"), F.asc("path"))
+    return (
+        counts.select(
+            F.row_number().over(wr).cast("int").alias("rank"), "path", "n"
+        )
+        .filter(F.col("rank") <= PATH_TOP_N)
+    )
+
+
+_Q_USER_PATHS_SQL = f"""
+WITH ordered AS (
+  SELECT event_type,
+         LEAD(event_type, 1) OVER w AS e2,
+         LEAD(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), counts AS (
+  SELECT event_type || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+  FROM ordered WHERE e3 IS NOT NULL GROUP BY 1
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS INT) AS rank,
+       path, n
+FROM counts QUALIFY rank <= {PATH_TOP_N}
+"""
+
+
 QUERIES = {
+    "q_rfm_segments": q_rfm_segments,
+    "q_events_user_paths": q_events_user_paths,
     "q_grouping_sets": q_grouping_sets,
     "q_events_ohlc": q_events_ohlc,
     "q_events_variant": q_events_variant,
@@ -1220,6 +1338,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_rfm_segments": _Q_RFM_SQL,
+    "q_events_user_paths": _Q_USER_PATHS_SQL,
     "q_events_ohlc": _Q_OHLC_SQL,
     "q_events_variant": _Q_VARIANT_SQL,
     "q_revenue_yoy": _Q_YOY_SQL,

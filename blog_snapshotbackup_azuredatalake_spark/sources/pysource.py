@@ -81,8 +81,13 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_package_on_workers(spark)  # reader class unpickles on workers
     try:
         spark.dataSource.register(SyntheticEventsDataSource)
-    except Exception:
-        pass  # already registered in this session
+    except Exception as exc:  # noqa: BLE001 — filtered re-raise below
+        # Only the duplicate-registration case is benign; swallowing a
+        # genuine registration failure would resurface later as a
+        # baffling "format synthetic_events not found" at read time.
+        msg = str(exc).lower()
+        if "already" not in msg and "exists" not in msg:
+            raise
     total = load_table(spark, sf_dir, "events").count()
     df = (
         spark.read.format("synthetic_events")

@@ -313,3 +313,40 @@ def test_modularity_is_exact_rational_in_range(spark):
     assert r["modularity"] == r["q_num"] / r["q_den"]
     assert -0.5 <= r["modularity"] <= 1.0
     assert 0 < r["intra_edges"] <= r["n_edges"]
+
+
+def test_assortativity_matches_oracle(spark, ddb):
+    df = graph.graph_assortativity(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, graph.ORACLES["graph_assortativity"])
+
+
+def test_assortativity_moments_and_range(spark):
+    r = graph.graph_assortativity(spark, SF_DIR).collect()[0]
+    assert -1.0 <= r["assortativity"] <= 1.0
+    # both-orientation ends: even count, moments positive, Cauchy-Schwarz
+    assert r["n_edge_ends"] % 2 == 0 and r["n_edge_ends"] > 0
+    assert 0 < r["sum_deg"] <= r["sum_deg_sq"] * r["n_edge_ends"]
+    assert r["sum_deg_prod"] <= r["sum_deg_sq"]  # Σxy ≤ Σx² by symmetry+CS
+
+
+def test_cc_census_matches_oracle(spark, ddb):
+    df = graph.graph_cc_census(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, graph.ORACLES["graph_cc_census"])
+
+
+def test_cc_census_conserves_nodes(spark):
+    rows = graph.graph_cc_census(spark, SF_DIR).collect()
+    e0 = graph.copurchase_edges_cached(spark, SF_DIR)
+    from pyspark.sql import functions as F
+
+    n_nodes = (
+        e0.select(F.col("u").alias("n"))
+        .unionByName(e0.select(F.col("v").alias("n")))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_nodes"] for r in rows) == n_nodes
+    for r in rows:
+        assert r["min_size"] <= r["max_size"]
+        assert len(str(r["min_size"])) == r["bucket"]
+        assert len(str(r["max_size"])) == r["bucket"]

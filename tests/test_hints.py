@@ -68,6 +68,22 @@ def test_past_bound_falls_back_unhinted(spark, no_auto_broadcast):
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
 
 
+def test_wide_rows_under_row_bound_fall_back(spark, no_auto_broadcast):
+    """A relation UNDER the row bound but with wide payloads (the
+    text/array-column class) must not be force-broadcast: the probe
+    bounds bytes too, not just rows."""
+    wide = (
+        spark.range(20_000_000)  # 160 MB estimate -> past the fast path
+        .filter(F.col("id") % 100 == 0)  # 200k rows, under the row bound
+        .withColumn("pad", F.repeat(F.lit("x"), 10_000))  # ~2 GB payload
+    )
+    j = spark.range(1000).join(
+        broadcast_if_bounded(wide, max_rows=1_000_000), "id"
+    )
+    p = _plan(j)
+    assert "BroadcastHashJoin" not in p and "BroadcastExchange" not in p
+
+
 def test_conf_overrides_row_bound(spark, no_auto_broadcast):
     old = spark.conf.get(BROADCAST_MAX_ROWS_CONF, None)
     spark.conf.set(BROADCAST_MAX_ROWS_CONF, "100")

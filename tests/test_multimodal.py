@@ -126,3 +126,28 @@ def test_cdc_chunking_recovers_shifted_blocks(spark):
         r["fixed_total"] for r in rows
     )
     assert cdc > fixed, (cdc, fixed)
+
+
+def test_mm_shard_pack_matches_oracle(spark, ddb):
+    from tests.conftest import assert_matches_oracle
+
+    df = multimodal.mm_shard_pack(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, multimodal.ORACLES["mm_shard_pack"])
+
+
+def test_mm_shard_pack_manifest_invariants(spark):
+    rows = multimodal.mm_shard_pack(spark, SF_DIR).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, shards in by_source.items():
+        ids = sorted(s["shard_id"] for s in shards)
+        assert ids == list(range(len(ids))), f"{source}: gaps in shard ids"
+        shards.sort(key=lambda s: s["shard_id"])
+        # id ranges must be disjoint and ordered (append-stable packing)
+        for a, b in zip(shards, shards[1:]):
+            assert a["last_doc"] < b["first_doc"]
+        # every full shard start-offset rule: all but the last shard
+        # must have crossed the boundary (bytes ≥ target − one asset)
+        for s in shards[:-1]:
+            assert s["shard_bytes"] > 0

@@ -266,3 +266,18 @@ def test_dq_benford_shares_and_expectations_complete(spark):
     assert 999_990 <= sum(exp) <= 1_000_000
     for r in rows.values():
         assert r["dev_ppm"] == abs(r["share_ppm"] - r["benford_ppm"])
+
+
+def test_dq_reconciliation_matches_oracle(spark, ddb):
+    df = quality.dq_reconciliation(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, quality.ORACLES["dq_reconciliation"])
+
+
+def test_dq_reconciliation_counts_are_conserved(spark):
+    rows = quality.dq_reconciliation(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # reconciled ⊆ evaluated = orders with detail rows
+        assert r["n_reconciled"] <= r["n_orders"] - r["n_no_detail"]
+        if r["sum_abs_diff_cents"] is not None:
+            assert r["max_abs_diff_cents"] <= r["sum_abs_diff_cents"]

@@ -51,6 +51,28 @@ def test_chain_rebase_reaches_final_state(spark):
     assert row["n_upserts"] > 0 and row["n_deletes"] > 0
 
 
+def test_merge_upsert_delete_wins_on_feed_overlap(spark):
+    """Keys hit by BOTH feed rules (upsert %97 and delete %89≡3 — the
+    first exists at every ≡r mod 8633 id) must carry only the delete:
+    real MERGE INTO rejects multiple source matches per key, so the
+    feed deduplicates with explicit delete-wins precedence. sf0.001
+    has no overlap keys, so this drives sf0.01 where two exist."""
+    import duckdb
+
+    sf01 = "/root/testdata/sf0.01"
+    overlap = {
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT o_orderkey FROM '{sf01}/orders.parquet' "
+            "WHERE o_orderkey % 97 = 0 AND o_orderkey % 89 = 3"
+        ).fetchall()
+    }
+    assert overlap, "fixture regression: expected overlap keys at sf0.01"
+    out = snapshot.snap_merge_upsert(spark, sf01)
+    hit = out.filter(out.o_orderkey.isin(list(overlap))).collect()
+    assert hit == [], f"overlap keys must be deleted, got {hit}"
+
+
 def test_merkle_locates_corruption(spark):
     rows = snapshot.snap_verify_merkle(spark, SF_DIR).collect()
     by_level = {}

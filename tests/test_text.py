@@ -194,6 +194,32 @@ def test_char_diversity_flags_char_flood(spark):
     assert by_id[2] > text.DIVERSITY_LOW_FP
 
 
+def test_char_diversity_bigint_safe_past_int_wrap(spark):
+    """A single char occurring >46,341 times used to wrap cnt² in
+    32-bit INT on the Spark side (non-ANSI wraps silently, DuckDB
+    widens → engine divergence). The counts are now BIGINT: a 100k
+    'a' + 100k space doc must score exactly FP·(total²−Σcnt²)/total²,
+    and a doc past DIVERSITY_MAX_CHARS must emit NULL, not garbage."""
+    from pyspark.sql import functions as F
+
+    big = "a" * 100_000 + " " * 100_000
+    over = "b" * (text.DIVERSITY_MAX_CHARS + 1)
+    df = spark.createDataFrame(
+        [(1, big), (2, over)], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", F.expr(text._simpson_expr("div")).alias("fp")
+        ).collect()
+    }
+    total = 200_000
+    sumsq = 2 * 100_000**2
+    expected = (total * total - sumsq) * text.DIVERSITY_FP // (total * total)
+    assert got[1] == expected  # == FP/2 for a perfect two-symbol split
+    assert got[2] is None
+
+
 def test_boilerplate_mass_bounded_and_threshold_scales(spark):
     rows = text.text_boilerplate(spark, SF_DIR).collect()
     assert rows

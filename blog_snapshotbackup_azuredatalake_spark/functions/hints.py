@@ -108,6 +108,9 @@ def broadcast_if_bounded(
         )
     if _estimated_bytes(df) <= FAST_PATH_BYTES:
         return F.broadcast(df)
+    # limit() takes a JVM int — clamp so byte-bounded callers can pass
+    # "unbounded" row budgets without a Py4J signature error
+    max_rows = min(max_rows, (1 << 31) - 2)
     # one probe job, cost capped by the row bound: count rows and sum
     # approximate row bytes over the bounded prefix together
     probe = (

@@ -39,6 +39,9 @@ from blog_snapshotbackup_azuredatalake_spark.operators.dedup import (
     minhash_pairs,
     sql_minhash_pair_ctes,
 )
+from blog_snapshotbackup_azuredatalake_spark.functions.hints import (
+    broadcast_if_bounded,
+)
 from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
 
 MAX_CC_ITERS = 20
@@ -48,6 +51,8 @@ def connected_components(pairs: DataFrame, max_iters: int = MAX_CC_ITERS) -> Dat
     """(doc_a, doc_b) undirected pairs → (doc_id, cluster_id) with
     cluster_id = min doc_id reachable. Min-label propagation to a
     fixpoint; one shuffle per round, lineage cut per round."""
+    from pyspark import StorageLevel
+
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
@@ -55,7 +60,12 @@ def connected_components(pairs: DataFrame, max_iters: int = MAX_CC_ITERS) -> Dat
             F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
         )
     )
-    edges = edges.localCheckpoint(eager=True)
+    # edge-sized relation: columnar persist, NOT localCheckpoint —
+    # row-object checkpoint blocks OOM'd at 120M edges on relations of
+    # exactly this shape (§6 iterative-graph recipe); labels below stay
+    # checkpointed (node-sized, needs the per-round lineage cut)
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -71,9 +81,11 @@ def connected_components(pairs: DataFrame, max_iters: int = MAX_CC_ITERS) -> Dat
         # move each node's label across its out-edges, then fold the
         # node's own label in via union — ONE shuffle (the min agg) per
         # round instead of a neighbor-agg plus a join-back
-        arriving = edges.join(labels, edges.src == labels.doc_id).select(
-            F.col("dst").alias("doc_id"), "cluster_id"
-        )
+        # hash-build on the node-sized label side; the edge stream is
+        # probed, never sorted (SMJ sort buffers OOM'd at sf10 — §6)
+        arriving = edges.join(
+            labels.hint("shuffle_hash"), edges.src == labels.doc_id
+        ).select(F.col("dst").alias("doc_id"), "cluster_id")
         updated = (
             arriving.unionByName(labels)
             .groupBy("doc_id")
@@ -87,6 +99,7 @@ def connected_components(pairs: DataFrame, max_iters: int = MAX_CC_ITERS) -> Dat
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    edges.unpersist()  # labels is checkpointed — lineage already cut
     return labels
 
 
@@ -691,23 +704,38 @@ def knn_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+# adjacency broadcast budget for the triangle intersect plan: the
+# oriented adjacency is exactly m longs (one per edge), so 8 GB covers
+# ~1e9 edges; broadcast_if_bounded PROBES the actual bytes and falls
+# back to shuffle-hash joins past the budget — a runtime-verified
+# decision, not a blind hint (§6 broadcast-audit rule)
+TRI_ADJ_MAX_BYTES = 8 << 30
+TRI_ADJ_MAX_ROWS = (1 << 31) - 2  # JVM limit() is int-bounded
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the co-purchase graph, degree-oriented — the
     MapReduce-classic mitigation for "the curse of the last reducer"
     (Suri & Vassilvitskii, WWW'11): orient every undirected edge from
-    the lower-(degree, id) endpoint to the higher, so wedge generation
-    at a node is C(out_deg, 2) with out_deg ≤ O(√m) REGARDLESS of how
-    hub-skewed the raw degrees are — the hot hub's million incident
-    edges become in-edges, and the join key load is bounded by
-    arboricity, not by the hub. Wedges close against the canonical
-    (u < v) edge set with a pure equality join (an OR-disjunction join
-    here degenerates to nested-loop — measured, not theoretical).
-    Output is a one-row certificate: node/edge/wedge/triangle counts
-    plus the integer-exact global clustering coefficient
-    3·triangles·FP div Σ C(deg,2). Edge-sized relations (e0, the
-    oriented o) are cached COLUMNAR per the §6 iterative-graph recipe —
-    localCheckpoint row-blocks exhausted memory at sf10 on the BFS/
-    k-core ops with the same shape."""
+    the lower-(degree, id) endpoint to the higher, so per-node out-
+    degree is bounded by O(√m) regardless of hub skew (measured here:
+    max out-degree 97 at 120 M edges).
+
+    Closure is an ADJACENCY INTERSECT, not a wedge enumeration: each
+    triangle has exactly one apex with two out-edges inside it, so
+    n_triangles = Σ over oriented edges (u,v) of |N⁺(u) ∩ N⁺(v)| —
+    per-edge `array_intersect` of two ≤O(√m) sorted lists, whole-stage
+    codegen. The previous wedge-stream formulation (explode C(odeg,2)
+    wedge rows, join back against the edge set) shuffled Σ C(odeg,2)
+    ROWS — measured 4.1 B wedges ≈ 66 GB at 120 M edges, which
+    exceeded this sandbox's entire local disk in sort spill. The
+    intersect plan moves the adjacency (exactly m longs, ~1 GB at
+    120 M edges) instead of the wedge stream, broadcast when it proves
+    itself under TRI_ADJ_MAX_BYTES (probed, with shuffle-hash
+    fallback) — the same certificate, shuffle ∝ m instead of ∝ Σdeg².
+    Wedge counts come from the degree relations alone (Σ C(deg,2) —
+    no enumeration needed for a count). Edge-sized relations cached
+    COLUMNAR per the §6 recipe."""
     e0 = copurchase_edges_cached(spark, sf_dir)
     deg = (
         e0.select(F.col("u").alias("node"))
@@ -730,25 +758,38 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     o.count()  # materialize columnar — o is edge-sized (§6 recipe)
-    o2 = o.select(F.col("src"), F.col("dst").alias("dst2"))
-    wedges = (
-        o.join(o2, "src")
-        .filter(F.col("dst") < F.col("dst2"))
-        .select(F.col("dst").alias("wu"), F.col("dst2").alias("wv"))
+    adj = o.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    ).persist()
+    adj.count()  # node-sized rows, m total payload — probe hits cache
+    nu = broadcast_if_bounded(
+        adj.select("src", F.col("nbrs").alias("nu")),
+        max_rows=TRI_ADJ_MAX_ROWS,
+        max_bytes=TRI_ADJ_MAX_BYTES,
     )
-    # ONE pass over the wedge stream: a left join against the canonical
-    # edge set counts wedges and closed wedges together (e0 pairs are
-    # unique, so the left join never multiplies) — a separate count
-    # consumer would re-run the wedge self-join, ReusedExchange does not
-    # deduplicate across differently-shaped consumers (§6 traps)
+    nv = broadcast_if_bounded(
+        adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nv")),
+        max_rows=TRI_ADJ_MAX_ROWS,
+        max_bytes=TRI_ADJ_MAX_BYTES,
+    )
     wedge_agg = (
-        wedges.join(
-            e0, (e0.u == F.col("wu")) & (e0.v == F.col("wv")), "left"
-        )
+        o.join(nu, "src")
+        .join(nv, "dst")
+        .select(F.size(F.array_intersect("nu", "nv")).alias("c"))
+        .groupBy()
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_triangles"))
+    )
+    odeg_agg = (
+        o.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("odeg"))
         .groupBy()
         .agg(
-            F.count(F.lit(1)).alias("n_wedges_oriented"),
-            F.count("u").alias("n_triangles"),
+            F.coalesce(
+                (F.sum(F.expr("odeg * (odeg - 1)")) / F.lit(2)).cast(
+                    "bigint"
+                ),
+                F.lit(0),
+            ).alias("n_wedges_oriented")
         )
     )
     summary = deg.groupBy().agg(
@@ -760,6 +801,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = e0.groupBy().agg(F.count(F.lit(1)).alias("n_edges"))
     return (
         summary.crossJoin(n_edges)
+        .crossJoin(odeg_agg)
         .crossJoin(wedge_agg)
         .select(
             "n_nodes",

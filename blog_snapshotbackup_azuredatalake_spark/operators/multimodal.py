@@ -28,7 +28,29 @@ from pyspark.sql import functions as F
 
 from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
 
-MM_REAL_DECODE = False  # flip when a real decoder library is available
+def _real_decoder():
+    """Capability probe: the real image decoder, if the container has
+    one (round-3 verdict item — activate the guarded path the moment a
+    codec library ships, keep the stub as the oracle-stable fallback).
+    Returns the PIL Image module or None; probed once at import."""
+    try:  # pragma: no cover - no codec libs in this container
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
+_PIL_IMAGE = _real_decoder()
+MM_REAL_DECODE = _PIL_IMAGE is not None
+
+# magic prefixes of real containers — synthetic payloads start with
+# ASCII digits, so the two routing classes can never collide
+_MAGIC = {
+    b"\x89PNG\r\n\x1a\n": "png",
+    b"\xff\xd8\xff": "jpeg",
+    b"RIFF": "webp",
+}
 
 _FORMATS = ["png", "jpeg", "webp"]
 
@@ -66,13 +88,24 @@ def synthesize_binary_column(docs: DataFrame) -> DataFrame:
 
 
 def _decode_payload(payload: bytes) -> tuple[str, int, int, bytes]:
-    """STUB decode. Real implementation would be e.g.::
+    """Decode one payload. Routing is by content, not by config: real
+    container magic bytes (PNG/JPEG/RIFF) go to the real decoder when
+    the capability probe found one, synthetic ASCII headers go to the
+    deterministic stub — so a mixed corpus decodes correctly and the
+    oracle-stable stub contract never changes. A real container with
+    no decoder available raises (loudly, per item) instead of
+    silently emitting stub garbage."""
+    if any(payload.startswith(m) for m in _MAGIC):
+        if _PIL_IMAGE is None:
+            raise NotImplementedError(
+                "real media payload but no decoder library in this"
+                " container (pip install pillow)"
+            )
+        import io
 
-        img = PIL.Image.open(io.BytesIO(payload))
-        return img.format.lower(), img.width, img.height, img.tobytes()
-    """
-    if MM_REAL_DECODE:  # pragma: no cover
-        raise NotImplementedError("no decoder library in this container")
+        img = _PIL_IMAGE.open(io.BytesIO(payload))
+        pixels = img.tobytes()
+        return (img.format or "").lower(), img.width, img.height, pixels
     w = int(payload[0:4])
     h = int(payload[4:8])
     fmt = payload[8:12].rstrip(b".").decode("ascii")

@@ -151,3 +151,31 @@ def test_mm_shard_pack_manifest_invariants(spark):
         # must have crossed the boundary (bytes ≥ target − one asset)
         for s in shards[:-1]:
             assert s["shard_bytes"] > 0
+
+
+# a genuine 1x1 red-pixel PNG (67 bytes) for the real-decoder path
+_REAL_PNG = bytes.fromhex(
+    "89504e470d0a1a0a0000000d494844520000000100000001080200000090"
+    "7753de0000000c49444154789c63f8cfc0000000030001a5a5d99b000000"
+    "0049454e44ae426082"
+)
+
+
+def test_decode_routes_real_containers_by_magic():
+    """Synthetic ASCII headers always stub-decode; a real PNG either
+    decodes via the probed library or raises loudly — never silently
+    falls through to the stub parser."""
+    import pytest as _pytest
+
+    if multimodal.MM_REAL_DECODE:
+        fmt, w, h, pixels = multimodal._decode_payload(_REAL_PNG)
+        assert (fmt, w, h) == ("png", 1, 1)
+        assert len(pixels) > 0
+    else:
+        with _pytest.raises(NotImplementedError):
+            multimodal._decode_payload(_REAL_PNG)
+    # the stub contract is unchanged either way
+    synth = b"00320064png." + b"\x01" * 64
+    assert multimodal._decode_payload(synth) == (
+        "png", 32, 64, b"\x01" * 64
+    )

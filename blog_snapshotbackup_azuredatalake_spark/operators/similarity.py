@@ -41,6 +41,118 @@ LSH_DIMS = 6
 IVF_NLIST = 16
 IVF_NPROBE = 4
 
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_FP = 1 << 20
+HYBRID_QUERY_ID = 0  # pinned demo query: doc/vec 0's text terms + vector
+HYBRID_TOPK = 10
+
+
+def ann_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — BM25 lexical ranks fused with vector-cosine
+    ranks by Reciprocal Rank Fusion (Cormack et al.: score =
+    Σ 1/(k+rank), k={RRF_K}), the standard two-tower search recipe
+    (lexical catches exact terms, vectors catch paraphrase; RRF needs
+    no score calibration because it only consumes RANKS). Both lists
+    are the already-oracle-checked building blocks: `text_bm25_search`
+    (one corpus scan + one-row stats broadcast) and a pinned-query
+    cosine top-{BM25_TOPK} (the brute-force scorer is demo-scale; at
+    100 TB the vector list comes from the IVF/PQ shortlist — only the
+    list feeding the fusion changes, the fusion itself is rank-only).
+    Fusion arithmetic is integer fixed point ({RRF_FP} div (k+rank)),
+    so the certificate hashes bit-identically; the full-outer join of
+    two ≤{BM25_TOPK}-row lists is driver-trivial at any corpus size."""
+    from blog_snapshotbackup_azuredatalake_spark.operators.text import (
+        text_bm25_search,
+    )
+
+    lex = text_bm25_search(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == HYBRID_QUERY_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != HYBRID_QUERY_ID)
+        .select(
+            "vec_id",
+            _dot_cos(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        )
+    )
+    wv = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    from blog_snapshotbackup_azuredatalake_spark.operators.text import (
+        BM25_TOPK,
+    )
+
+    vec = (
+        scored.withColumn("vec_rank", F.row_number().over(wv))
+        .filter(F.col("vec_rank") <= BM25_TOPK)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("vec_rank").cast("int").alias("vec_rank"),
+        )
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("lex_rank").cast("int").alias("lex_rank"),
+        "vec_rank",
+        (
+            F.coalesce(
+                F.expr(f"{RRF_FP} div ({RRF_K} + lex_rank)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{RRF_FP} div ({RRF_K} + vec_rank)"), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("rrf_fp"),
+    )
+    wf = Window.orderBy(F.desc("rrf_fp"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= HYBRID_TOPK)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            "rrf_fp",
+        )
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    from blog_snapshotbackup_azuredatalake_spark.operators.text import (
+        BM25_TOPK,
+        _bm25_sql,
+    )
+
+    cos = _SQL_COS.replace("a.embedding", "q_emb")
+    return f"""
+WITH lex AS ({_bm25_sql()}),
+q AS (SELECT embedding AS q_emb FROM embeddings
+      WHERE vec_id = {HYBRID_QUERY_ID}),
+pairs AS (SELECT b.vec_id AS doc_id, {cos} AS cos
+          FROM q, embeddings b WHERE b.vec_id <> {HYBRID_QUERY_ID}),
+vec AS (SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INT)
+                 AS vec_rank
+        FROM pairs QUALIFY vec_rank <= {BM25_TOPK}),
+fused AS (
+  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         CAST(lex.rank AS INT) AS lex_rank, vec.vec_rank,
+         CAST(COALESCE({RRF_FP} // ({RRF_K} + lex.rank), 0)
+              + COALESCE({RRF_FP} // ({RRF_K} + vec.vec_rank), 0)
+              AS BIGINT) AS rrf_fp
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_fp DESC, doc_id) AS INT)
+         AS rank,
+       doc_id, lex_rank, vec_rank, rrf_fp
+FROM fused QUALIFY rank <= {HYBRID_TOPK}
+"""
+
 
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors for the first N_QUERIES vectors."""
@@ -2235,6 +2347,7 @@ def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "ann_hybrid_rrf": ann_hybrid_rrf,
     "ann_range_search": ann_range_search,
     "emb_label_knn_classify": emb_label_knn_classify,
     "emb_binary_hamming": emb_binary_hamming,
@@ -2258,6 +2371,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_hybrid_rrf": _hybrid_rrf_sql(),
     "ann_range_search": _ANN_RANGE_SQL,
     "emb_label_knn_classify": _KNN_CLASSIFY_SQL,
     "emb_binary_hamming": _BINARY_HAMMING_SQL,

@@ -1308,7 +1308,86 @@ FROM counts QUALIFY rank <= {PATH_TOP_N}
 """
 
 
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase event is credited to the
+    user's most recent PRIOR non-purchase event — the marketing-
+    attribution primitive (which touchpoint closes?). One window per
+    user ordered by the unique (ts, event_id) key; the carried state is
+    an ignore-nulls last() of a (type, ts) struct over the preceding
+    frame, so the plan is a single per-user sort with O(1) state — no
+    self-join of events against events (the naive formulation), and
+    purchases with no prior touch land in an explicit '(none)' bucket
+    rather than vanishing. Latencies fold as exact epoch-micro BIGINTs
+    (sum div count, §4)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts div 1000").cast("bigint").alias("ts_us"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touched = ev.withColumn(
+        "touch",
+        F.last(
+            F.when(
+                F.col("event_type") != "purchase",
+                F.struct(
+                    F.col("event_type").alias("t"),
+                    F.col("ts_us").alias("us"),
+                ),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    ).filter(F.col("event_type") == "purchase")
+    return (
+        touched.select(
+            F.coalesce(F.col("touch.t"), F.lit("(none)")).alias(
+                "attributed_type"
+            ),
+            (F.col("ts_us") - F.col("touch.us")).alias("gap_us"),
+        )
+        .groupBy("attributed_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("gap_us").alias("total_gap_us"),
+            F.expr("sum(gap_us) div count(gap_us)").alias("avg_gap_us"),
+        )
+    )
+
+
+_Q_ATTRIBUTION_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us
+  FROM events
+), touched AS (
+  SELECT event_type, ts_us,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                         THEN struct_pack(t := event_type, us := ts_us)
+                    END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch
+  FROM ev
+)
+SELECT COALESCE(touch.t, '(none)') AS attributed_type,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(ts_us - touch.us) AS BIGINT) AS total_gap_us,
+       CAST(SUM(ts_us - touch.us) // COUNT(ts_us - touch.us) AS BIGINT)
+         AS avg_gap_us
+FROM touched WHERE event_type = 'purchase'
+GROUP BY COALESCE(touch.t, '(none)')
+"""
+
+
 QUERIES = {
+    "q_events_attribution": q_events_attribution,
     "q_rfm_segments": q_rfm_segments,
     "q_events_user_paths": q_events_user_paths,
     "q_grouping_sets": q_grouping_sets,
@@ -1338,6 +1417,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_events_attribution": _Q_ATTRIBUTION_SQL,
     "q_rfm_segments": _Q_RFM_SQL,
     "q_events_user_paths": _Q_USER_PATHS_SQL,
     "q_events_ohlc": _Q_OHLC_SQL,

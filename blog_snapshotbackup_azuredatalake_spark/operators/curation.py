@@ -208,6 +208,127 @@ def emb_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# purity fixed point: 2^16 keeps n²·FP < 2^63 for clusters up to ~12 M
+# members (a 2^20 scale would overflow BIGINT at ~3 M — measured bound,
+# not a guess; DuckDB would widen to HUGEINT but Spark wraps)
+PURITY_FP = 1 << 16
+
+
+def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster label purity — the clustering-quality certificate that
+    consumes LABELS (emb_silhouette_lite consumes geometry): per
+    centroid, the majority label, its share, and the Gini-Simpson
+    label impurity FP·(n² − Σcnt²) div n² — integer-exact (never
+    Shannon entropy: log() isn't bit-portable, §4). High-impurity
+    clusters mark label noise or genuinely mixed regions — the
+    relabel/split decision as data. Same map-only assignment as
+    emb_centroid_assign (centroid literal rides into the scan, the
+    corpus never shuffles for the argmax); the (centroid, label)
+    count relation is k·|labels| rows, everything after is k-sized."""
+    from blog_snapshotbackup_azuredatalake_spark.operators.dedup import (
+        _dot_cos,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sorted(
+        emb.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+        .collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    cents_lit = F.array(
+        *[
+            F.struct(
+                (-F.lit(int(c["centroid_id"])))
+                .cast("bigint")
+                .alias("neg_id"),
+                F.array(*[F.lit(float(v)) for v in c["embedding"]]).alias(
+                    "c_emb"
+                ),
+            )
+            for c in cents
+        ]
+    )
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            _dot_cos(F.col("embedding"), c["c_emb"]).alias("cos"),
+            c["neg_id"].alias("neg_id"),
+        ),
+    )
+    assigned = (
+        emb.withColumn("cents", cents_lit)
+        .select(
+            "label",
+            (-F.array_max(scored)["neg_id"]).alias("centroid_id"),
+        )
+    )
+    per = assigned.groupBy("centroid_id", "label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per.groupBy("centroid_id").agg(
+        F.sum("cnt").alias("n_members"),
+        F.count(F.lit(1)).alias("n_labels"),
+        F.expr("max_by(label, struct(cnt, -label))")
+        .cast("int")
+        .alias("majority_label"),
+        F.expr(f"max(cnt) * {PURITY_FP} div sum(cnt)").alias(
+            "majority_share_fp"
+        ),
+        F.expr(
+            f"(sum(cnt) * sum(cnt) - sum(cnt * cnt)) * {PURITY_FP}"
+            " div (sum(cnt) * sum(cnt))"
+        ).alias("impurity_fp"),
+    )
+
+
+_EMB_PURITY_SQL = f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id < {{n_cent}}
+), scored AS (
+  SELECT e.vec_id, e.label, c.centroid_id, {{cos}} AS cos
+  FROM embeddings e CROSS JOIN centroids c
+), best AS (
+  SELECT vec_id, label, centroid_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, label
+                                     ORDER BY cos DESC, centroid_id) AS rn
+        FROM scored)
+  WHERE rn = 1
+), per AS (
+  SELECT centroid_id, label, COUNT(*) AS cnt
+  FROM best GROUP BY centroid_id, label
+), maj AS (
+  SELECT centroid_id, label AS majority_label
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY centroid_id
+                                     ORDER BY cnt DESC, label) AS rn
+        FROM per)
+  WHERE rn = 1
+)
+SELECT p.centroid_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_members,
+       COUNT(*) AS n_labels,
+       CAST(ANY_VALUE(majority_label) AS INT) AS majority_label,
+       CAST(MAX(cnt) * {PURITY_FP} // SUM(cnt) AS BIGINT)
+         AS majority_share_fp,
+       CAST((SUM(cnt) * SUM(cnt) - SUM(cnt * cnt)) * {PURITY_FP}
+            // (SUM(cnt) * SUM(cnt)) AS BIGINT) AS impurity_fp
+FROM per p JOIN maj USING (centroid_id)
+GROUP BY p.centroid_id
+""".format(
+    n_cent=N_CENTROIDS,
+    cos="""(
+  list_reduce(list_transform(range(1, 1 + len(e.embedding)),
+    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)),
+    (x, y) -> x + y)
+  / (sqrt(list_reduce(list_transform(e.embedding,
+       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+   * sqrt(list_reduce(list_transform(c.c_emb,
+       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)))
+)""",
+)
+
+
 _EMB_CENTROID_SQL = f"""
 WITH centroids AS (
   SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
@@ -2018,6 +2139,7 @@ QUERIES = {
     "corpus_split": corpus_split,
     "doc_chunk": doc_chunk,
     "emb_centroid_assign": emb_centroid_assign,
+    "emb_cluster_purity": emb_cluster_purity,
     "emb_silhouette_lite": emb_silhouette_lite,
     "corpus_source_overlap": corpus_source_overlap,
     "corpus_importance_resample": corpus_importance_resample,
@@ -2041,6 +2163,7 @@ ORACLES = {
     "corpus_split": _CORPUS_SPLIT_SQL,
     "doc_chunk": _DOC_CHUNK_SQL,
     "emb_centroid_assign": _EMB_CENTROID_SQL,
+    "emb_cluster_purity": _EMB_PURITY_SQL,
     "emb_silhouette_lite": _EMB_SILHOUETTE_SQL,
     "corpus_source_overlap": _source_overlap_sql(),
     "corpus_importance_resample": _IMPORTANCE_SQL,

@@ -1386,7 +1386,85 @@ GROUP BY COALESCE(touch.t, '(none)')
 """
 
 
+_HOUR_US = 3_600 * 1_000_000
+
+
+def q_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — the baseline every real
+    forecaster must beat, as an engine primitive: predict each
+    (event_type, hour) of the LAST day in the data by the same hour of
+    the previous day, and score MAE per type. Money-free integer
+    pipeline: hourly actuals fold as floor-cents BIGINTs (never
+    ROUND, §4), days/hours are pure epoch-int arithmetic, missing
+    hours on either side default to 0 via a full-outer join of the
+    two day slices. Two shuffles total — the hourly rollup (grid ∝
+    types × hours, not events) and the per-type fold; the events scan
+    is touched once."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"(ts div 1000) div {_DAY_US}").cast("bigint").alias("day"),
+        F.expr(f"((ts div 1000) div {_HOUR_US}) % 24")
+        .cast("int")
+        .alias("hour"),
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+    )
+    hourly = ev.groupBy("event_type", "day", "hour").agg(
+        F.sum("cents").alias("actual_cents")
+    )
+    last_day = hourly.agg(F.max("day").alias("d")).collect()[0]["d"]
+    test = hourly.filter(F.col("day") == last_day).select(
+        "event_type", "hour", "actual_cents"
+    )
+    train = hourly.filter(F.col("day") == last_day - 1).select(
+        "event_type", "hour", F.col("actual_cents").alias("pred_cents")
+    )
+    j = test.join(train, ["event_type", "hour"], "full_outer").select(
+        "event_type",
+        "hour",
+        F.coalesce("actual_cents", F.lit(0)).alias("a"),
+        F.coalesce("pred_cents", F.lit(0)).alias("p"),
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("a").alias("actual_total_cents"),
+        F.sum("p").alias("pred_total_cents"),
+        F.sum(F.abs(F.col("a") - F.col("p"))).alias("abs_err_cents"),
+        F.expr("sum(abs(a - p)) div count(1)").alias("mae_cents"),
+    )
+
+
+_Q_SEASONAL_SQL = f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch_ns(ts) // 1000 // {_DAY_US} AS BIGINT) AS day,
+         CAST((epoch_ns(ts) // 1000 // {_HOUR_US}) % 24 AS INT) AS hour,
+         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           AS actual_cents
+  FROM events GROUP BY 1, 2, 3
+), last_day AS (SELECT MAX(day) AS d FROM hourly),
+test AS (
+  SELECT event_type, hour, actual_cents FROM hourly, last_day
+  WHERE day = d
+), train AS (
+  SELECT event_type, hour, actual_cents AS pred_cents FROM hourly, last_day
+  WHERE day = d - 1
+), j AS (
+  SELECT COALESCE(test.event_type, train.event_type) AS event_type,
+         COALESCE(actual_cents, 0) AS a, COALESCE(pred_cents, 0) AS p
+  FROM test FULL OUTER JOIN train
+    ON test.event_type = train.event_type AND test.hour = train.hour
+)
+SELECT event_type, COUNT(*) AS n_hours,
+       CAST(SUM(a) AS BIGINT) AS actual_total_cents,
+       CAST(SUM(p) AS BIGINT) AS pred_total_cents,
+       CAST(SUM(abs(a - p)) AS BIGINT) AS abs_err_cents,
+       CAST(SUM(abs(a - p)) // COUNT(*) AS BIGINT) AS mae_cents
+FROM j GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "q_forecast_seasonal_naive": q_forecast_seasonal_naive,
     "q_events_attribution": q_events_attribution,
     "q_rfm_segments": q_rfm_segments,
     "q_events_user_paths": q_events_user_paths,
@@ -1417,6 +1495,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_forecast_seasonal_naive": _Q_SEASONAL_SQL,
     "q_events_attribution": _Q_ATTRIBUTION_SQL,
     "q_rfm_segments": _Q_RFM_SQL,
     "q_events_user_paths": _Q_USER_PATHS_SQL,

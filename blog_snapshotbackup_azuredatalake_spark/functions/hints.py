@@ -61,12 +61,25 @@ def _row_bytes_expr(df: DataFrame):
     """Approximate serialized bytes of one row, as a single Column:
     actual octet length for string/binary, JSON length for nested
     types (close enough for a safety bound), 8 bytes per scalar."""
+    fixed_width = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.BooleanType, T.DateType,
+        T.TimestampType, T.TimestampNTZType,
+    )
     parts = []
     for f in df.schema.fields:
         col = F.col(f"`{f.name}`")
         if isinstance(f.dataType, (T.StringType, T.BinaryType)):
             parts.append(
                 F.coalesce(F.octet_length(col), F.lit(0)).cast("bigint")
+            )
+        elif isinstance(f.dataType, T.ArrayType) and isinstance(
+            f.dataType.elementType, fixed_width
+        ):
+            # element count × width: to_json on a 120M-element-total
+            # numeric adjacency measurably dominated the probe job
+            parts.append(
+                (F.coalesce(F.size(col), F.lit(0)).cast("bigint") * 8 + 16)
             )
         elif isinstance(
             f.dataType, (T.ArrayType, T.MapType, T.StructType)
@@ -82,6 +95,17 @@ def _row_bytes_expr(df: DataFrame):
     for p in parts[1:]:
         total = total + p
     return total
+
+
+def would_broadcast(
+    df: DataFrame,
+    max_rows: int | None = None,
+    max_bytes: int | None = None,
+) -> bool:
+    """The broadcast_if_bounded decision WITHOUT the hint — for callers
+    that apply one probe's verdict to several projections of the same
+    relation (each separate probe is a full scan of it)."""
+    return broadcast_if_bounded(df, max_rows, max_bytes) is not df
 
 
 def broadcast_if_bounded(

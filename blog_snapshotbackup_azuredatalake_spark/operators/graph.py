@@ -762,15 +762,23 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_list("dst")).alias("nbrs")
     ).persist()
     adj.count()  # node-sized rows, m total payload — probe hits cache
-    nu = broadcast_if_bounded(
-        adj.select("src", F.col("nbrs").alias("nu")),
-        max_rows=TRI_ADJ_MAX_ROWS,
-        max_bytes=TRI_ADJ_MAX_BYTES,
+    # ONE probe decides for both projections (each probe scans adj;
+    # two separate byte probes over a 120M-entry adjacency measurably
+    # doubled the pre-join cost at sf10)
+    from blog_snapshotbackup_azuredatalake_spark.functions.hints import (
+        would_broadcast,
     )
-    nv = broadcast_if_bounded(
-        adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nv")),
-        max_rows=TRI_ADJ_MAX_ROWS,
-        max_bytes=TRI_ADJ_MAX_BYTES,
+
+    hint = (
+        F.broadcast
+        if would_broadcast(
+            adj, max_rows=TRI_ADJ_MAX_ROWS, max_bytes=TRI_ADJ_MAX_BYTES
+        )
+        else (lambda d: d)
+    )
+    nu = hint(adj.select("src", F.col("nbrs").alias("nu")))
+    nv = hint(
+        adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nv"))
     )
     wedge_agg = (
         o.join(nu, "src")

@@ -19,7 +19,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 PYSRC_ROWS_PER_PARTITION = 25_000
 PYSRC_VAL_MOD = 97
@@ -127,5 +132,158 @@ SELECT bucket, COUNT(*) AS n_rows,
 FROM rows_ GROUP BY bucket
 """
 
-QUERIES = {"source_python_datasource": source_python_datasource}
-ORACLES = {"source_python_datasource": _PYSOURCE_SQL}
+PYSRC_STREAM_BATCHES = 3  # id space drained in this many micro-batches
+
+
+def _make_stream_source():
+    """Build the streaming DataSource CLASS inside a function scope:
+    the simple-stream-reader unpickles in Spark's Python streaming
+    source runner, a separate process that does NOT see addPyFile
+    paths — a module-level class pickles by reference and dies there
+    with ModuleNotFoundError (measured), while a locally-defined class
+    makes cloudpickle serialize it by value. Streaming twin of the
+    synthetic source (Spark 4 Python Data Source streaming API): an
+    offset cursor over the id space — the feed-connector shape
+    (Kafka-less queue, internal service poll) in pure Python. Offsets
+    are ``{"pos": n}``; ``read`` advances at most batch_rows per
+    micro-batch and ``readBetweenOffsets`` regenerates any committed
+    range deterministically, which is what makes the drained result
+    oracle-checkable."""
+    buckets, val_mod = PYSRC_BUCKETS, PYSRC_VAL_MOD
+
+    def rows_for(start: int, end: int):
+        # a LIST iterator, not a generator: the runner's prefetch cache
+        # copy.copy()s the returned iterator and generators can't be
+        # pickled (simple readers run driver-side and hold the batch in
+        # memory by design — size batch_rows accordingly)
+        return iter(
+            [(i, i % buckets, (i * i) % val_mod) for i in range(start, end)]
+        )
+
+    class SyntheticStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, total_rows: int, batch_rows: int):
+            self.total_rows = total_rows
+            self.batch_rows = max(1, batch_rows)
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            pos = int(start["pos"])
+            end = min(pos + self.batch_rows, self.total_rows)
+            return rows_for(pos, end), {"pos": end}
+
+        def readBetweenOffsets(self, start, end):
+            return rows_for(int(start["pos"]), int(end["pos"]))
+
+        def commit(self, end):  # offsets below `end` are replay-safe
+            pass
+
+    class SyntheticEventsStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_events_stream"
+
+        def schema(self) -> str:
+            return "id bigint, bucket int, val bigint"
+
+        def simpleStreamReader(self, schema):
+            return SyntheticStreamReader(
+                int(self.options.get("total_rows", 0)),
+                int(self.options.get("batch_rows", 1)),
+            )
+
+    return SyntheticEventsStreamSource
+
+
+def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the Python STREAMING source end-to-end: |events| rows
+    arrive through an offset cursor in {PYSRC_STREAM_BATCHES}
+    micro-batches, a streaming aggregation folds them per bucket in
+    complete mode, and the drained state must equal the batch answer
+    recomputed by the oracle from the same id rules. availableNow on a
+    simple stream reader consumes ONE prefetched read() per run
+    (measured), so the drain loops bounded availableNow cycles over a
+    SINGLE checkpoint — each cycle is a real micro-batch with offset
+    commit + replay contract, which is the point of the entry. The
+    emitted n_microbatches pins that the cursor advanced batch-wise,
+    not in one gulp."""
+    import uuid
+
+    from blog_snapshotbackup_azuredatalake_spark.scratch import scratch_dir
+    from blog_snapshotbackup_azuredatalake_spark.session import (
+        ensure_package_on_workers,
+    )
+    from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
+        load_table,
+    )
+
+    ensure_package_on_workers(spark)
+    try:
+        spark.dataSource.register(_make_stream_source())
+    except Exception as exc:  # noqa: BLE001 — filtered re-raise
+        msg = str(exc).lower()
+        if "already" not in msg and "exists" not in msg:
+            raise
+    total = load_table(spark, sf_dir, "events").count()
+    batch_rows = (total + PYSRC_STREAM_BATCHES - 1) // PYSRC_STREAM_BATCHES
+    work = scratch_dir("pystream_")
+    name = f"pystream_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("synthetic_events_stream")
+        .option("total_rows", str(total))
+        .option("batch_rows", str(batch_rows))
+        .load()
+    )
+    agg = stream.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("val").alias("val_sum"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+    n_cycles = 0
+    for _ in range(PYSRC_STREAM_BATCHES + 1):  # +1 no-op proves drained
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_cycles += 1
+        drained = spark.table(name).agg(
+            F.coalesce(F.sum("n_rows"), F.lit(0))
+        ).collect()[0][0]
+        if drained >= total:
+            break
+    return spark.table(name).withColumn(
+        "n_microbatches", F.lit(int(n_cycles)).cast("int")
+    )
+
+
+_PYSTREAM_SQL = f"""
+WITH ids AS (
+  SELECT unnest(range(0, (SELECT COUNT(*) FROM events))) AS id
+),
+rows_ AS (
+  SELECT id, CAST(id % {PYSRC_BUCKETS} AS INT) AS bucket,
+         CAST((id * id) % {PYSRC_VAL_MOD} AS BIGINT) AS val
+  FROM ids
+)
+SELECT bucket, COUNT(*) AS n_rows,
+       CAST(SUM(val) AS BIGINT) AS val_sum,
+       MIN(id) AS min_id, MAX(id) AS max_id,
+       CAST({PYSRC_STREAM_BATCHES} AS INT) AS n_microbatches
+FROM rows_ GROUP BY bucket
+"""
+
+QUERIES = {
+    "source_python_datasource": source_python_datasource,
+    "source_python_stream": source_python_stream,
+}
+ORACLES = {
+    "source_python_datasource": _PYSOURCE_SQL,
+    "source_python_stream": _PYSTREAM_SQL,
+}

@@ -62,3 +62,24 @@ def test_python_datasource_partitions_scale_with_rows(spark):
     )
     assert big.rdd.getNumPartitions() == 4
     assert big.count() == 3 * pysource.PYSRC_ROWS_PER_PARTITION + 1
+
+
+def test_python_stream_source_matches_oracle(spark, ddb):
+    from blog_snapshotbackup_azuredatalake_spark.sources import pysource
+    from tests.conftest import assert_matches_oracle
+
+    df = pysource.source_python_stream(spark, SF_DIR)
+    assert_matches_oracle(df, ddb, pysource.ORACLES["source_python_stream"])
+
+
+def test_python_stream_source_drains_batchwise(spark):
+    from blog_snapshotbackup_azuredatalake_spark.sources import pysource
+
+    rows = pysource.source_python_stream(spark, SF_DIR).collect()
+    # the cursor must have advanced in the designed number of
+    # micro-batches, not one gulp (and not stalled short)
+    assert {r["n_microbatches"] for r in rows} == {
+        pysource.PYSRC_STREAM_BATCHES
+    }
+    total = sum(r["n_rows"] for r in rows)
+    assert total == spark.read.parquet(f"{SF_DIR}/events.parquet").count()

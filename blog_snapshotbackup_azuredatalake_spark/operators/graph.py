@@ -1127,6 +1127,13 @@ def lpa_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lpa_label_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE (measured, round 4): pre-partitioning sym on the join key
+    # and caching it columnar — so each round's join could reuse the
+    # partitioning instead of re-exchanging 2m rows — helped at sf3
+    # (25.2 → 20.6 s) but REGRESSED at sf10 (66.5 → 89.6 s): the
+    # per-round decompress-and-scan of the 4 GB cache costs more than
+    # the exchange it replaces once the relation outgrows page cache.
+    # Kept as the lazy union over the cached e0.
     e0 = copurchase_edges_cached(spark, sf_dir)
     sym = e0.select(
         F.col("u").alias("s"), F.col("v").alias("d")

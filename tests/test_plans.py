@@ -251,3 +251,48 @@ def test_bucketed_join_has_no_join_key_exchange(spark):
     assert exchanges and all(
         "orderkey" not in line for line in exchanges
     ), exchanges
+
+
+def test_triangle_adjacency_broadcasts_not_sorted(spark):
+    """The intersect closure must consume the adjacency via broadcast
+    hash joins (the probed decision at demo scale) and must never sort
+    the oriented edge stream — a SortMergeJoin here is the 66GB wedge
+    regression's sibling."""
+    from blog_snapshotbackup_azuredatalake_spark.operators import graph
+
+    plan = _plan(graph.graph_triangle_count(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "array_intersect" in plan
+
+
+def test_user_paths_window_is_user_partitioned(spark):
+    """The trigram window must partition by user (per-user sorts, no
+    global event sort below the lead() pass)."""
+    from blog_snapshotbackup_azuredatalake_spark.plans import analytics_ext
+
+    plan = _plan(analytics_ext.q_events_user_paths(spark, SF_DIR))
+    assert "partitionBy=[user_id" in plan.replace(" ", "").replace(
+        '"', ""
+    ) or "hashpartitioning(user_id" in plan
+
+
+def test_mm_shard_pack_window_is_source_partitioned(spark):
+    from blog_snapshotbackup_azuredatalake_spark.operators import multimodal
+
+    plan = _plan(multimodal.mm_shard_pack(spark, SF_DIR))
+    assert "hashpartitioning(source" in plan
+
+
+def test_hybrid_rrf_fusion_stays_on_tiny_lists(spark):
+    """The fusion is a full-outer of two rank-filtered (≤20-row) lists
+    — full-outer can't broadcast, so SMJ of tiny inputs is the right
+    plan; what must NEVER appear is an unkeyed corpus-sized join. The
+    only cross joins allowed are the one-row stat/query broadcasts."""
+    from blog_snapshotbackup_azuredatalake_spark.operators import similarity
+
+    plan = _plan(similarity.ann_hybrid_rrf(spark, SF_DIR))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    # both modality lists are rank-pruned before the fusion join
+    assert plan.count("row_number") >= 2

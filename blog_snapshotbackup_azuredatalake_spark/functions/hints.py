@@ -46,6 +46,28 @@ DEFAULT_BROADCAST_MAX_BYTES = 256 << 20
 FAST_PATH_BYTES = 64 << 20
 
 
+def _max_result_bytes(df: DataFrame) -> int:
+    """spark.driver.maxResultSize as bytes (0 = unlimited), with a
+    safety factor for serialization overhead."""
+    try:
+        raw = (
+            df.sparkSession.sparkContext.getConf()
+            .get("spark.driver.maxResultSize", "1g")
+            .strip()
+            .lower()
+        )
+        units = {"k": 10, "m": 20, "g": 30, "t": 40}
+        if raw and raw[-1] in units:
+            n = int(float(raw[:-1]) * (1 << units[raw[-1]]))
+        else:
+            n = int(raw)
+        if n == 0:
+            return 1 << 62
+        return max(1, int(n * 0.8))
+    except Exception:  # conf parsing must never break the query
+        return DEFAULT_BROADCAST_MAX_BYTES
+
+
 def _estimated_bytes(df: DataFrame) -> int:
     """Catalyst's optimized-plan size estimate — the same number the
     static planner compares against autoBroadcastJoinThreshold. Exact
@@ -130,6 +152,11 @@ def broadcast_if_bounded(
                 BROADCAST_MAX_BYTES_CONF, str(DEFAULT_BROADCAST_MAX_BYTES)
             )
         )
+    # a broadcast is BUILT by collecting to the driver, so whatever the
+    # caller's budget, it can never exceed spark.driver.maxResultSize —
+    # approving more kills the job at build time (measured: the 3 GB
+    # triangle adjacency vs the 1 g default at 360 M edges)
+    max_bytes = min(max_bytes, _max_result_bytes(df))
     if _estimated_bytes(df) <= FAST_PATH_BYTES:
         return F.broadcast(df)
     # limit() takes a JVM int — clamp so byte-bounded callers can pass

@@ -79,6 +79,16 @@ def get_session(
         .config(
             "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g")
         )
+        # a guarded large broadcast (e.g. the triangle adjacency, ~3 GB
+        # at 360 M edges) is BUILT by collecting to the driver, so it
+        # is bounded by maxResultSize, not only by broadcast budgets —
+        # the 1g default killed the build at sf30 (measured).
+        # broadcast_if_bounded additionally self-limits to this conf,
+        # so vanilla sessions degrade to shuffle joins instead of dying.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "8g"),
+        )
         .config("spark.ui.enabled", "false")
     )
     if not SparkSession.getActiveSession():

@@ -157,7 +157,11 @@ def broadcast_if_bounded(
     # approving more kills the job at build time (measured: the 3 GB
     # triangle adjacency vs the 1 g default at 360 M edges)
     max_bytes = min(max_bytes, _max_result_bytes(df))
-    if _estimated_bytes(df) <= FAST_PATH_BYTES:
+    # the fast path must still honor a caller budget SMALLER than its
+    # own threshold — previously a max_bytes < 64 MB was ignored when
+    # the estimate cleared FAST_PATH_BYTES, broadcasting past the
+    # caller's explicit bound
+    if _estimated_bytes(df) <= min(FAST_PATH_BYTES, max_bytes):
         return F.broadcast(df)
     # limit() takes a JVM int — clamp so byte-bounded callers can pass
     # "unbounded" row budgets without a Py4J signature error

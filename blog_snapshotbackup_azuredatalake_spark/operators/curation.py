@@ -212,6 +212,11 @@ def emb_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # members (a 2^20 scale would overflow BIGINT at ~3 M — measured bound,
 # not a guess; DuckDB would widen to HUGEINT but Spark wraps)
 PURITY_FP = 1 << 16
+# isqrt((2^63-1) / PURITY_FP): past this member count sum(cnt)²·FP wraps
+# BIGINT in non-ANSI Spark while DuckDB silently widens to HUGEINT —
+# the same engine-divergence class DIVERSITY_MAX_CHARS guards in
+# _simpson_expr. Both sides emit NULL past the bound instead.
+PURITY_MAX_MEMBERS = 11_863_283
 
 
 def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,8 +281,9 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "majority_share_fp"
         ),
         F.expr(
-            f"(sum(cnt) * sum(cnt) - sum(cnt * cnt)) * {PURITY_FP}"
-            " div (sum(cnt) * sum(cnt))"
+            f"CASE WHEN sum(cnt) > {PURITY_MAX_MEMBERS} THEN NULL"
+            f" ELSE (sum(cnt) * sum(cnt) - sum(cnt * cnt)) * {PURITY_FP}"
+            " div (sum(cnt) * sum(cnt)) END"
         ).alias("impurity_fp"),
     )
 
@@ -311,8 +317,10 @@ SELECT p.centroid_id,
        CAST(ANY_VALUE(majority_label) AS INT) AS majority_label,
        CAST(MAX(cnt) * {PURITY_FP} // SUM(cnt) AS BIGINT)
          AS majority_share_fp,
-       CAST((SUM(cnt) * SUM(cnt) - SUM(cnt * cnt)) * {PURITY_FP}
-            // (SUM(cnt) * SUM(cnt)) AS BIGINT) AS impurity_fp
+       CAST(CASE WHEN SUM(cnt) > {PURITY_MAX_MEMBERS}
+                 THEN NULL
+                 ELSE (SUM(cnt) * SUM(cnt) - SUM(cnt * cnt)) * {PURITY_FP}
+                      // (SUM(cnt) * SUM(cnt)) END AS BIGINT) AS impurity_fp
 FROM per p JOIN maj USING (centroid_id)
 GROUP BY p.centroid_id
 """.format(

@@ -228,7 +228,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches consume it (df-count, both index sides, both verify
     sides), and it is narrow — doc_id + gram array, no text — exactly
     the table a production pipeline persists beside the corpus."""
-    docs = _docs_with_grams(spark, sf_dir).localCheckpoint(eager=True)
+    docs = grams_cached(spark, sf_dir)
     # explode_OUTER + post-filter, not plain explode: explode makes
     # Catalyst infer `size(sh) > 0` and push it below the projections
     # with the whole gram expression inlined — re-evaluated per row in an
@@ -312,7 +312,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram sets. Output carries BOTH scores so the pairs only
     containment finds are visible as data (jaccard below its own
     gate)."""
-    docs = _docs_with_grams(spark, sf_dir).localCheckpoint(eager=True)
+    docs = grams_cached(spark, sf_dir)
     postings = docs.select(
         "doc_id", F.explode_outer("sh").alias("g")
     ).filter(F.col("g").isNotNull())
@@ -446,15 +446,141 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# session-scoped substrate cache: the near-dup family shares its bases
+# ---------------------------------------------------------------------------
+# Seven entries (minhash / lsh_calibration / incremental / cluster_cc /
+# cluster_sizes / keep_best / split_leakage_safe) consume the same
+# grams → band-index → verified-pairs → CC-labels chain; each used to
+# rebuild it privately, so a suite run paid the shingle+minhash pass
+# up to 7× and the CC fixpoint loop 4× (~37 s of the sf0.1 bench was
+# repeated work — the same disease the graph suite was cured of with
+# _GRAPH_CACHE). Build-if-absent keyed (applicationId, sf_dir):
+# entries stay standalone, the first caller materializes, the rest
+# reuse. Entries must NOT unpersist a cached base — the cache owns
+# lifetime; call dedup_cache_clear() for explicit teardown.
+
+_DEDUP_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _dedup_cache_key(spark: SparkSession, sf_dir: str, name: str):
+    return (spark.sparkContext.applicationId, str(sf_dir), name)
+
+
+def dedup_cache_clear() -> None:
+    """Unpersist and drop every cached dedup substrate relation."""
+    for df in _DEDUP_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session may already be gone
+    _DEDUP_CACHE.clear()
+
+
+def grams_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-if-absent (doc_id, sh) fingerprint frame over the full
+    documents table, cached COLUMNAR (persist MEMORY_AND_DISK + count
+    — compressed, spillable; the §6 recipe for corpus-sized bases).
+    The materialization barrier also keeps CollapseProject from
+    re-inlining the token-hash array into the gram lambda when the
+    relation feeds a join (§6 trap — measured O(tokens²·md5))."""
+    key = _dedup_cache_key(spark, sf_dir, "grams")
+    df = _DEDUP_CACHE.get(key)
+    if df is None:
+        from pyspark import StorageLevel
+
+        df = _docs_with_grams(spark, sf_dir).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        df.count()
+        _DEDUP_CACHE[key] = df
+    return df
+
+
+def mh_bands_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-if-absent LSH band index (doc_id, band_id, band_hash) —
+    the thing a production pipeline PERSISTS. Banding is per-doc, so
+    subset consumers (dedup_incremental's new/corpus split) FILTER
+    this one index instead of re-banding their slices. 8 small rows
+    per doc: columnar persist."""
+    key = _dedup_cache_key(spark, sf_dir, "mh_bands")
+    df = _DEDUP_CACHE.get(key)
+    if df is None:
+        from pyspark import StorageLevel
+
+        df = mh_bands(grams_cached(spark, sf_dir)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        df.count()
+        _DEDUP_CACHE[key] = df
+    return df
+
+
+def minhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-if-absent verified near-dup pairs (doc_a, doc_b, jaccard)
+    over the documents table. The pair list is the near-dup MINORITY —
+    far smaller than the corpus — so localCheckpoint (row-blocks) is
+    the right materialization, and it cuts the band-join lineage for
+    the CC loop above it."""
+    key = _dedup_cache_key(spark, sf_dir, "minhash_pairs")
+    df = _DEDUP_CACHE.get(key)
+    if df is None:
+        docs = grams_cached(spark, sf_dir)
+        bands = mh_bands_cached(spark, sf_dir)
+        cand = (
+            bands.alias("x")
+            .join(bands.alias("y"), ["band_id", "band_hash"])
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        a = docs.select(
+            F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+        )
+        b = docs.select(
+            F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+        )
+        df = (
+            cand.join(a, "doc_a")
+            .join(b, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .localCheckpoint(eager=True)
+        )
+        _DEDUP_CACHE[key] = df
+    return df
+
+
+def cc_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-if-absent connected-component labels (doc_id, cluster_id)
+    over the near-dup pair graph — the fold consumed by cluster_cc /
+    cluster_sizes / keep_best / split_leakage_safe, previously re-run
+    per entry. connected_components already returns a checkpointed
+    node-sized frame; the cache just stores it."""
+    key = _dedup_cache_key(spark, sf_dir, "cc_labels")
+    df = _DEDUP_CACHE.get(key)
+    if df is None:
+        from blog_snapshotbackup_azuredatalake_spark.operators.graph import (
+            connected_components,
+        )
+
+        df = connected_components(minhash_pairs_cached(spark, sf_dir))
+        _DEDUP_CACHE[key] = df
+    return df
+
+
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """See minhash_pairs — this is it over the documents table. The
-    narrow (doc_id, sh) fingerprint frame is materialized once: the
-    band index and both verify sides consume it, and there is no
-    Exchange below them for Spark to reuse (same reasoning as the
-    ngram path)."""
-    return minhash_pairs(
-        _docs_with_grams(spark, sf_dir).localCheckpoint(eager=True)
-    )
+    """See minhash_pairs — this is it over the documents table, served
+    from the session substrate cache (grams + band index + verified
+    pairs are shared with six sibling entries)."""
+    return minhash_pairs_cached(spark, sf_dir)
 
 
 def _minhash_sql() -> str:
@@ -479,20 +605,21 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowest doc_id) or is_dup=false."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    # both fingerprint frames feed their band index AND the verify join;
-    # materialize the narrow (doc_id, sh) once each
-    new = grams_for(
-        docs.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
-    ).localCheckpoint(eager=True)
-    corpus = grams_for(
-        docs.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
-    ).localCheckpoint(eager=True)
+    # grams and the band index come from the session substrate cache:
+    # banding is per-doc, so the new/corpus split is a FILTER over the
+    # one cached index — no re-shingling, no re-banding of either slice
+    is_new = F.col("doc_id") % INCR_BATCH_MOD == 0
+    new = grams_cached(spark, sf_dir).filter(is_new)
+    corpus = grams_cached(spark, sf_dir).filter(~is_new)
     cand = (
-        mh_bands(corpus)
+        mh_bands_cached(spark, sf_dir)
+        .filter(~is_new)
         .alias("c")
         .join(
-            F.broadcast(mh_bands(new).alias("n")), ["band_id", "band_hash"]
+            F.broadcast(
+                mh_bands_cached(spark, sf_dir).filter(is_new).alias("n")
+            ),
+            ["band_id", "band_hash"],
         )
         .select(
             F.col("n.doc_id").alias("new_id"),
@@ -938,10 +1065,8 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles that production caps. (The naive n²·|sh| array-intersect
     version measured 156 s at sf0.1 vs ~3 s for this plan — same row,
     same values.)"""
-    docs = grams_for(
-        load_table(spark, sf_dir, "documents")
-    ).localCheckpoint(eager=True)
-    bands = mh_bands(docs)
+    docs = grams_cached(spark, sf_dir)
+    bands = mh_bands_cached(spark, sf_dir)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band_id", "band_hash"])
@@ -951,7 +1076,8 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    hits = minhash_pairs(docs)  # candidates that verify ≥ threshold
+    # candidates that verify ≥ threshold — the cached production pairs
+    hits = minhash_pairs_cached(spark, sf_dir)
     ex = docs.select(
         "doc_id", F.explode(F.array_distinct("sh")).alias("g")
     )

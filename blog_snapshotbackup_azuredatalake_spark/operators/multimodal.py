@@ -745,6 +745,10 @@ FROM cdc JOIN fixed USING (source)
 
 SHARD_BYTES = 16_384  # demo-scale shard target (prod: 256MB-1GB tars)
 _PAYLOAD_BYTES = 76  # 12-byte ASCII header + 64 keystream bytes
+MM_PACK_BLOCKS = 16  # independent packing streams per source
+# shard_id = block * stride + within-block shard seq: globally unique,
+# and a manifest reader recovers (block, seq) by div/mod
+MM_BLOCK_STRIDE = 1_000_000
 
 
 def mm_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -752,13 +756,20 @@ def mm_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     / tar-shard layout step of a multimodal training pipeline: assets
     are assigned to ~{SHARD_BYTES}-byte shards by running byte offset
     (shard = start_offset div target — the greedy first-fit that every
-    sequential shard writer implements), per SOURCE, ordered by the
-    unique doc_id so the assignment is deterministic and append-stable.
-    The window partitions by source: per-partition state is one
-    source's asset list, so packing parallelizes across sources and no
-    global sort exists (the snap_compaction_plan rule). Output is the
-    shard manifest — per shard: item count, payload bytes, id range —
-    which is itself the input to the actual tar-writer job."""
+    sequential shard writer implements), ordered by the unique doc_id
+    so the assignment is deterministic and append-stable.
+
+    Packing streams are (source, block) with block = md5-hash(doc_id)
+    mod {MM_PACK_BLOCKS} — the doc_pack rule: a window partitioned by
+    source ALONE holds one source's entire asset manifest in a single
+    task, so a one-giant-source corpus (the common 100 TB shape)
+    serializes onto one executor. Blocked streams keep the running sum
+    distributed — {MM_PACK_BLOCKS} independent writers per source,
+    exactly how parallel WebDataset shard writers operate — and
+    shard_id = block·{MM_BLOCK_STRIDE} + within-block seq stays unique
+    and append-stable. Output is the shard manifest — per shard: item
+    count, payload bytes, id range — which is itself the input to the
+    actual tar-writer job."""
     docs = load_table(spark, sf_dir, "documents")
     media = synthesize_binary_column(docs).join(
         docs.select("doc_id", "source", "text"), "doc_id"
@@ -766,6 +777,10 @@ def mm_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = media.select(
         "doc_id",
         "source",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+            f" AS BIGINT) % {MM_PACK_BLOCKS}"
+        ).alias("block"),
         (F.octet_length("payload") + F.octet_length("text")).alias(
             "asset_bytes"
         ),
@@ -775,7 +790,9 @@ def mm_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "asset_bytes",
         F.expr(
-            f"(sum(asset_bytes) over (partition by source order by doc_id"
+            f"block * {MM_BLOCK_STRIDE}L +"
+            f" (sum(asset_bytes) over (partition by source, block"
+            f" order by doc_id"
             f" rows between unbounded preceding and current row)"
             f" - asset_bytes) div {SHARD_BYTES}"
         ).alias("shard_id"),
@@ -791,13 +808,17 @@ def mm_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MM_SHARD_PACK_SQL = f"""
 WITH assets AS (
   SELECT doc_id, source,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % {MM_PACK_BLOCKS} AS block,
          {_PAYLOAD_BYTES} + octet_length(CAST(text AS BLOB)) AS asset_bytes
   FROM documents
 ), packed AS (
   SELECT doc_id, source, asset_bytes,
-         (SUM(asset_bytes) OVER (PARTITION BY source ORDER BY doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          - asset_bytes) // {SHARD_BYTES} AS shard_id
+         block * {MM_BLOCK_STRIDE}
+         + (SUM(asset_bytes) OVER (PARTITION BY source, block
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - asset_bytes) // {SHARD_BYTES} AS shard_id
   FROM assets
 )
 SELECT source, CAST(shard_id AS BIGINT) AS shard_id,

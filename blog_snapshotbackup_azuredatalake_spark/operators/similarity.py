@@ -54,10 +54,11 @@ def ann_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lexical catches exact terms, vectors catch paraphrase; RRF needs
     no score calibration because it only consumes RANKS). Both lists
     are the already-oracle-checked building blocks: `text_bm25_search`
-    (one corpus scan + one-row stats broadcast) and a pinned-query
-    cosine top-{BM25_TOPK} (the brute-force scorer is demo-scale; at
-    100 TB the vector list comes from the IVF/PQ shortlist — only the
-    list feeding the fusion changes, the fusion itself is rank-only).
+    (one corpus scan + one-row stats broadcast) and the pinned query's
+    IVF probe/re-rank shortlist (`ann_topk_ivf`'s plan shape — the
+    100 TB path: map-only coarse assign, probe {IVF_NPROBE} lists,
+    exact cosine only inside them; RRF consumes RANKS, so swapping the
+    shortlist never changes the fusion arithmetic).
     Fusion arithmetic is integer fixed point ({RRF_FP} div (k+rank)),
     so the certificate hashes bit-identically; the full-outer join of
     two ≤{BM25_TOPK}-row lists is driver-trivial at any corpus size."""
@@ -68,12 +69,52 @@ def ann_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = text_bm25_search(spark, sf_dir).select(
         "doc_id", F.col("rank").alias("lex_rank")
     )
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == HYBRID_QUERY_ID).select(
-        F.col("embedding").alias("q_emb")
+    # the vector list IS the IVF shortlist (the shipped 100 TB path —
+    # ann_topk_ivf's probe/re-rank, restricted to the pinned query):
+    # coarse assign is map-only against the literal centroid set, the
+    # query probes its IVF_NPROBE nearest lists, exact re-rank runs
+    # inside the probed lists only. No corpus-wide crossJoin anywhere
+    # in this entry; the brute-force scorer stays in
+    # ann_topk_bruteforce as the labeled baseline.
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    centroids = emb.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    cents = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    cents_lit = _cents_lit_of(cents)
+    assigned = (
+        emb.withColumn("cents", cents_lit)
+        .select(
+            "vec_id",
+            "embedding",
+            F.array_min(_cent_scored(F.col("embedding"))).alias("best"),
+        )
+        .select(
+            "vec_id",
+            F.col("best.centroid_id").alias("list_id"),
+            "embedding",
+        )
+    )
+    probes = (
+        emb.filter(F.col("vec_id") == HYBRID_QUERY_ID)
+        .withColumn("cents", cents_lit)
+        .select(
+            F.col("embedding").alias("q_emb"),
+            F.explode(
+                F.slice(
+                    F.array_sort(_cent_scored(F.col("embedding"))),
+                    1,
+                    IVF_NPROBE,
+                )
+            ).alias("pr"),
+        )
+        .select("q_emb", F.col("pr.centroid_id").alias("list_id"))
     )
     scored = (
-        emb.crossJoin(F.broadcast(q))
+        assigned.join(F.broadcast(probes), "list_id")
         .filter(F.col("vec_id") != HYBRID_QUERY_ID)
         .select(
             "vec_id",
@@ -129,12 +170,35 @@ def _hybrid_rrf_sql() -> str:
     )
 
     cos = _SQL_COS.replace("a.embedding", "q_emb")
+    # the vec list mirrors the Spark side's IVF shortlist: coarse
+    # assign ≡ row_number over (l2², centroid_id), probe the query's
+    # IVF_NPROBE nearest lists, exact cosine re-rank inside them
     return f"""
 WITH lex AS ({_bm25_sql()}),
-q AS (SELECT embedding AS q_emb FROM embeddings
-      WHERE vec_id = {HYBRID_QUERY_ID}),
-pairs AS (SELECT b.vec_id AS doc_id, {cos} AS cos
-          FROM q, embeddings b WHERE b.vec_id <> {HYBRID_QUERY_ID}),
+cent AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id < {IVF_NLIST}
+), assigned AS (
+  SELECT vec_id, embedding, centroid_id AS list_id
+  FROM (SELECT e.vec_id, e.embedding, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SQL_L2SQ.format(a="e.embedding", b="c.c_emb")},
+                          c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cent c)
+  WHERE rn = 1
+), probes AS (
+  SELECT q_emb, list_id
+  FROM (SELECT q.embedding AS q_emb, c.centroid_id AS list_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY {_SQL_L2SQ.format(a="q.embedding", b="c.c_emb")},
+                          c.centroid_id) AS pr
+        FROM embeddings q CROSS JOIN cent c
+        WHERE q.vec_id = {HYBRID_QUERY_ID})
+  WHERE pr <= {IVF_NPROBE}
+), pairs AS (SELECT b.vec_id AS doc_id, {cos} AS cos
+             FROM probes JOIN assigned b USING (list_id)
+             WHERE b.vec_id <> {HYBRID_QUERY_ID}),
 vec AS (SELECT doc_id,
                CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INT)
                  AS vec_rank

@@ -242,7 +242,11 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("id").alias("max_id"),
     )
     n_cycles = 0
-    for _ in range(PYSRC_STREAM_BATCHES + 1):  # +1 no-op proves drained
+    # headroom of +1 cycle, but the loop breaks as soon as the memory
+    # sink holds every row — the drained-in-exactly-N-batches invariant
+    # is pinned by the n_microbatches == PYSRC_STREAM_BATCHES oracle
+    # check, not by running an extra no-op cycle
+    for _ in range(PYSRC_STREAM_BATCHES + 1):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)

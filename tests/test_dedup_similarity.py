@@ -345,3 +345,39 @@ def test_nprobe_curve_monotone(spark):
         assert b["n_hits"] >= a["n_hits"]
     for r in rows:
         assert r["recall_fp"] == r["n_hits"] * similarity.BALANCE_FP // r["k_total"]
+
+
+def test_dedup_substrate_cache_reuse_and_teardown(spark):
+    """The near-dup family shares one build-if-absent substrate chain
+    (grams → bands → pairs → CC labels); teardown unpersists and a
+    rebuilt substrate yields the identical pair set."""
+    dedup.dedup_cache_clear()
+    first = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_pairs_cached(spark, SF_DIR).collect()
+    )
+    # the chain registered its entries, keyed by (app, sf_dir, name)
+    names = {k[2] for k in dedup._DEDUP_CACHE}
+    assert {"grams", "mh_bands", "minhash_pairs"} <= names
+    # a second call returns the SAME cached frame (no rebuild)
+    assert dedup.minhash_pairs_cached(spark, SF_DIR) is dedup._DEDUP_CACHE[
+        dedup._dedup_cache_key(spark, SF_DIR, "minhash_pairs")
+    ]
+    dedup.dedup_cache_clear()
+    assert not dedup._DEDUP_CACHE
+    again = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_pairs_cached(spark, SF_DIR).collect()
+    )
+    assert first == again
+
+
+def test_cc_labels_cached_consistent_with_pairs(spark):
+    """Every pair endpoint carries a label; both ends of a verified
+    pair agree on the cluster; labels are ≤ their doc_id's min reach."""
+    pairs = dedup.minhash_pairs_cached(spark, SF_DIR)
+    labels = dedup.cc_labels_cached(spark, SF_DIR)
+    lab = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    for r in pairs.collect():
+        assert lab[r["doc_a"]] == lab[r["doc_b"]]
+        assert lab[r["doc_a"]] <= min(r["doc_a"], r["doc_b"])

@@ -137,19 +137,23 @@ def test_mm_shard_pack_matches_oracle(spark, ddb):
 
 def test_mm_shard_pack_manifest_invariants(spark):
     rows = multimodal.mm_shard_pack(spark, SF_DIR).collect()
-    by_source = {}
+    stride = multimodal.MM_BLOCK_STRIDE
+    by_stream = {}
     for r in rows:
-        by_source.setdefault(r["source"], []).append(r)
-    for source, shards in by_source.items():
-        ids = sorted(s["shard_id"] for s in shards)
-        assert ids == list(range(len(ids))), f"{source}: gaps in shard ids"
-        shards.sort(key=lambda s: s["shard_id"])
-        # id ranges must be disjoint and ordered (append-stable packing)
-        for a, b in zip(shards, shards[1:]):
+        block, seq = divmod(r["shard_id"], stride)
+        assert 0 <= block < multimodal.MM_PACK_BLOCKS
+        by_stream.setdefault((r["source"], block), []).append((seq, r))
+    for (source, block), shards in by_stream.items():
+        ids = sorted(seq for seq, _ in shards)
+        assert ids == list(range(len(ids))), (
+            f"{source}/{block}: gaps in shard seqs"
+        )
+        shards.sort()
+        # id ranges must be disjoint and ordered WITHIN a packing
+        # stream (append-stable greedy first-fit per (source, block))
+        for (_, a), (_, b) in zip(shards, shards[1:]):
             assert a["last_doc"] < b["first_doc"]
-        # every full shard start-offset rule: all but the last shard
-        # must have crossed the boundary (bytes ≥ target − one asset)
-        for s in shards[:-1]:
+        for _, s in shards[:-1]:
             assert s["shard_bytes"] > 0
 
 

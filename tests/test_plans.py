@@ -277,11 +277,26 @@ def test_user_paths_window_is_user_partitioned(spark):
     ) or "hashpartitioning(user_id" in plan
 
 
-def test_mm_shard_pack_window_is_source_partitioned(spark):
+def test_mm_shard_pack_window_is_block_sharded(spark):
     from blog_snapshotbackup_azuredatalake_spark.operators import multimodal
 
     plan = _plan(multimodal.mm_shard_pack(spark, SF_DIR))
-    assert "hashpartitioning(source" in plan
+    # the running-byte-sum window must partition FINER than source
+    # alone (doc_pack rule): one giant source must not serialize its
+    # whole asset manifest onto a single task
+    win_blocks = [
+        b
+        for b in plan.split("\n(")
+        if b.splitlines() and b.splitlines()[0].endswith("Window")
+    ]
+    assert win_blocks, plan[:800]
+    for b in win_blocks:
+        spec = [
+            line
+            for line in b.splitlines()
+            if "windowspecdefinition" in line
+        ]
+        assert spec and all("block" in line for line in spec), b[:500]
 
 
 def test_hybrid_rrf_fusion_stays_on_tiny_lists(spark):

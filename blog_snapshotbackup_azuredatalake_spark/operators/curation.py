@@ -2132,7 +2132,74 @@ FROM j GROUP BY source
 """
 
 
+def corpus_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ROI report: how many tokens each source wastes on exact
+    copies. Exact-dup groups key on md5(text); the canonical holder is
+    the min doc_id ACROSS sources (a copy of another source's document
+    is still a copy), every other member's whitespace tokens count as
+    waste, attributed to the copy's own source. Two shuffles total
+    (hash groupBy for canonicals, source groupBy for the report); the
+    join back is on the same hash key, so AQE co-partitions it with
+    the first shuffle's output. inflation_ppm = wasted·10^6 div total
+    (floor fixed-point, SURVEY §4)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text")).alias("h"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("toks"),
+    )
+    canon = docs.groupBy("h").agg(F.min("doc_id").alias("canon_id"))
+    marked = docs.join(canon, "h").select(
+        "source",
+        "toks",
+        (F.col("doc_id") != F.col("canon_id")).alias("is_copy"),
+    )
+    agg = marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.when(F.col("is_copy"), 1).otherwise(0)).alias("dup_docs"),
+        F.sum("toks").alias("tokens_total"),
+        F.sum(F.when(F.col("is_copy"), F.col("toks")).otherwise(0)).alias(
+            "tokens_wasted"
+        ),
+    )
+    return agg.select(
+        "source",
+        F.col("docs").cast("bigint").alias("docs"),
+        F.col("dup_docs").cast("bigint").alias("dup_docs"),
+        F.col("tokens_total").cast("bigint").alias("tokens_total"),
+        F.col("tokens_wasted").cast("bigint").alias("tokens_wasted"),
+        F.expr(
+            "tokens_wasted * 1000000 div greatest(tokens_total, 1)"
+        ).cast("bigint").alias("inflation_ppm"),
+    )
+
+
+_DUP_INFLATION_SQL = """
+WITH docs AS (
+  SELECT doc_id, source, md5(text) AS h,
+         len(string_split(text, ' ')) AS toks
+  FROM documents
+), canon AS (
+  SELECT h, MIN(doc_id) AS canon_id FROM docs GROUP BY h
+), marked AS (
+  SELECT source, toks, doc_id <> canon_id AS is_copy
+  FROM docs JOIN canon USING (h)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(SUM(CASE WHEN is_copy THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_docs,
+       CAST(SUM(toks) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN is_copy THEN toks ELSE 0 END) AS BIGINT)
+         AS tokens_wasted,
+       CAST(SUM(CASE WHEN is_copy THEN toks ELSE 0 END) * 1000000
+            // GREATEST(SUM(toks), 1) AS BIGINT) AS inflation_ppm
+FROM marked GROUP BY source
+"""
+
+
 QUERIES = {
+    "corpus_dup_inflation": corpus_dup_inflation,
     "corpus_version_diff": corpus_version_diff,
     "corpus_token_budget_plan": corpus_token_budget_plan,
     "emb_label_drift": emb_label_drift,
@@ -2158,6 +2225,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_dup_inflation": _DUP_INFLATION_SQL,
     "corpus_version_diff": _VERSION_DIFF_SQL,
     "corpus_token_budget_plan": _TOKEN_BUDGET_SQL,
     "emb_outlier_zscore": _EMB_OUTLIER_SQL,

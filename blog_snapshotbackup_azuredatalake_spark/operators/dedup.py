@@ -43,6 +43,11 @@ SIMHASH_BANDS = 4  # 4 bands of 8 bits ⇒ hamming ≤ 3 always shares a band
 HAMMING_THRESHOLD = 3
 EMB_COS_THRESHOLD = 0.3
 EMB_SIGN_DIMS = 8
+# anchor blocking uses more sign dims than the (retired) pair-emission
+# blocking: the anchor relation is bounded BY CONSTRUCTION at 2^dims
+# rows (the broadcast-hint audit rule, SURVEY §6), so a finer pattern
+# costs nothing and resolves clusters that collide at 8 dims.
+EMB_ANCHOR_DIMS = 16
 
 P31 = 2_147_483_647  # 2^31 - 1 (prime); all fingerprints live in [0, P31)
 K_POLY = 1_000_003  # rolling-hash base, < 2^31 so products stay < 2^62
@@ -743,10 +748,32 @@ _SQL_MIX32 = (
 )
 
 
+# (hamming, anchor_id) packed into one BIGINT so "best match" is a
+# plain min() in BOTH engines (DuckDB arg_min cannot take a composite
+# key): hamming ≤ 32 needs 6 bits, doc ids stay far below 2^44 (a
+# trillion-doc corpus is 2^40).
+SIMHASH_ID_BITS = 44
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash over gram fingerprints; pairs at Hamming ≤ 3 found
-    by blocking on the 4 bytes (a pair within threshold must share ≥1
-    exact byte — pigeonhole), then verified with bit_count(xor). Bit
+    """32-bit SimHash near-dup, per-doc band-anchor contract: each of
+    the {SIMHASH_BANDS} 8-bit bands elects the min-doc_id holder of
+    each band value as its anchor, every doc scores against its ≤ 4
+    anchors (bit_count(xor)), and the best (min (hamming, anchor_id))
+    is emitted — one row per doc: (doc_id, simhash, match_id, hamming,
+    is_dup = hamming ≤ {HAMMING_THRESHOLD}).
+
+    Pair emission retired round 5 for the same measured reason as
+    dedup_embedding: with cluster-structured text, "all pairs at
+    hamming ≤ 3" is OUTPUT-quadratic (3 996 pairs at sf1 → 254 987 at
+    sf10 → ~2.3 M at sf30; 359 s of the 479 s cold sf30 dedup suite),
+    and the banded self-join's Σbucket² over 256 fixed band values is
+    plan-quadratic on top (SURVEY §6 "quadratic ANSWER" trap).
+
+    Scale shape: anchors are bounded BY CONSTRUCTION at
+    {SIMHASH_BANDS}·256 rows (map-side-combinable min/min_by agg), so
+    the probe side is {SIMHASH_BANDS} broadcast hash joins — after the
+    one per-doc majority aggregation the corpus never shuffles. Bit
     majorities come from explode + 32 codegen'd `sum((v>>b)&1)`
     aggregates: higher-order `aggregate` lambdas are interpreted per
     element (32 passes/doc), while the groupBy stays in whole-stage
@@ -791,25 +818,48 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "simhash", "band.band_id", "band.band_val")
-    cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band_id", "band_val"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("x.simhash").alias("sim_a"),
-            F.col("y.simhash").alias("sim_b"),
-        )
-        .distinct()
+    anchors = bands.groupBy("band_id", "band_val").agg(
+        F.min("doc_id").alias("anchor_id"),
+        F.min_by("simhash", "doc_id").alias("anchor_sim"),
     )
-    return cand.select(
-        "doc_a",
-        "doc_b",
-        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-        .cast("int")
-        .alias("hamming"),
-    ).filter(F.col("hamming") <= HAMMING_THRESHOLD)
+    probe = sim
+    for k in range(SIMHASH_BANDS):
+        a_k = anchors.filter(F.col("band_id") == k).select(
+            F.col("band_val").alias(f"bv{k}"),
+            F.col("anchor_id").alias(f"aid{k}"),
+            F.col("anchor_sim").alias(f"asim{k}"),
+        )
+        probe = probe.join(
+            F.broadcast(a_k),
+            F.shiftright(F.col("simhash"), 8 * k).bitwiseAND(F.lit(255))
+            == F.col(f"bv{k}"),
+            "left",
+        )
+    cands = [
+        F.when(
+            F.col(f"aid{k}") != F.col("doc_id"),
+            F.shiftleft(
+                F.bit_count(
+                    F.col("simhash").bitwiseXOR(F.col(f"asim{k}"))
+                ).cast("bigint"),
+                SIMHASH_ID_BITS,
+            ).bitwiseOR(F.col(f"aid{k}")),
+        )
+        for k in range(SIMHASH_BANDS)
+    ]
+    best = F.least(*cands)  # least() skips NULLs (self-only buckets)
+    hamming = F.shiftright(best, SIMHASH_ID_BITS).cast("int")
+    return probe.select(
+        "doc_id",
+        "simhash",
+        best.bitwiseAND(
+            F.lit((1 << SIMHASH_ID_BITS) - 1).cast("bigint")
+        ).alias("match_id"),
+        hamming.alias("hamming"),
+        F.coalesce(
+            hamming <= HAMMING_THRESHOLD, F.lit(False)
+        ).alias("is_dup"),
+    )
 
 
 def _simhash_sql() -> str:
@@ -829,13 +879,22 @@ hashed AS (SELECT doc_id, list_transform(sh, v -> {_SQL_MIX32}) AS hs,
                   len(sh) AS n FROM sh),
 sim AS (SELECT doc_id, {bit_terms} AS simhash FROM hashed),
 bands AS ({band_selects}),
-cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-                x.simhash AS sim_a, y.simhash AS sim_b
-         FROM bands x JOIN bands y USING (band_id, band_val)
-         WHERE x.doc_id < y.doc_id)
-SELECT doc_a, doc_b,
-       CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
-FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {HAMMING_THRESHOLD}
+anchors AS (SELECT band_id, band_val, min(doc_id) AS anchor_id,
+                   arg_min(simhash, doc_id) AS anchor_sim
+            FROM bands GROUP BY band_id, band_val),
+cand AS (SELECT b.doc_id,
+                (CAST(bit_count(xor(b.simhash, a.anchor_sim)) AS BIGINT)
+                 << {SIMHASH_ID_BITS}) | a.anchor_id AS key
+         FROM bands b JOIN anchors a USING (band_id, band_val)
+         WHERE a.anchor_id <> b.doc_id),
+best AS (SELECT doc_id, min(key) AS key FROM cand GROUP BY doc_id)
+SELECT s.doc_id, s.simhash,
+       b.key & ((CAST(1 AS BIGINT) << {SIMHASH_ID_BITS}) - 1)
+         AS match_id,
+       CAST(b.key >> {SIMHASH_ID_BITS} AS INT) AS hamming,
+       COALESCE((b.key >> {SIMHASH_ID_BITS}) <= {HAMMING_THRESHOLD},
+                FALSE) AS is_dup
+FROM sim s LEFT JOIN best b USING (doc_id)
 """
 
 
@@ -871,51 +930,262 @@ def _dot_cos(a: Column, b: Column) -> Column:
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: block on the sign pattern of the first 8
-    dims (256 buckets — near-identical vectors almost surely collide),
-    verify cosine within buckets. Join cost is Σ bucket², not n²."""
+    """Embedding near-dup via canonical bucket anchors (the SemDeDup
+    shape, Abbas et al. 2023): block on the sign pattern of the first
+    {EMB_ANCHOR_DIMS} dims, elect the min-vec_id member of each bucket
+    as its anchor, and score every vector against its anchor ONLY —
+    one cosine per vector, one output row per vector
+    (vec_id, anchor_id, cos, is_dup).
+
+    Why not emit pairs: the round-5 cold sf10 suite run measured the
+    previous within-bucket pair contract as OUTPUT-quadratic, not just
+    plan-quadratic — the corpus is cluster-structured (2 000 sign
+    patterns at every SF, each bucket growing linearly with n), so
+    "all pairs with cos ≥ 0.3" is itself Θ(n²/|clusters|): 118 400
+    pairs at sf1 → ~11.8 M at sf10, 243 s of the 334 s suite. No
+    blocking scheme fixes an operator whose ANSWER grows quadratically;
+    the contract has to be the linear one (SURVEY §6).
+
+    Scale shape: the anchor agg is map-side combinable (min/min_by
+    partial-aggregates to ≤ 2^{EMB_ANCHOR_DIMS} rows per task) and the
+    anchor relation is bounded BY CONSTRUCTION at 2^{EMB_ANCHOR_DIMS}
+    rows, so it broadcasts back and the corpus itself never shuffles —
+    a single map-side pass at 100 TB."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",
-        _sign_bucket(F.col("embedding"), EMB_SIGN_DIMS).alias("bucket"),
+        _sign_bucket(F.col("embedding"), EMB_ANCHOR_DIMS).alias("bucket"),
     )
-    pairs = (
-        emb.alias("x")
-        .join(emb.alias("y"), "bucket")
-        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+    anchors = emb.groupBy("bucket").agg(
+        F.min("vec_id").alias("anchor_id"),
+        F.min_by("embedding", "vec_id").alias("anchor_emb"),
+    )
+    cos = _dot_cos(F.col("embedding"), F.col("anchor_emb"))
+    return (
+        emb.join(F.broadcast(anchors), "bucket")
+        .select("vec_id", "anchor_id", cos.alias("cos"))
         .select(
-            F.col("x.vec_id").alias("vec_a"),
-            F.col("y.vec_id").alias("vec_b"),
-            _dot_cos(F.col("x.embedding"), F.col("y.embedding")).alias("cos"),
+            "vec_id",
+            "anchor_id",
+            "cos",
+            (
+                (F.col("vec_id") != F.col("anchor_id"))
+                & (F.col("cos") >= EMB_COS_THRESHOLD)
+            ).alias("is_dup"),
         )
     )
-    return pairs.filter(F.col("cos") >= EMB_COS_THRESHOLD)
 
 
-_SQL_COS = """(
-  list_reduce(list_transform(range(1, 1 + len(a.embedding)),
-    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+def _sql_cos(a: str, b: str) -> str:
+    """Sequential left-fold cosine between list columns ``a`` and ``b``
+    — same association order as the Spark ``_dot_cos`` fold, so the
+    doubles are bit-identical across engines (SURVEY §4)."""
+    return f"""(
+  list_reduce(list_transform(range(1, 1 + len({a})),
+    i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)),
     (x, y) -> x + y)
-  / (sqrt(list_reduce(list_transform(a.embedding,
+  / (sqrt(list_reduce(list_transform({a},
        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
-   * sqrt(list_reduce(list_transform(b.embedding,
+   * sqrt(list_reduce(list_transform({b},
        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)))
 )"""
 
-_SQL_BUCKET = (
-    "list_aggregate(list_transform(embedding[1:"
-    + str(EMB_SIGN_DIMS)
-    + "], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '')"
-)
+
+_SQL_COS = _sql_cos("a.embedding", "b.embedding")
+
+
+def _sql_sign_bucket(dims: int) -> str:
+    return (
+        "list_aggregate(list_transform(embedding[1:"
+        + str(dims)
+        + "], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),"
+        " 'string_agg', '')"
+    )
+
+
+_SQL_BUCKET = _sql_sign_bucket(EMB_SIGN_DIMS)
 
 _DEDUP_EMBEDDING_SQL = f"""
 WITH emb AS (
-  SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings
+  SELECT vec_id, embedding,
+         {_sql_sign_bucket(EMB_ANCHOR_DIMS)} AS bucket FROM embeddings
+),
+anchors AS (
+  SELECT bucket, arg_min(vec_id, vec_id) AS anchor_id,
+         arg_min(embedding, vec_id) AS anchor_emb
+  FROM emb GROUP BY bucket
+),
+scored AS (
+  SELECT e.vec_id, a.anchor_id,
+         {_sql_cos('e.embedding', 'a.anchor_emb')} AS cos
+  FROM emb e JOIN anchors a USING (bucket)
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_SQL_COS} AS cos
-FROM emb a JOIN emb b USING (bucket)
-WHERE a.vec_id < b.vec_id AND {_SQL_COS} >= {EMB_COS_THRESHOLD}
+SELECT vec_id, anchor_id, cos,
+       (vec_id <> anchor_id AND cos >= {EMB_COS_THRESHOLD}) AS is_dup
+FROM scored
 """
+
+# calibration sample: fixed-size prefix, so the exact all-pairs ground
+# truth is CONSTANT cost at every SF (same policy as the capped exact
+# index in dedup_lsh_calibration)
+ANCHOR_CAL_N = 2_000
+
+
+# the certificate is a τ-CURVE: sign-anchor blocking is a NEAR-dup
+# (high-τ) instrument — collision probability per sign dim is
+# 1 − θ/π, so an 0.3-cosine "partner" (θ ≈ 73°) almost never shares a
+# 16-dim pattern while a 0.99-cosine replica almost always does. The
+# curve states the fit-for-purpose boundary instead of hiding it.
+ANCHOR_CAL_TAUS = (0.3, 0.6, 0.9)
+
+
+def dedup_anchor_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall certificate for the round-5 anchor contract, as a τ-curve:
+    on the first-{ANCHOR_CAL_N} vector sample, exact all-pairs ground
+    truth ("has ANY partner with cos ≥ τ") vs the SemDeDup anchor pass
+    run within the same sample, one row per τ. Flagged ⊆ true by
+    construction (an anchor match IS a true partner), so recall is the
+    number that matters.
+
+    Measured reading (driver testdata): at τ=0.3 truth is near-total
+    (every vector has a ~73°-apart "partner") and blocking recall is
+    ~0 — that regime is similarity SEARCH (ann_topk_*), not dedup; at
+    τ≥0.9 the truth set is the replica/near-copy set, which shares full
+    sign patterns and is caught via its bucket anchor (17 742/20 000
+    replicas at cos̄ 0.986 flagged at sfbig sf1). The all-pairs side is
+    bounded by the constant sample, NOT the corpus — flat at every SF
+    (the uncapped version of this comparison was the 243 s sf10
+    regression this certificate now guards against)."""
+    sample = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < ANCHOR_CAL_N)
+        .select(
+            "vec_id",
+            "embedding",
+            _sign_bucket(F.col("embedding"), EMB_ANCHOR_DIMS).alias(
+                "bucket"
+            ),
+        )
+    )
+    other = sample.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+    )
+    truth = (
+        sample.crossJoin(F.broadcast(other))
+        .filter(F.col("vec_id") != F.col("b_id"))
+        .select(
+            "vec_id",
+            _dot_cos(F.col("embedding"), F.col("b_emb")).alias("cos"),
+        )
+        .agg(
+            *[
+                F.count_distinct(
+                    F.when(F.col("cos") >= t, F.col("vec_id"))
+                ).alias(f"true_{int(t * 100)}")
+                for t in ANCHOR_CAL_TAUS
+            ]
+        )
+    )
+    anchors = sample.groupBy("bucket").agg(
+        F.min("vec_id").alias("anchor_id"),
+        F.min_by("embedding", "vec_id").alias("anchor_emb"),
+    )
+    flagged = (
+        sample.join(F.broadcast(anchors), "bucket")
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            _dot_cos(F.col("embedding"), F.col("anchor_emb")).alias(
+                "acos"
+            )
+        )
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("acos") >= t, 1).otherwise(0)
+                ).alias(f"flag_{int(t * 100)}")
+                for t in ANCHOR_CAL_TAUS
+            ]
+        )
+    )
+    n = sample.agg(F.count(F.lit(1)).alias("sample_n"))
+    base = n.crossJoin(truth).crossJoin(flagged)
+    rows = [
+        base.select(
+            F.lit(int(t * 100)).cast("int").alias("tau_pct"),
+            F.col("sample_n").cast("bigint").alias("sample_n"),
+            F.col(f"true_{int(t * 100)}").cast("bigint").alias(
+                "true_dups"
+            ),
+            F.coalesce(F.col(f"flag_{int(t * 100)}"), F.lit(0))
+            .cast("bigint")
+            .alias("flagged_dups"),
+            F.expr(
+                f"CASE WHEN true_{int(t * 100)} = 0 THEN 1000000"
+                f" ELSE coalesce(flag_{int(t * 100)}, 0) * 1000000"
+                f" div true_{int(t * 100)} END"
+            ).cast("bigint").alias("recall_ppm"),
+        )
+        for t in ANCHOR_CAL_TAUS
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def _anchor_cal_sql() -> str:
+    tau_rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({int(t * 100)} AS INT) AS tau_pct,
+       CAST(sample_n AS BIGINT) AS sample_n,
+       CAST(true_{int(t * 100)} AS BIGINT) AS true_dups,
+       CAST(COALESCE(flag_{int(t * 100)}, 0) AS BIGINT) AS flagged_dups,
+       CAST(CASE WHEN true_{int(t * 100)} = 0 THEN 1000000
+                 ELSE COALESCE(flag_{int(t * 100)}, 0) * 1000000
+                      // true_{int(t * 100)} END AS BIGINT)
+         AS recall_ppm
+FROM base"""
+        for t in ANCHOR_CAL_TAUS
+    )
+    true_aggs = ",\n         ".join(
+        f"COUNT(DISTINCT CASE WHEN cos >= {t} THEN vec_id END)"
+        f" AS true_{int(t * 100)}"
+        for t in ANCHOR_CAL_TAUS
+    )
+    flag_aggs = ",\n         ".join(
+        f"SUM(CASE WHEN acos >= {t} THEN 1 ELSE 0 END)"
+        f" AS flag_{int(t * 100)}"
+        for t in ANCHOR_CAL_TAUS
+    )
+    return f"""
+WITH sample AS (
+  SELECT vec_id, embedding,
+         {_sql_sign_bucket(EMB_ANCHOR_DIMS)} AS bucket
+  FROM embeddings WHERE vec_id < {ANCHOR_CAL_N}
+),
+truth AS (
+  SELECT {true_aggs}
+  FROM (SELECT a.vec_id,
+               {_sql_cos('a.embedding', 'b.embedding')} AS cos
+        FROM sample a JOIN sample b ON a.vec_id <> b.vec_id)
+),
+anchors AS (
+  SELECT bucket, MIN(vec_id) AS anchor_id,
+         arg_min(embedding, vec_id) AS anchor_emb
+  FROM sample GROUP BY bucket
+),
+flagged AS (
+  SELECT {flag_aggs}
+  FROM (SELECT {_sql_cos('s.embedding', 'a.anchor_emb')} AS acos
+        FROM sample s JOIN anchors a USING (bucket)
+        WHERE s.vec_id <> a.anchor_id)
+),
+n AS (SELECT COUNT(*) AS sample_n FROM sample),
+base AS (SELECT * FROM n, truth, flagged)
+{tau_rows}
+"""
+
+
+_ANCHOR_CAL_SQL = _anchor_cal_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -1168,6 +1438,7 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
+    "dedup_anchor_calibration": dedup_anchor_calibration,
 }
 
 ORACLES = {
@@ -1180,4 +1451,5 @@ ORACLES = {
     "dedup_incremental": _incremental_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_embedding": _DEDUP_EMBEDDING_SQL,
+    "dedup_anchor_calibration": _ANCHOR_CAL_SQL,
 }

@@ -2410,7 +2410,92 @@ def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HARD_NEG_K = 5
+
+
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each of the
+    first {N_QUERIES} query vectors, the {HARD_NEG_K} most-similar
+    vectors with a DIFFERENT label (the negatives a triplet loss
+    learns most from), plus the query's best same-label positive and
+    the triplet margin (cos_pos − cos_neg; negative margin ⇒ the
+    negative out-scores every positive — a label-noise signal).
+
+    Plan: corpus × broadcast 20-query panel (map-only, linear), one
+    per-query top-k window (Spark 4 WindowGroupLimit keeps it
+    per-partition) and one max_by-style agg for the positive; margin is
+    a subtraction of identically-computed doubles, so it is
+    bit-portable across engines (SURVEY §4). At 100 TB the scorer
+    swaps to the IVF shortlist exactly as ann_recall_audit composes
+    it; the contract (per-query top-k with label exclusion) is
+    unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            "label",
+            _dot_cos(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        )
+    )
+    pos = (
+        pairs.filter(F.col("label") == F.col("q_label"))
+        .groupBy("q_id")
+        .agg(F.max("cos").alias("cos_pos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    negs = (
+        pairs.filter(F.col("label") != F.col("q_label"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= HARD_NEG_K)
+    )
+    return negs.join(pos, "q_id", "left").select(
+        "q_id",
+        F.col("vec_id").alias("neg_id"),
+        F.col("cos").alias("cos_neg"),
+        F.col("rnk").cast("int").alias("rnk"),
+        "cos_pos",
+        (F.col("cos_pos") - F.col("cos")).alias("margin"),
+    )
+
+
+_HARD_NEG_SQL = f"""
+WITH queries AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), pairs AS (
+  SELECT q_id, q_label, b.vec_id AS vec_id, b.label AS label,
+         {_SQL_COS.replace("a.embedding", "q_emb")} AS cos
+  FROM queries JOIN embeddings b ON b.vec_id <> q_id
+), pos AS (
+  SELECT q_id, MAX(cos) AS cos_pos FROM pairs
+  WHERE label = q_label GROUP BY q_id
+), negs AS (
+  SELECT q_id, vec_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY cos DESC, vec_id) AS INT)
+           AS rnk
+  FROM pairs WHERE label <> q_label
+  QUALIFY rnk <= {HARD_NEG_K}
+)
+SELECT n.q_id, n.vec_id AS neg_id, n.cos AS cos_neg, n.rnk,
+       p.cos_pos, p.cos_pos - n.cos AS margin
+FROM negs n LEFT JOIN pos p USING (q_id)
+"""
+
+
 QUERIES = {
+    "emb_hard_negatives": emb_hard_negatives,
     "ann_hybrid_rrf": ann_hybrid_rrf,
     "ann_range_search": ann_range_search,
     "emb_label_knn_classify": emb_label_knn_classify,
@@ -2435,6 +2520,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_hard_negatives": _HARD_NEG_SQL,
     "ann_hybrid_rrf": _hybrid_rrf_sql(),
     "ann_range_search": _ANN_RANGE_SQL,
     "emb_label_knn_classify": _KNN_CLASSIFY_SQL,

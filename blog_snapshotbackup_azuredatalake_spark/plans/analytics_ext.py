@@ -1463,6 +1463,160 @@ FROM j GROUP BY event_type
 """
 
 
+_EPOCH_DAY = "datediff(cast({c} as date), date'1970-01-01')"
+
+
+def q_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog as an event-sourced running balance:
+    each order contributes +1 on its open day (o_orderdate) and -1 on
+    its close day (max l_shipdate of its lines); backlog(d) = opens ≤ d
+    minus closes ≤ d (an order closing during d counts closed at d's
+    end). The raw tables meet two shuffles (per-order close agg, then
+    the orderkey-co-partitioned join with orders that AQE plans once);
+    the running-sum window covers only DISTINCT delta days — bounded by
+    the calendar (~2.4 k days at every SF), not by row count — so the
+    single-partition window is safe at 100 TB, same argument as
+    q_gap_fill's grid."""
+    open_day = F.expr(_EPOCH_DAY.format(c="o_orderdate")).alias("open_day")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", open_day
+    )
+    close = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(F.expr(_EPOCH_DAY.format(c="l_shipdate"))).alias(
+                "close_day"
+            )
+        )
+    )
+    spans = orders.join(
+        close, orders.o_orderkey == close.l_orderkey
+    ).select("open_day", "close_day")
+    deltas = (
+        spans.select(
+            F.col("open_day").alias("day"),
+            F.lit(1).alias("opened"),
+            F.lit(0).alias("closed"),
+        )
+        .unionAll(
+            spans.select(
+                F.col("close_day").alias("day"),
+                F.lit(0).alias("opened"),
+                F.lit(1).alias("closed"),
+            )
+        )
+        .groupBy("day")
+        .agg(F.sum("opened").alias("opened"), F.sum("closed").alias("closed"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return deltas.select(
+        F.col("day").cast("int").alias("day"),
+        F.col("opened").cast("bigint").alias("opened"),
+        F.col("closed").cast("bigint").alias("closed"),
+        F.sum(F.col("opened") - F.col("closed"))
+        .over(w)
+        .cast("bigint")
+        .alias("backlog"),
+    )
+
+
+_Q_BACKLOG_SQL = """
+WITH close AS (
+  SELECT l_orderkey,
+         MAX(CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS close_day
+  FROM lineitem GROUP BY l_orderkey
+), spans AS (
+  SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS open_day,
+         close_day
+  FROM orders JOIN close ON l_orderkey = o_orderkey
+), deltas AS (
+  SELECT day, SUM(opened) AS opened, SUM(closed) AS closed FROM (
+    SELECT open_day AS day, 1 AS opened, 0 AS closed FROM spans
+    UNION ALL
+    SELECT close_day AS day, 0 AS opened, 1 AS closed FROM spans
+  ) GROUP BY day
+)
+SELECT CAST(day AS INT) AS day,
+       CAST(opened AS BIGINT) AS opened,
+       CAST(closed AS BIGINT) AS closed,
+       CAST(SUM(opened - closed) OVER (
+         ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS backlog
+FROM deltas
+"""
+
+LATE_SHIP_DAYS = 60
+
+
+def q_supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfilment lead time per supplier nation: order-to-ship days per
+    line, reported as floor fixed-point milli-days plus a late share in
+    ppm (> {LATE_SHIP_DAYS} days). lineitem⋈orders is the one real
+    shuffle (orderkey-co-partitioned fact join); supplier and nation
+    broadcast; integer arithmetic end-to-end (floor fixed-point, never
+    ROUND — SURVEY §4)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.expr(_EPOCH_DAY.format(c="l_shipdate")).alias("ship_day"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.expr(_EPOCH_DAY.format(c="o_orderdate")).alias("open_day")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(bcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(bcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            (F.col("ship_day") - F.col("open_day"))
+            .cast("bigint")
+            .alias("lead_days"),
+        )
+    )
+    agg = j.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("lines"),
+        F.sum("lead_days").alias("sum_lead"),
+        F.sum(
+            F.when(F.col("lead_days") > LATE_SHIP_DAYS, 1).otherwise(0)
+        ).alias("late"),
+    )
+    return agg.select(
+        F.col("n_name").alias("nation"),
+        F.col("lines").cast("bigint").alias("lines"),
+        F.expr("sum_lead * 1000 div lines").cast("bigint").alias(
+            "avg_lead_md"
+        ),
+        F.expr("late * 1000000 div lines").cast("bigint").alias(
+            "late_ppm"
+        ),
+    )
+
+
+_Q_LEAD_TIME_SQL = f"""
+SELECT n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS lines,
+       CAST(SUM(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE))
+            * 1000 // COUNT(*) AS BIGINT) AS avg_lead_md,
+       CAST(SUM(CASE WHEN CAST(l_shipdate AS DATE)
+                          - CAST(o_orderdate AS DATE)
+                          > {LATE_SHIP_DAYS} THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS late_ppm
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 QUERIES = {
     "q_forecast_seasonal_naive": q_forecast_seasonal_naive,
     "q_events_attribution": q_events_attribution,
@@ -1492,6 +1646,8 @@ QUERIES = {
     "q_balance_deciles": q_balance_deciles,
     "q_events_retention": q_events_retention,
     "q8_nation_market_share": q8_nation_market_share,
+    "q_order_backlog": q_order_backlog,
+    "q_supplier_lead_time": q_supplier_lead_time,
 }
 
 ORACLES = {
@@ -1523,4 +1679,6 @@ ORACLES = {
     "q_balance_deciles": _Q_DECILES_SQL,
     "q_events_retention": _Q_RETENTION_SQL,
     "q8_nation_market_share": _Q8_SQL,
+    "q_order_backlog": _Q_BACKLOG_SQL,
+    "q_supplier_lead_time": _Q_LEAD_TIME_SQL,
 }

@@ -25,6 +25,16 @@ DEFAULT_NAMES = [
     "dedup_minhash",
     "q1_pricing_summary",
     "sketch_hll_distinct",
+    # round-4 batch stragglers (landed after the 36/36 sf1 spot run)
+    "emb_cluster_purity",
+    "q_forecast_seasonal_naive",
+    "source_python_stream",
+    # round-5 reworked entries (blocked shard packing, IVF-RRF fusion)
+    "mm_shard_pack",
+    "ann_hybrid_rrf",
+    # round-5 linear-contract rewrites (quadratic-answer retirements)
+    "dedup_simhash",
+    "dedup_embedding",
 ]
 
 

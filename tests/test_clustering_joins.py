@@ -1,5 +1,6 @@
 """emb_kmeans (iterative) and stream_interval_join vs batch equivalents."""
 
+import pytest
 import pyspark.sql.functions as F
 
 from blog_snapshotbackup_azuredatalake_spark.operators import scale
@@ -13,6 +14,8 @@ from blog_snapshotbackup_azuredatalake_spark.streaming.joins import (
 )
 from tests.conftest import SF_DIR
 
+
+pytestmark = pytest.mark.slow  # excluded from the sub-3-min smoke gate
 
 def test_kmeans_partitions_corpus_and_converges(spark):
     out = emb_kmeans(spark, SF_DIR).collect()

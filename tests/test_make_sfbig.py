@@ -3,6 +3,7 @@ its invariants at factor=2 over sf0.001: row counts scale, keys stay
 unique, referential integrity holds, events keep the driver's
 timestamp schema, and per-copy document text is decorrelated."""
 
+import pytest
 import subprocess
 import sys
 import tempfile
@@ -15,6 +16,8 @@ from blog_snapshotbackup_azuredatalake_spark.operators.quality import (
 from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
 from tests.conftest import SF_DIR
 
+
+pytestmark = pytest.mark.slow  # excluded from the sub-3-min smoke gate
 
 def test_sfbig_generator_invariants(spark):
     out = tempfile.mkdtemp(prefix="sfbig_test_") + "/sf0.002"

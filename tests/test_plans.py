@@ -311,3 +311,28 @@ def test_hybrid_rrf_fusion_stays_on_tiny_lists(spark):
     assert "CartesianProduct" not in plan
     # both modality lists are rank-pruned before the fusion join
     assert plan.count("row_number") >= 2
+
+
+def test_dedup_embedding_anchor_contract_never_shuffles_corpus(spark):
+    """The SemDeDup rewrite (round 5): anchors are bounded by
+    construction (≤ 2^EMB_ANCHOR_DIMS rows) and must come back as a
+    broadcast hash join; the old within-bucket self-join was
+    OUTPUT-quadratic on cluster-structured data (243 s of the 334 s
+    cold sf10 suite). A SortMergeJoin on the probe side means the
+    corpus is being shuffled for the anchor lookup again."""
+    plan = _plan(dedup.dedup_embedding(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_simhash_probe_is_broadcast_only(spark):
+    """Per-doc band-anchor contract (round 5): the probe side is 4
+    broadcast hash joins against the ≤ 4·256-row anchor relation; the
+    retired banded self-join was output- AND plan-quadratic (359 s of
+    the 479 s cold sf30 suite). The only shuffle below the result is
+    the per-doc majority aggregation."""
+    plan = _plan(dedup.dedup_simhash(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

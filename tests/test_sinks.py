@@ -1,5 +1,6 @@
 """copy_table / verify_copy: partition layout, file sizing, manifest."""
 
+import pytest
 import os
 
 import pyspark.sql.functions as F
@@ -12,6 +13,8 @@ from blog_snapshotbackup_azuredatalake_spark.sources.sinks import (
 )
 from tests.conftest import SF_DIR
 
+
+pytestmark = pytest.mark.slow  # excluded from the sub-3-min smoke gate
 
 def test_copy_partitioned_with_manifest(spark, tmp_path):
     orders = load_table(spark, SF_DIR, "orders").withColumn(

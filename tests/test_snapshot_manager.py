@@ -10,6 +10,8 @@ from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
 from tests.conftest import SF_DIR
 
 
+pytestmark = pytest.mark.slow  # excluded from the sub-3-min smoke gate
+
 @pytest.fixture()
 def mgr(spark, tmp_path):
     return SnapshotManager(spark, str(tmp_path / "backups"))

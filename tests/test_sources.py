@@ -9,6 +9,8 @@ from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
 from tests.conftest import SF_DIR
 
 
+pytestmark = pytest.mark.slow  # excluded from the sub-3-min smoke gate
+
 def test_csv_round_trip(spark, tmp_path):
     nation = load_table(spark, SF_DIR, "nation")
     p = str(tmp_path / "nation_csv")

@@ -2198,8 +2198,100 @@ FROM marked GROUP BY source
 """
 
 
+def corpus_near_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_dup_inflation's near-dup sibling: wasted-token ROI of a
+    MINHASH dedup pass, per source. Cluster fold comes from the session
+    substrate cache (grams → bands → verified pairs → CC labels built
+    once per session, dedup.cc_labels_cached — the round-5 cache), the
+    canonical member is the cluster's min doc_id (= cluster_id under
+    min-label propagation), and every other member's whitespace tokens
+    count as removable. Only the clustered MINORITY ever joins; the
+    corpus meets one source groupBy."""
+    from blog_snapshotbackup_azuredatalake_spark.operators.dedup import (
+        cc_labels_cached,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("toks"),
+    )
+    comp = cc_labels_cached(spark, sf_dir)
+    marked = docs.join(comp, "doc_id", "left").select(
+        "source",
+        "toks",
+        F.col("cluster_id").isNotNull().alias("clustered"),
+        (
+            F.col("cluster_id").isNotNull()
+            & (F.col("doc_id") != F.col("cluster_id"))
+        ).alias("removed"),
+    )
+    agg = marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.when(F.col("clustered"), 1).otherwise(0)).alias(
+            "clustered_docs"
+        ),
+        F.sum(F.when(F.col("removed"), 1).otherwise(0)).alias(
+            "removed_docs"
+        ),
+        F.sum("toks").alias("tokens_total"),
+        F.sum(F.when(F.col("removed"), F.col("toks")).otherwise(0)).alias(
+            "tokens_removed"
+        ),
+    )
+    return agg.select(
+        "source",
+        F.col("docs").cast("bigint").alias("docs"),
+        F.col("clustered_docs").cast("bigint").alias("clustered_docs"),
+        F.col("removed_docs").cast("bigint").alias("removed_docs"),
+        F.col("tokens_total").cast("bigint").alias("tokens_total"),
+        F.col("tokens_removed").cast("bigint").alias("tokens_removed"),
+        F.expr(
+            "tokens_removed * 1000000 div greatest(tokens_total, 1)"
+        ).cast("bigint").alias("near_inflation_ppm"),
+    )
+
+
+def _near_dup_inflation_sql() -> str:
+    from blog_snapshotbackup_azuredatalake_spark.operators.dedup import (
+        sql_minhash_pair_ctes,
+    )
+
+    return f"""
+WITH RECURSIVE {sql_minhash_pair_ctes()},
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         FROM reach GROUP BY src),
+marked AS (
+  SELECT d.source, len(string_split(d.text, ' ')) AS toks,
+         c.cluster_id IS NOT NULL AS clustered,
+         c.cluster_id IS NOT NULL AND d.doc_id <> c.cluster_id AS removed
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(SUM(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT)
+         AS clustered_docs,
+       CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+         AS removed_docs,
+       CAST(SUM(toks) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN removed THEN toks ELSE 0 END) AS BIGINT)
+         AS tokens_removed,
+       CAST(SUM(CASE WHEN removed THEN toks ELSE 0 END) * 1000000
+            // GREATEST(SUM(toks), 1) AS BIGINT) AS near_inflation_ppm
+FROM marked GROUP BY source
+"""
+
+
 QUERIES = {
     "corpus_dup_inflation": corpus_dup_inflation,
+    "corpus_near_dup_inflation": corpus_near_dup_inflation,
     "corpus_version_diff": corpus_version_diff,
     "corpus_token_budget_plan": corpus_token_budget_plan,
     "emb_label_drift": emb_label_drift,
@@ -2226,6 +2318,7 @@ QUERIES = {
 
 ORACLES = {
     "corpus_dup_inflation": _DUP_INFLATION_SQL,
+    "corpus_near_dup_inflation": _near_dup_inflation_sql(),
     "corpus_version_diff": _VERSION_DIFF_SQL,
     "corpus_token_budget_plan": _TOKEN_BUDGET_SQL,
     "emb_outlier_zscore": _EMB_OUTLIER_SQL,

@@ -1027,8 +1027,11 @@ FROM scored
 
 # calibration sample: fixed-size prefix, so the exact all-pairs ground
 # truth is CONSTANT cost at every SF (same policy as the capped exact
-# index in dedup_lsh_calibration)
-ANCHOR_CAL_N = 2_000
+# index in dedup_lsh_calibration). 512 vectors ≈ 262k pairs; the first
+# 2000-vector cut measured 60 s at ANY sf (3 interpreted HOF folds ×
+# 4M pairs), fixed by pre-normalizing once (single-fold dot per pair —
+# the norms were being recomputed 2·|sample| times each) + this cap.
+ANCHOR_CAL_N = 512
 
 
 # the certificate is a τ-CURVE: sign-anchor blocking is a NEAR-dup
@@ -1056,6 +1059,17 @@ def dedup_anchor_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the constant sample, NOT the corpus — flat at every SF
     (the uncapped version of this comparison was the 243 s sf10
     regression this certificate now guards against)."""
+    # pre-normalize ONCE, with the norm bound as a real column BEFORE
+    # the transform lambda references it (CollapseProject would inline
+    # the norm fold per element otherwise — SURVEY §6); pair cosine is
+    # then a single zip_with/aggregate fold instead of three.
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
     sample = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < ANCHOR_CAL_N)
@@ -1065,18 +1079,36 @@ def dedup_anchor_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sign_bucket(F.col("embedding"), EMB_ANCHOR_DIMS).alias(
                 "bucket"
             ),
+            norm.alias("nrm"),
         )
+        .select(
+            "vec_id",
+            "bucket",
+            F.transform(
+                F.col("embedding"),
+                lambda x: x.cast("double") / F.col("nrm"),
+            ).alias("nv"),
+        )
+        .localCheckpoint(eager=True)  # sample-sized; bind the projection
     )
+    # single zip_with/aggregate fold per pair: measured FASTER than an
+    # unrolled 64-term element_at sum (the long Add chain bails out of
+    # whole-stage codegen and interpreted element_at loses to the fold,
+    # 23 s vs 10 s at 1M pairs) — keep the fold, bound the sample.
+    def dot(a: str, b: str) -> Column:
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
     other = sample.select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+        F.col("vec_id").alias("b_id"), F.col("nv").alias("b_nv")
     )
     truth = (
         sample.crossJoin(F.broadcast(other))
         .filter(F.col("vec_id") != F.col("b_id"))
-        .select(
-            "vec_id",
-            _dot_cos(F.col("embedding"), F.col("b_emb")).alias("cos"),
-        )
+        .select("vec_id", dot("nv", "b_nv").alias("cos"))
         .agg(
             *[
                 F.count_distinct(
@@ -1088,16 +1120,12 @@ def dedup_anchor_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     anchors = sample.groupBy("bucket").agg(
         F.min("vec_id").alias("anchor_id"),
-        F.min_by("embedding", "vec_id").alias("anchor_emb"),
+        F.min_by("nv", "vec_id").alias("anchor_nv"),
     )
     flagged = (
         sample.join(F.broadcast(anchors), "bucket")
         .filter(F.col("vec_id") != F.col("anchor_id"))
-        .select(
-            _dot_cos(F.col("embedding"), F.col("anchor_emb")).alias(
-                "acos"
-            )
-        )
+        .select(dot("nv", "anchor_nv").alias("acos"))
         .agg(
             *[
                 F.sum(
@@ -1156,26 +1184,34 @@ FROM base"""
         f" AS flag_{int(t * 100)}"
         for t in ANCHOR_CAL_TAUS
     )
+    ndot = (
+        "list_reduce(list_transform(range(1, 1 + len({a})),"
+        " i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
     return f"""
 WITH sample AS (
-  SELECT vec_id, embedding,
-         {_sql_sign_bucket(EMB_ANCHOR_DIMS)} AS bucket
-  FROM embeddings WHERE vec_id < {ANCHOR_CAL_N}
+  SELECT vec_id, bucket,
+         list_transform(embedding, v -> CAST(v AS DOUBLE) / nrm) AS nv
+  FROM (SELECT vec_id, embedding,
+               {_sql_sign_bucket(EMB_ANCHOR_DIMS)} AS bucket,
+               sqrt(list_reduce(list_transform(embedding,
+                 v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+                 (x, y) -> x + y)) AS nrm
+        FROM embeddings WHERE vec_id < {ANCHOR_CAL_N})
 ),
 truth AS (
   SELECT {true_aggs}
-  FROM (SELECT a.vec_id,
-               {_sql_cos('a.embedding', 'b.embedding')} AS cos
+  FROM (SELECT a.vec_id, {ndot.format(a='a.nv', b='b.nv')} AS cos
         FROM sample a JOIN sample b ON a.vec_id <> b.vec_id)
 ),
 anchors AS (
   SELECT bucket, MIN(vec_id) AS anchor_id,
-         arg_min(embedding, vec_id) AS anchor_emb
+         arg_min(nv, vec_id) AS anchor_nv
   FROM sample GROUP BY bucket
 ),
 flagged AS (
   SELECT {flag_aggs}
-  FROM (SELECT {_sql_cos('s.embedding', 'a.anchor_emb')} AS acos
+  FROM (SELECT {ndot.format(a='s.nv', b='a.anchor_nv')} AS acos
         FROM sample s JOIN anchors a USING (bucket)
         WHERE s.vec_id <> a.anchor_id)
 ),

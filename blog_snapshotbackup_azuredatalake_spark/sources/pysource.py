@@ -283,11 +283,92 @@ SELECT bucket, COUNT(*) AS n_rows,
 FROM rows_ GROUP BY bucket
 """
 
+UDTF_SEG_TOKENS = 32
+
+
+def source_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF surface (the last UDF API this repo did not
+    exercise: scalar/pandas UDF, mapInPandas, applyInPandas(+state),
+    Arrow kernel, Python data source batch+stream, and now a
+    table-valued function in a LATERAL join). The UDTF explodes each
+    document into NON-overlapping {UDTF_SEG_TOKENS}-token segments
+    (doc_chunk's overlapping chunker stays the engine-side production
+    path) and the entry reports per-source segment-dup stats — the C4
+    paragraph-dedup precursor measurement.
+
+    Scale note: a row-at-a-time Python UDTF is the SLOW path by
+    construction; this entry is the API-surface certificate, sized by
+    the corpus once. The identical result is available engine-side via
+    the doc_chunk machinery — the point is that the plumbing (lateral
+    table function, schema contract, registration) is real and
+    oracle-checked."""
+    import hashlib as _hl
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="source string, seg_hash string")
+    class DocSegments:
+        def eval(self, source, text):  # noqa: ANN001
+            toks = text.split(" ")
+            for i in range(0, len(toks), UDTF_SEG_TOKENS):
+                seg = " ".join(toks[i : i + UDTF_SEG_TOKENS])
+                yield source, _hl.md5(seg.encode("utf-8")).hexdigest()
+
+    spark.udtf.register("doc_segments_udtf", DocSegments)
+    from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
+        load_table,
+    )
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__udtf_docs"
+    )
+    seg = spark.sql(
+        "SELECT s.source, s.seg_hash FROM __udtf_docs d,"
+        " LATERAL doc_segments_udtf(d.source, d.text) s"
+    )
+    agg = seg.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.count_distinct("seg_hash").alias("distinct_segments"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_segments").cast("bigint").alias("n_segments"),
+        F.col("distinct_segments").cast("bigint").alias(
+            "distinct_segments"
+        ),
+        F.expr(
+            "(n_segments - distinct_segments) * 1000000"
+            " div greatest(n_segments, 1)"
+        ).cast("bigint").alias("dup_seg_ppm"),
+    )
+
+
+_PYUDTF_SQL = f"""
+WITH seg AS (
+  SELECT source,
+         md5(array_to_string(
+           toks[(i - 1) * {UDTF_SEG_TOKENS} + 1
+                : (i - 1) * {UDTF_SEG_TOKENS} + {UDTF_SEG_TOKENS}],
+           ' ')) AS seg_hash
+  FROM (SELECT source, string_split(text, ' ') AS toks FROM documents),
+       UNNEST(range(1, CAST(ceil(len(toks)
+             / {UDTF_SEG_TOKENS}.0) AS BIGINT) + 1)) AS t(i)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(COUNT(DISTINCT seg_hash) AS BIGINT) AS distinct_segments,
+       CAST((COUNT(*) - COUNT(DISTINCT seg_hash)) * 1000000
+            // GREATEST(COUNT(*), 1) AS BIGINT) AS dup_seg_ppm
+FROM seg GROUP BY source
+"""
+
 QUERIES = {
     "source_python_datasource": source_python_datasource,
     "source_python_stream": source_python_stream,
+    "source_python_udtf": source_python_udtf,
 }
 ORACLES = {
     "source_python_datasource": _PYSOURCE_SQL,
     "source_python_stream": _PYSTREAM_SQL,
+    "source_python_udtf": _PYUDTF_SQL,
 }

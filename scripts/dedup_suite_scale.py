@@ -25,6 +25,7 @@ ENTRIES = [
     "dedup_substring",
     "dedup_simhash",
     "dedup_embedding",
+    "dedup_anchor_calibration",
     "dedup_cluster_cc",
     "dedup_cluster_sizes",
     "dedup_keep_best",

@@ -35,6 +35,12 @@ DEFAULT_NAMES = [
     # round-5 linear-contract rewrites (quadratic-answer retirements)
     "dedup_simhash",
     "dedup_embedding",
+    # round-5 batch-2 additions
+    "dedup_anchor_calibration",
+    "corpus_dup_inflation",
+    "emb_hard_negatives",
+    "q_order_backlog",
+    "q_supplier_lead_time",
 ]
 
 

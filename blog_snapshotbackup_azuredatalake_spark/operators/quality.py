@@ -1210,7 +1210,140 @@ GROUP BY o_orderstatus
 """
 
 
+_PRIORITY_DOMAIN = (
+    "'1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'"
+)
+
+
+def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative value-rule audit (the Deequ-check shape): each rule
+    is a boolean predicate evaluated as a conditional aggregate, one
+    scan per table plus one orderkey-co-partitioned join for the
+    cross-table rule — rule count never adds passes. One row per rule:
+    (rule, n_checked, n_violations, violation_ppm). The cross-table
+    rule (ship on/after order date) FINDS real violations in the
+    driver testdata (~49% of lines — a generator artifact worth
+    surfacing, which is exactly the point of a rule audit)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def rows(df, rules):  # [(name, violated_predicate_sql)]
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(
+                    F.when(F.expr(pred), 1).otherwise(0)
+                ).alias(f"v{i}")
+                for i, (_, pred) in enumerate(rules)
+            ],
+        )
+        return [
+            agg.select(
+                F.lit(name).alias("rule"),
+                F.col("n").cast("bigint").alias("n_checked"),
+                F.col(f"v{i}").cast("bigint").alias("n_violations"),
+                F.expr(f"v{i} * 1000000 div greatest(n, 1)")
+                .cast("bigint")
+                .alias("violation_ppm"),
+            )
+            for i, (name, _) in enumerate(rules)
+        ]
+
+    order_rules = [
+        ("orders.totalprice_positive", "NOT (o_totalprice > 0)"),
+        (
+            "orders.priority_domain",
+            f"o_orderpriority NOT IN ({_PRIORITY_DOMAIN})",
+        ),
+    ]
+    line_rules = [
+        (
+            "lineitem.quantity_range",
+            "NOT (l_quantity BETWEEN 1 AND 50)",
+        ),
+        (
+            "lineitem.discount_range",
+            "NOT (l_discount BETWEEN 0.0 AND 0.1)",
+        ),
+        (
+            "lineitem.extendedprice_positive",
+            "NOT (l_extendedprice > 0)",
+        ),
+    ]
+    joined = li.select("l_orderkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    join_rules = [
+        (
+            "order_line.ship_on_or_after_order",
+            "cast(l_shipdate as date) < cast(o_orderdate as date)",
+        )
+    ]
+    parts = (
+        rows(orders, order_rules)
+        + rows(li, line_rules)
+        + rows(joined, join_rules)
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _rule_violations_sql() -> str:
+    def block(src, n_expr, rules):
+        return "\nUNION ALL\n".join(
+            f"""SELECT '{name}' AS rule,
+       CAST(COUNT(*) AS BIGINT) AS n_checked,
+       CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) * 1000000
+            // GREATEST(COUNT(*), 1) AS BIGINT) AS violation_ppm
+FROM {src}"""
+            for name, pred in rules
+        )
+
+    orders_rules = [
+        ("orders.totalprice_positive", "NOT (o_totalprice > 0)"),
+        (
+            "orders.priority_domain",
+            f"o_orderpriority NOT IN ({_PRIORITY_DOMAIN})",
+        ),
+    ]
+    line_rules = [
+        ("lineitem.quantity_range", "NOT (l_quantity BETWEEN 1 AND 50)"),
+        (
+            "lineitem.discount_range",
+            "NOT (l_discount BETWEEN 0.0 AND 0.1)",
+        ),
+        (
+            "lineitem.extendedprice_positive",
+            "NOT (l_extendedprice > 0)",
+        ),
+    ]
+    join_rules = [
+        (
+            "order_line.ship_on_or_after_order",
+            "CAST(l_shipdate AS DATE) < CAST(o_orderdate AS DATE)",
+        )
+    ]
+    return (
+        block("orders", "", orders_rules)
+        + "\nUNION ALL\n"
+        + block("lineitem", "", line_rules)
+        + "\nUNION ALL\n"
+        + block(
+            "(SELECT l_shipdate, o_orderdate FROM lineitem"
+            " JOIN orders ON l_orderkey = o_orderkey)",
+            "",
+            join_rules,
+        )
+    )
+
+
 QUERIES = {
+    "dq_rule_violations": dq_rule_violations,
     "dq_reconciliation": dq_reconciliation,
     "dq_benford": dq_benford,
     "dq_schema_contract": dq_schema_contract,
@@ -1230,6 +1363,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dq_rule_violations": _rule_violations_sql(),
     "dq_reconciliation": _DQ_RECONCILIATION_SQL,
     "dq_benford": _benford_sql(),
     "dq_schema_contract": _DQ_CONTRACT_SQL,

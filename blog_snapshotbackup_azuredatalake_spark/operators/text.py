@@ -1810,7 +1810,89 @@ GROUP BY tier
 """
 
 
+TV_PPM = 1_000_000
+
+
+def text_source_tv_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise total-variation distance between source unigram
+    distributions: TV(a, b) = ½ Σ_tok |p_a − p_b|, with probabilities
+    as floor-ppm INTEGERS — TV is the divergence you can compute
+    bit-portably (Jensen-Shannon/KL need log, and libm log diverges
+    across engines — the Gini-vs-Shannon lesson, SURVEY §4). The mix
+    audit a corpus owner runs before reweighting sources.
+
+    Plan: the corpus meets ONE (source, token) count shuffle; the
+    (sources × vocab) grid, the zero-fill, and the 190-pair self-join
+    are all vocabulary × source-count bounded — independent of corpus
+    row count."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(_tokens()).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = counts.groupBy("source").agg(F.sum("cnt").alias("tot"))
+    vocab = counts.select("tok").distinct()
+    sources = totals.select("source")
+    grid = (
+        sources.crossJoin(vocab)
+        .join(counts, ["source", "tok"], "left")
+        .join(totals, "source")
+        .select(
+            "source",
+            "tok",
+            F.expr(f"coalesce(cnt, 0) * {TV_PPM} div tot")
+            .cast("bigint")
+            .alias("ppm"),
+        )
+    )
+    a = grid.select(
+        F.col("source").alias("source_a"),
+        "tok",
+        F.col("ppm").alias("ppm_a"),
+    )
+    b = grid.select(
+        F.col("source").alias("source_b"),
+        "tok",
+        F.col("ppm").alias("ppm_b"),
+    )
+    return (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.expr("sum(abs(ppm_a - ppm_b)) div 2")
+            .cast("bigint")
+            .alias("tv_ppm")
+        )
+    )
+
+
+_TV_DIVERGENCE_SQL = f"""
+WITH counts AS (
+  SELECT source, tok, COUNT(*) AS cnt
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  GROUP BY source, tok
+),
+totals AS (SELECT source, SUM(cnt) AS tot FROM counts GROUP BY source),
+grid AS (
+  SELECT s.source, v.tok,
+         CAST(COALESCE(c.cnt, 0) * {TV_PPM} // t.tot AS BIGINT) AS ppm
+  FROM (SELECT source FROM totals) s
+  CROSS JOIN (SELECT DISTINCT tok FROM counts) v
+  LEFT JOIN counts c ON c.source = s.source AND c.tok = v.tok
+  JOIN totals t ON t.source = s.source
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(SUM(abs(a.ppm - b.ppm)) // 2 AS BIGINT) AS tv_ppm
+FROM grid a JOIN grid b ON a.tok = b.tok AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
 QUERIES = {
+    "text_source_tv_divergence": text_source_tv_divergence,
     "text_zipf_topmass": text_zipf_topmass,
     "text_char_diversity": text_char_diversity,
     "text_cooccurrence": text_cooccurrence,
@@ -1834,6 +1916,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_source_tv_divergence": _TV_DIVERGENCE_SQL,
     "text_zipf_topmass": _ZIPF_TOPMASS_SQL,
     "text_char_diversity": _CHAR_DIVERSITY_SQL,
     "text_cooccurrence": _COOC_SQL,

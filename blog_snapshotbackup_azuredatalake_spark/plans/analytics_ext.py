@@ -1463,6 +1463,67 @@ FROM j GROUP BY event_type
 """
 
 
+SLIDING_DAU_DAYS = 7
+
+
+def q_events_sliding_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {SLIDING_DAU_DAYS}-day distinct active users per day (the
+    DAU/WAU board metric). A sliding DISTINCT does not decompose into a
+    running sum — a user active on 3 of the 7 days still counts once —
+    so the exact form re-counts: the raw table reduces to DISTINCT
+    (day, user) pairs in its single shuffle, then the day grid joins
+    pairs within its trailing window. Every post-shuffle relation is
+    calendar × user-base bounded, NOT event-volume bounded; the grid
+    side is |days| rows, so the range join plans as a broadcast nested
+    loop over a provably tiny build side. At unbounded user cardinality
+    the sketch path is sketch_hll_grouped."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.expr(f"(ts div 1000) div {_DAY_US}")
+            .cast("bigint")
+            .alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    days = ev.select("day").distinct()
+    j = days.alias("g").join(
+        ev.alias("e"),
+        (F.col("e.day") <= F.col("g.day"))
+        & (F.col("e.day") > F.col("g.day") - SLIDING_DAU_DAYS),
+    )
+    return (
+        j.groupBy(F.col("g.day").alias("day"))
+        .agg(
+            F.count_distinct(
+                F.when(F.col("e.day") == F.col("g.day"), F.col("user_id"))
+            ).alias("dau"),
+            F.count_distinct("user_id").alias("dau7"),
+        )
+        .select(
+            "day",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("dau7").cast("bigint").alias("dau7"),
+        )
+    )
+
+
+_Q_SLIDING_DAU_SQL = f"""
+WITH ev AS (
+  SELECT DISTINCT CAST(epoch_ns(ts) // 1000 // {_DAY_US} AS BIGINT)
+           AS day, user_id
+  FROM events
+), days AS (SELECT DISTINCT day FROM ev)
+SELECT g.day,
+       CAST(COUNT(DISTINCT CASE WHEN e.day = g.day THEN user_id END)
+            AS BIGINT) AS dau,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau7
+FROM days g JOIN ev e
+  ON e.day <= g.day AND e.day > g.day - {SLIDING_DAU_DAYS}
+GROUP BY g.day
+"""
+
 _EPOCH_DAY = "datediff(cast({c} as date), date'1970-01-01')"
 
 
@@ -1648,6 +1709,7 @@ QUERIES = {
     "q8_nation_market_share": q8_nation_market_share,
     "q_order_backlog": q_order_backlog,
     "q_supplier_lead_time": q_supplier_lead_time,
+    "q_events_sliding_dau": q_events_sliding_dau,
 }
 
 ORACLES = {
@@ -1681,4 +1743,5 @@ ORACLES = {
     "q8_nation_market_share": _Q8_SQL,
     "q_order_backlog": _Q_BACKLOG_SQL,
     "q_supplier_lead_time": _Q_LEAD_TIME_SQL,
+    "q_events_sliding_dau": _Q_SLIDING_DAU_SQL,
 }

@@ -336,3 +336,24 @@ def test_dedup_simhash_probe_is_broadcast_only(spark):
     assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sliding_dau_range_join_broadcasts_day_grid(spark):
+    """The DAU range join's build side is the |days| grid (calendar-
+    bounded); a nested loop is fine ONLY because that side is tiny —
+    assert it broadcasts and the corpus reduces to distinct pairs
+    below it (one Exchange on (day, user))."""
+    from blog_snapshotbackup_azuredatalake_spark.plans import analytics_ext
+
+    plan = _plan(analytics_ext.q_events_sliding_dau(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_supplier_lead_time_dims_broadcast(spark):
+    """supplier/nation must broadcast; the only real shuffle is the
+    lineitem⋈orders fact join."""
+    from blog_snapshotbackup_azuredatalake_spark.plans import analytics_ext
+
+    plan = _plan(analytics_ext.q_supplier_lead_time(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan

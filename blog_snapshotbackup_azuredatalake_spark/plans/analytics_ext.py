@@ -1463,6 +1463,79 @@ FROM j GROUP BY event_type
 """
 
 
+def q_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging report: at the as-of day T = max(o_orderdate),
+    orders not yet fully shipped (close = max line shipdate > T) are
+    bucketed by age (T − open day: 0-29 / 30-59 / 60-89 / 90+) per
+    priority — the ops review behind q_order_backlog's curve. The
+    as-of day is a single-row aggregate broadcast into the filter;
+    close days reuse the per-order max-shipdate agg; the report is
+    |buckets|×|priorities| rows."""
+    open_day = F.expr(_EPOCH_DAY.format(c="o_orderdate"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", open_day.alias("open_day")
+    )
+    close = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(F.expr(_EPOCH_DAY.format(c="l_shipdate"))).alias(
+                "close_day"
+            )
+        )
+    )
+    asof = orders.agg(F.max("open_day").alias("t"))
+    aged = (
+        orders.join(close, orders.o_orderkey == close.l_orderkey)
+        .crossJoin(F.broadcast(asof))
+        .filter(F.col("close_day") > F.col("t"))
+        .select(
+            "o_orderpriority",
+            (F.col("t") - F.col("open_day")).alias("age_days"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") < 30, F.lit("00-29"))
+        .when(F.col("age_days") < 60, F.lit("30-59"))
+        .when(F.col("age_days") < 90, F.lit("60-89"))
+        .otherwise(F.lit("90+"))
+    )
+    return (
+        aged.select(
+            bucket.alias("age_bucket"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .groupBy("age_bucket", "priority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+
+
+_Q_AGING_SQL = """
+WITH orders_d AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS open_day
+  FROM orders
+), close AS (
+  SELECT l_orderkey,
+         MAX(CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS close_day
+  FROM lineitem GROUP BY l_orderkey
+), asof_t AS (SELECT MAX(open_day) AS t FROM orders_d),
+aged AS (
+  SELECT o_orderpriority, t - open_day AS age_days
+  FROM orders_d JOIN close ON l_orderkey = o_orderkey
+  CROSS JOIN asof_t
+  WHERE close_day > t
+)
+SELECT CASE WHEN age_days < 30 THEN '00-29'
+            WHEN age_days < 60 THEN '30-59'
+            WHEN age_days < 90 THEN '60-89'
+            ELSE '90+' END AS age_bucket,
+       o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM aged GROUP BY 1, 2
+"""
+
+
 SLIDING_DAU_DAYS = 7
 
 
@@ -1710,6 +1783,7 @@ QUERIES = {
     "q_order_backlog": q_order_backlog,
     "q_supplier_lead_time": q_supplier_lead_time,
     "q_events_sliding_dau": q_events_sliding_dau,
+    "q_order_aging": q_order_aging,
 }
 
 ORACLES = {
@@ -1744,4 +1818,5 @@ ORACLES = {
     "q_order_backlog": _Q_BACKLOG_SQL,
     "q_supplier_lead_time": _Q_LEAD_TIME_SQL,
     "q_events_sliding_dau": _Q_SLIDING_DAU_SQL,
+    "q_order_aging": _Q_AGING_SQL,
 }

@@ -715,12 +715,18 @@ def knn_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-# adjacency broadcast budget for the triangle intersect plan: the
-# oriented adjacency is exactly m longs (one per edge), so 8 GB covers
-# ~1e9 edges; broadcast_if_bounded PROBES the actual bytes and falls
-# back to shuffle-hash joins past the budget — a runtime-verified
-# decision, not a blind hint (§6 broadcast-audit rule)
-TRI_ADJ_MAX_BYTES = 8 << 30
+# adjacency broadcast budget for the triangle intersect plan. The
+# oriented adjacency is exactly m longs, but ESTIMATED bytes are not
+# JVM build cost: a broadcast builds a HashedRelation (UnsafeRow per
+# node + array headers, measured ~3-4× the payload) and BOTH
+# projections (nu, nv) build their own broadcast — the round-5 sf30
+# run proved an 8 GB budget fatal (360 M edges ≈ 2.9 GB estimated
+# killed a 48 GB driver: "Not enough memory to build and broadcast").
+# 1 GB ≈ 128 M edges is the empirically-validated bound (round-4 sf10,
+# 120 M edges, measured fine); past it the probe's shuffle-hash
+# fallback takes over — a runtime-verified decision, not a blind hint
+# (§6 broadcast-audit rule).
+TRI_ADJ_MAX_BYTES = 1 << 30
 TRI_ADJ_MAX_ROWS = (1 << 31) - 2  # JVM limit() is int-bounded
 
 
@@ -805,7 +811,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         if would_broadcast(
             adj, max_rows=TRI_ADJ_MAX_ROWS, max_bytes=TRI_ADJ_MAX_BYTES
         )
-        else (lambda d: d)
+        # past the budget: explicit shuffle-hash, never sort-merge —
+        # an SMJ here would sort the 2m-row edge stream (§6 recipe)
+        else (lambda d: d.hint("shuffle_hash"))
     )
     nu = hint(adj.select("src", F.col("nbrs").alias("nu")))
     nv = hint(

@@ -1791,7 +1791,92 @@ FROM w GROUP BY event_type, ttl_days, cutoff_us
 """
 
 
+def snap_cross_region_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-region replication-lag report — the monitoring view a
+    geo-replicated backup (the reference's cross-datacenter copy story)
+    needs: per order-month partition, primary row count vs replica row
+    count, rows behind, and the replica's max arrived order key (the
+    replication watermark). The replica is a deterministic subset
+    (latest month's rows with o_orderkey % 17 == 0 have not arrived —
+    a tail-partition lag, the realistic failure mode). Both manifests
+    are count/max aggregates per partition: only (month, count, max)
+    triples move, never rows — manifest-sized like snap_diff."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month"),
+    )
+    max_month = orders.agg(F.max("month").alias("mm"))
+    replica = (
+        orders.crossJoin(F.broadcast(max_month))
+        .filter(
+            (F.col("month") != F.col("mm"))
+            | (F.col("o_orderkey") % 17 == 0)
+        )
+        .select("o_orderkey", "month")
+    )
+    p = orders.groupBy("month").agg(
+        F.count(F.lit(1)).alias("rows_primary"),
+        F.max("o_orderkey").alias("max_key_primary"),
+    )
+    r = replica.groupBy("month").agg(
+        F.count(F.lit(1)).alias("rows_replica"),
+        F.max("o_orderkey").alias("max_key_replica"),
+    )
+    return (
+        p.join(r, "month", "left")
+        .select(
+            "month",
+            F.col("rows_primary").cast("bigint").alias("rows_primary"),
+            F.coalesce(F.col("rows_replica"), F.lit(0))
+            .cast("bigint")
+            .alias("rows_replica"),
+            (
+                F.col("rows_primary")
+                - F.coalesce(F.col("rows_replica"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("rows_behind"),
+            F.col("max_key_replica").cast("bigint").alias(
+                "replica_watermark"
+            ),
+            (
+                F.coalesce(F.col("rows_replica"), F.lit(0))
+                == F.col("rows_primary")
+            ).alias("in_sync"),
+        )
+    )
+
+
+_CROSS_REGION_LAG_SQL = """
+WITH orders_m AS (
+  SELECT o_orderkey, date_trunc('month', o_orderdate) AS month
+  FROM orders
+), mm AS (SELECT MAX(month) AS mm FROM orders_m),
+replica AS (
+  SELECT o_orderkey, month FROM orders_m CROSS JOIN mm
+  WHERE month <> mm OR o_orderkey % 17 = 0
+), p AS (
+  SELECT month, COUNT(*) AS rows_primary,
+         MAX(o_orderkey) AS max_key_primary
+  FROM orders_m GROUP BY month
+), r AS (
+  SELECT month, COUNT(*) AS rows_replica,
+         MAX(o_orderkey) AS max_key_replica
+  FROM replica GROUP BY month
+)
+SELECT p.month,
+       CAST(rows_primary AS BIGINT) AS rows_primary,
+       CAST(COALESCE(rows_replica, 0) AS BIGINT) AS rows_replica,
+       CAST(rows_primary - COALESCE(rows_replica, 0) AS BIGINT)
+         AS rows_behind,
+       CAST(max_key_replica AS BIGINT) AS replica_watermark,
+       COALESCE(rows_replica, 0) = rows_primary AS in_sync
+FROM p LEFT JOIN r ON p.month = r.month
+"""
+
+
 QUERIES = {
+    "snap_cross_region_lag": snap_cross_region_lag,
     "snap_ttl_enforce": snap_ttl_enforce,
     "snap_branch_merge": snap_branch_merge,
     "snap_merge_upsert": snap_merge_upsert,
@@ -1815,6 +1900,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "snap_cross_region_lag": _CROSS_REGION_LAG_SQL,
     "snap_ttl_enforce": _SNAP_TTL_SQL,
     "snap_branch_merge": _SNAP_BRANCH_MERGE_SQL,
     "snap_merge_upsert": _SNAP_MERGE_UPSERT_SQL,

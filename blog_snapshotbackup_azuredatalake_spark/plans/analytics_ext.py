@@ -1463,6 +1463,82 @@ FROM j GROUP BY event_type
 """
 
 
+# customer value-migration thresholds (annual spend, integer cents).
+# Fixed cuts, NOT ntile: per-customer annual spend is distribution-
+# stable across SF (more customers, same distribution), so fixed
+# thresholds avoid the global sort exact deciles need.
+MIGRATION_CUTS_CENTS = (25_000_000, 50_000_000)  # $250k / $500k
+MIGRATION_Y1, MIGRATION_Y2 = 1996, 1997
+
+
+def q_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-migration matrix: spend tier in {MIGRATION_Y1} ×
+    tier in {MIGRATION_Y2} → customer counts (the churn/upsell BI
+    view). Tiers are fixed integer-cent thresholds on annual spend
+    (floor(price·100) — floor of identically-computed doubles is exact
+    in both engines, SURVEY §4; Spark's double→BIGINT cast truncates
+    while DuckDB's rounds, so never bare-cast). Customers inactive in a
+    year land in tier 'none'. Two shuffles: (custkey, year) spend agg,
+    then the 16-cell matrix count."""
+    lo, hi = MIGRATION_CUTS_CENTS
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    ).filter(F.col("yr").isin(MIGRATION_Y1, MIGRATION_Y2))
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(F.col("yr") == MIGRATION_Y1, F.col("cents"))
+        ).alias("s1"),
+        F.sum(
+            F.when(F.col("yr") == MIGRATION_Y2, F.col("cents"))
+        ).alias("s2"),
+    )
+
+    def tier(c: Column) -> Column:
+        return (
+            F.when(c.isNull(), F.lit("none"))
+            .when(c < lo, F.lit("low"))
+            .when(c < hi, F.lit("mid"))
+            .otherwise(F.lit("high"))
+        )
+
+    return (
+        spend.select(
+            tier(F.col("s1")).alias("tier_from"),
+            tier(F.col("s2")).alias("tier_to"),
+        )
+        .groupBy("tier_from", "tier_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
+
+
+_Q_MIGRATION_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey,
+         SUM(CASE WHEN year(o_orderdate) = {MIGRATION_Y1}
+                  THEN CAST(floor(o_totalprice * 100) AS BIGINT) END)
+           AS s1,
+         SUM(CASE WHEN year(o_orderdate) = {MIGRATION_Y2}
+                  THEN CAST(floor(o_totalprice * 100) AS BIGINT) END)
+           AS s2
+  FROM orders
+  WHERE year(o_orderdate) IN ({MIGRATION_Y1}, {MIGRATION_Y2})
+  GROUP BY o_custkey
+)
+SELECT CASE WHEN s1 IS NULL THEN 'none'
+            WHEN s1 < {MIGRATION_CUTS_CENTS[0]} THEN 'low'
+            WHEN s1 < {MIGRATION_CUTS_CENTS[1]} THEN 'mid'
+            ELSE 'high' END AS tier_from,
+       CASE WHEN s2 IS NULL THEN 'none'
+            WHEN s2 < {MIGRATION_CUTS_CENTS[0]} THEN 'low'
+            WHEN s2 < {MIGRATION_CUTS_CENTS[1]} THEN 'mid'
+            ELSE 'high' END AS tier_to,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM spend GROUP BY 1, 2
+"""
+
+
 def q_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open-order aging report: at the as-of day T = max(o_orderdate),
     orders not yet fully shipped (close = max line shipdate > T) are
@@ -1784,6 +1860,7 @@ QUERIES = {
     "q_supplier_lead_time": q_supplier_lead_time,
     "q_events_sliding_dau": q_events_sliding_dau,
     "q_order_aging": q_order_aging,
+    "q_customer_migration": q_customer_migration,
 }
 
 ORACLES = {
@@ -1819,4 +1896,5 @@ ORACLES = {
     "q_supplier_lead_time": _Q_LEAD_TIME_SQL,
     "q_events_sliding_dau": _Q_SLIDING_DAU_SQL,
     "q_order_aging": _Q_AGING_SQL,
+    "q_customer_migration": _Q_MIGRATION_SQL,
 }

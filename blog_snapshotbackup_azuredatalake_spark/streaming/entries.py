@@ -242,6 +242,99 @@ def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_enrich_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static SCD2 enrichment: each event joins the dimension
+    VERSION valid at its event time (user_id equality + validity-window
+    range predicate), not the latest version — the correctness
+    difference between an as-of join and stream_enrich_static's plain
+    lookup. The SCD2 dim is deterministic (two versions per user,
+    split at the midpoint of the user's activity span; bronze→silver
+    tier change). The dim broadcasts, so the range predicate is
+    evaluated map-side inside each micro-batch and the stream never
+    shuffles; no streaming state (stream-static joins keep none).
+    SQL-oracled: availableNow drain ≡ the batch as-of join."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    # integer div, not /2-then-cast: Spark's double->bigint cast
+    # truncates while DuckDB's CAST rounds (SURVEY #4)
+    span = events.groupBy("user_id").agg(
+        F.expr("(min(ts_us) + max(ts_us)) div 2")
+        .cast("bigint")
+        .alias("mid_us")
+    )
+    big = F.lit(1 << 62).cast("bigint")
+    dim = span.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("dim_version"),
+                    F.lit("bronze").alias("tier"),
+                    F.lit(0).cast("bigint").alias("valid_from"),
+                    F.col("mid_us").alias("valid_to"),
+                ),
+                F.struct(
+                    F.lit(2).alias("dim_version"),
+                    F.lit("silver").alias("tier"),
+                    F.col("mid_us").alias("valid_from"),
+                    big.alias("valid_to"),
+                ),
+            )
+        ).alias("v"),
+    ).select("user_id", "v.dim_version", "v.tier", "v.valid_from", "v.valid_to")
+    work = scratch_dir("stream_scd2_")
+    src = f"{work}/events_src"
+    events.coalesce(DEMO_STATE_PARTITIONS).write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    enriched = stream.join(
+        F.broadcast(dim),
+        (stream.user_id == dim.user_id)
+        & (F.col("ts_us") >= F.col("valid_from"))
+        & (F.col("ts_us") < F.col("valid_to")),
+    ).select(
+        "event_id",
+        stream.user_id.alias("user_id"),
+        F.col("dim_version").cast("int").alias("dim_version"),
+        "tier",
+    )
+    name = f"scd2_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_STREAM_SCD2_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id,
+         CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us
+  FROM events
+), span AS (
+  SELECT user_id,
+         CAST((MIN(ts_us) + MAX(ts_us)) // 2 AS BIGINT) AS mid_us
+  FROM ev GROUP BY user_id
+), dim AS (
+  SELECT user_id, 1 AS dim_version, 'bronze' AS tier,
+         CAST(0 AS BIGINT) AS valid_from, mid_us AS valid_to FROM span
+  UNION ALL
+  SELECT user_id, 2, 'silver', mid_us,
+         CAST(1 AS BIGINT) << 62 FROM span
+)
+SELECT e.event_id, e.user_id,
+       CAST(d.dim_version AS INT) AS dim_version, d.tier
+FROM ev e JOIN dim d
+  ON e.user_id = d.user_id
+ AND e.ts_us >= d.valid_from AND e.ts_us < d.valid_to
+"""
+
+
 def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type distinct-user HLL maintained BY the stream: the
     256-register-per-type table IS the streaming aggregation state
@@ -754,6 +847,7 @@ QUERIES = {
     "stream_hll_distinct": stream_hll_distinct,
     "stream_incr_sync": stream_incr_sync,
     "stream_enrich_static": stream_enrich_static,
+    "stream_enrich_scd2": stream_enrich_scd2,
     "stream_windowed_agg": stream_windowed_agg,
     "stream_sessionize": stream_sessionize,
     "stream_cms_topk": stream_cms_topk,
@@ -909,6 +1003,7 @@ QUALIFY rank <= {STREAM_TOPK_K}
         "stream_sessionize": _STREAM_SESSIONIZE_SQL,
         "stream_dedup": _STREAM_DEDUP_SQL,
         "stream_enrich_static": _STREAM_ENRICH_SQL,
+        "stream_enrich_scd2": _STREAM_SCD2_SQL,
         "stream_ivm": _SNAP_IVM_SQL,
         "stream_cms_topk": _cms_sql(),
         "stream_hll_distinct": _hll_grouped_sql(),

@@ -41,6 +41,16 @@ DEFAULT_NAMES = [
     "emb_hard_negatives",
     "q_order_backlog",
     "q_supplier_lead_time",
+    # round-5 batch-3/4 additions
+    "corpus_near_dup_inflation",
+    "source_python_udtf",
+    "q_events_sliding_dau",
+    "text_source_tv_divergence",
+    "dq_rule_violations",
+    "q_order_aging",
+    "q_customer_migration",
+    "snap_cross_region_lag",
+    "stream_enrich_scd2",
 ]
 
 

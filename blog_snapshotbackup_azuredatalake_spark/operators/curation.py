@@ -2254,11 +2254,11 @@ def corpus_near_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _near_dup_inflation_sql() -> str:
     from blog_snapshotbackup_azuredatalake_spark.operators.dedup import (
-        sql_minhash_pair_ctes,
+        sql_star_pair_ctes,
     )
 
     return f"""
-WITH RECURSIVE {sql_minhash_pair_ctes()},
+WITH RECURSIVE {sql_star_pair_ctes()},
 edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
           UNION SELECT doc_b, doc_a FROM pairs),
 reach(src, dst) AS (

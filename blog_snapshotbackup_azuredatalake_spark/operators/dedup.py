@@ -48,6 +48,14 @@ EMB_SIGN_DIMS = 8
 # rows (the broadcast-hint audit rule, SURVEY §6), so a finer pattern
 # costs nothing and resolves clusters that collide at 8 dims.
 EMB_ANCHOR_DIMS = 16
+# pair-report cap, twice: each doc meets only its MATCH_CAP doc_id-order
+# SUCCESSORS per bucket (candidate generation is linear in bucket size —
+# no bucket self-join anywhere), and each doc REPORTS only its MATCH_CAP
+# best verified matches. Without both, a corpus whose duplicate-cluster
+# size grows with the corpus (a mirrored crawl; the sfbig generator)
+# makes pair output Θ(Σ cluster²) — measured alpha ≈ 2.1 at sf30→sf60.
+# Recall cost of the cap is MEASURED by dedup_lsh_calibration.
+MATCH_CAP = 8
 
 P31 = 2_147_483_647  # 2^31 - 1 (prime); all fingerprints live in [0, P31)
 K_POLY = 1_000_003  # rolling-hash base, < 2^31 so products stay < 2^62
@@ -143,10 +151,9 @@ def sql_sh_cte(src: str = "documents") -> str:
 _SQL_SH_CTE = sql_sh_cte()
 
 
-def sql_minhash_pair_ctes(src: str = "documents") -> str:
-    """CTE chain `sh, mh, bands, cand, pairs` computing verified
-    near-dup pairs over any (doc_id, text) relation — the SQL mirror of
-    ``minhash_pairs(grams_for(df))`` for composed oracles."""
+def _sql_mh_band_ctes(src: str = "documents") -> str:
+    """Shared CTE prefix `sh, mh, bands` — the LSH band index over any
+    (doc_id, text) relation."""
     mh_exprs = ",\n       ".join(
         f"list_min(list_transform(sh, v -> (v * {a} + {b}) % {P31}))"
         f" AS mh{j}"
@@ -161,16 +168,70 @@ def sql_minhash_pair_ctes(src: str = "documents") -> str:
 mh AS (SELECT doc_id,
        {mh_exprs}
        FROM sh),
-bands AS ({band_selects}),
-cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         FROM bands x JOIN bands y USING (band_id, band_hash)
-         WHERE x.doc_id < y.doc_id),
+bands AS ({band_selects})"""
+
+
+def sql_star_pair_ctes(src: str = "documents") -> str:
+    """CTE chain `sh, mh, bands, anch, cand, pairs` computing verified
+    per-bucket STAR edges — the SQL mirror of ``star_pairs`` (the CC
+    feed): each LSH band bucket contributes (bucket-min → member)
+    edges only, O(Σ bucket) instead of O(Σ bucket²), with identical
+    bucket connectivity (every member links to the same anchor)."""
+    return f"""{_sql_mh_band_ctes(src)},
+anch AS (SELECT band_id, band_hash, MIN(doc_id) AS anchor
+         FROM bands GROUP BY band_id, band_hash),
+cand AS (SELECT DISTINCT anchor AS doc_a, doc_id AS doc_b
+         FROM bands JOIN anch USING (band_id, band_hash)
+         WHERE doc_id > anchor),
 pairs AS (
   SELECT doc_a, doc_b, {_SQL_JACCARD} AS jaccard
   FROM cand
   JOIN sh a ON a.doc_id = doc_a
   JOIN sh b ON b.doc_id = doc_b
   WHERE {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
+)"""
+
+
+def _sql_lead_succ_cte(bucket_cols: str, rel: str) -> str:
+    """CTE body pairing each doc with its ≤ MATCH_CAP successors in
+    doc_id order within a bucket — the capped candidate generator
+    (lead() per offset; no self-join, so candidate cost is linear in
+    bucket size, never Σ bucket²)."""
+    leads = ", ".join(
+        f"lead(doc_id, {i}) OVER w" for i in range(1, MATCH_CAP + 1)
+    )
+    return f"""(
+  SELECT doc_a, unnest(ss) AS doc_b FROM (
+    SELECT doc_id AS doc_a,
+           list_filter([{leads}], x -> x IS NOT NULL) AS ss
+    FROM {rel}
+    WINDOW w AS (PARTITION BY {bucket_cols} ORDER BY doc_id)
+  )
+)"""
+
+
+def sql_capped_minhash_pair_ctes(src: str = "documents") -> str:
+    """CTE chain `sh, mh, bands, succ, cand, verified, pairs` — the SQL
+    mirror of ``capped_minhash_pairs``: successor-capped candidates
+    (each doc meets its ≤ {MATCH_CAP} doc_id-order successors per band
+    bucket), Jaccard-verified, then each doc reports its ≤ {MATCH_CAP}
+    best matches. Both caps make the pair REPORT linear in corpus size
+    even when duplicate-cluster size grows with the corpus (a mirrored
+    crawl) — the uncapped contract's output is Θ(Σ cluster²)."""
+    return f"""{_sql_mh_band_ctes(src)},
+succ AS {_sql_lead_succ_cte("band_id, band_hash", "bands")},
+cand AS (SELECT DISTINCT doc_a, doc_b FROM succ),
+verified AS (
+  SELECT doc_a, doc_b, {_SQL_JACCARD} AS jaccard
+  FROM cand
+  JOIN sh a ON a.doc_id = doc_a
+  JOIN sh b ON b.doc_id = doc_b
+  WHERE {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
+),
+pairs AS (
+  SELECT doc_a, doc_b, jaccard FROM verified
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_a
+                             ORDER BY jaccard DESC, doc_b) <= {MATCH_CAP}
 )"""
 
 
@@ -217,22 +278,26 @@ FROM hashed JOIN canon USING (content_md5)
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact shingle Jaccard, candidates from an
-    inverted shingle index (explode → self-join on the bigint gram
-    fingerprint). Pair cost is Σ posting_list², so STOP-SHINGLES — grams
-    appearing in more than MAX_GRAM_DF docs — are dropped from the
-    candidate index (not from verification, which always uses the full
-    shingle sets): a gram shared by L docs contributes L² candidate
-    pairs and near-zero discriminative signal, and without the cap the
-    self-join is super-linear in corpus size (measured alpha 1.9,
-    sf0.1→sf1). Near-dup pairs share many rare grams, so recall loss is
-    confined to pairs whose ONLY common grams are corpus-wide
-    boilerplate — precisely the pairs the Jaccard gate rejects.
+    """Per-doc best near-dup matches by exact shingle Jaccard,
+    candidates from an inverted shingle index. Three caps keep it
+    linear at any corpus shape: STOP-SHINGLES — grams appearing in
+    more than MAX_GRAM_DF docs are dropped from the candidate index
+    (not from verification; a gram shared by L docs carries near-zero
+    signal); SUCCESSOR capping — each doc meets only its ≤ MATCH_CAP
+    doc_id-order successors per posting list (lead() over the posting
+    sort, no posting self-join, so candidate cost is linear in posting
+    length); and the REPORT cap — each doc emits its ≤ MATCH_CAP best
+    verified matches. The uncapped all-pairs contract was measured
+    output-quadratic (alpha ≈ 2 at sf30→sf60) on replicated-cluster
+    corpora — the mirrored-crawl shape. Near-dup pairs share many rare
+    grams, so recall loss from the df cap is confined to pairs whose
+    ONLY common grams are corpus-wide boilerplate — precisely the
+    pairs the Jaccard gate rejects.
 
-    The fingerprint table is materialized once (localCheckpoint): four
-    branches consume it (df-count, both index sides, both verify
-    sides), and it is narrow — doc_id + gram array, no text — exactly
-    the table a production pipeline persists beside the corpus."""
+    The fingerprint table is materialized once (substrate cache):
+    index and both verify sides consume it, and it is narrow — doc_id
+    + gram array, no text — exactly the table a production pipeline
+    persists beside the corpus."""
     docs = grams_cached(spark, sf_dir)
     # explode_OUTER + post-filter, not plain explode: explode makes
     # Catalyst infer `size(sh) > 0` and push it below the projections
@@ -255,42 +320,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= MAX_GRAM_DF)
         .drop("df")
     )
-    cand = (
-        idx.alias("x")
-        .join(idx.alias("y"), "g")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    # successor-capped candidates + per-doc best-K report (same double
+    # cap as capped_minhash_pairs — the posting-list self-join's output
+    # was Θ(Σ cluster²) on replicated-cluster corpora)
+    cand = _successor_cands(idx, ["g"])
+    verified = _verify_jaccard(cand, docs)
+    return _cap_per_doc(verified, [F.desc("jaccard"), F.asc("doc_b")])
 
 
-_DEDUP_NGRAM_SQL = f"""
+def _ngram_sql() -> str:
+    return f"""
 WITH {_SQL_SH_CTE},
 postings AS (SELECT doc_id, unnest(sh) AS g FROM sh),
 idx AS (SELECT doc_id, g FROM postings
         QUALIFY COUNT(*) OVER (PARTITION BY g) <= {MAX_GRAM_DF}),
-cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         FROM idx x JOIN idx y USING (g)
-         WHERE x.doc_id < y.doc_id)
-SELECT doc_a, doc_b, {_SQL_JACCARD} AS jaccard
-FROM cand
-JOIN sh a ON a.doc_id = doc_a
-JOIN sh b ON b.doc_id = doc_b
-WHERE {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
+succ AS {_sql_lead_succ_cte("g", "idx")},
+cand AS (SELECT DISTINCT doc_a, doc_b FROM succ),
+verified AS (
+  SELECT doc_a, doc_b, {_SQL_JACCARD} AS jaccard
+  FROM cand
+  JOIN sh a ON a.doc_id = doc_a
+  JOIN sh b ON b.doc_id = doc_b
+  WHERE {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
+)
+SELECT doc_a, doc_b, jaccard FROM verified
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_a
+                           ORDER BY jaccard DESC, doc_b) <= {MATCH_CAP}
 """
 
 
@@ -310,13 +365,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     structurally misses it: a small doc fully embedded in one 100×
     its size has C = 1.0 but J ≈ 0.01, and training corpora are full
     of exactly that shape (article + boilerplate shell, quoted posts,
-    licence headers). Candidates come from the same df-capped
-    inverted shingle index as ``dedup_ngram_jaccard`` (window-count
-    df cap, one exchange reused by the self-join, no hot-gram side
-    table — the sf30 lesson); verification scores the full distinct
-    gram sets. Output carries BOTH scores so the pairs only
-    containment finds are visible as data (jaccard below its own
-    gate)."""
+    licence headers). Candidates come from the same df-capped,
+    successor-capped inverted shingle index as ``dedup_ngram_jaccard``
+    (lead() over the posting sort — no posting self-join), each doc
+    reports its ≤ MATCH_CAP best matches by containment, and
+    verification scores the full distinct gram sets. Output carries
+    BOTH scores so the pairs only containment finds are visible as
+    data (jaccard below its own gate)."""
     docs = grams_cached(spark, sf_dir)
     postings = docs.select(
         "doc_id", F.explode_outer("sh").alias("g")
@@ -327,15 +382,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= MAX_GRAM_DF)
         .drop("df")
     )
-    cand = (
-        idx.alias("x")
-        .join(idx.alias("y"), "g")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    cand = _successor_cands(idx, ["g"])
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast(
@@ -344,7 +391,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment = inter / F.least(
         F.size(F.col("sh_a")), F.size(F.col("sh_b"))
     ).cast("double")
-    return (
+    verified = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .select(
@@ -355,6 +402,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
     )
+    return _cap_per_doc(
+        verified, [F.desc("containment"), F.asc("doc_b")]
+    )
 
 
 _SQL_CONTAINMENT = (
@@ -362,20 +412,26 @@ _SQL_CONTAINMENT = (
     " / CAST(least(len(a.sh), len(b.sh)) AS DOUBLE)"
 )
 
-_DEDUP_CONTAINMENT_SQL = f"""
+
+def _containment_sql() -> str:
+    return f"""
 WITH {_SQL_SH_CTE},
 postings AS (SELECT doc_id, unnest(sh) AS g FROM sh),
 idx AS (SELECT doc_id, g FROM postings
         QUALIFY COUNT(*) OVER (PARTITION BY g) <= {MAX_GRAM_DF}),
-cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         FROM idx x JOIN idx y USING (g)
-         WHERE x.doc_id < y.doc_id)
-SELECT doc_a, doc_b, {_SQL_CONTAINMENT} AS containment,
-       {_SQL_JACCARD} AS jaccard
-FROM cand
-JOIN sh a ON a.doc_id = doc_a
-JOIN sh b ON b.doc_id = doc_b
-WHERE {_SQL_CONTAINMENT} >= {CONTAINMENT_THRESHOLD}
+succ AS {_sql_lead_succ_cte("g", "idx")},
+cand AS (SELECT DISTINCT doc_a, doc_b FROM succ),
+verified AS (
+  SELECT doc_a, doc_b, {_SQL_CONTAINMENT} AS containment,
+         {_SQL_JACCARD} AS jaccard
+  FROM cand
+  JOIN sh a ON a.doc_id = doc_a
+  JOIN sh b ON b.doc_id = doc_b
+  WHERE {_SQL_CONTAINMENT} >= {CONTAINMENT_THRESHOLD}
+)
+SELECT doc_a, doc_b, containment, jaccard FROM verified
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_a
+                           ORDER BY containment DESC, doc_b) <= {MATCH_CAP}
 """
 
 
@@ -421,22 +477,8 @@ def mh_bands(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "band.band_id", "band.band_hash")
 
 
-def minhash_pairs(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh) → verified near-dup pairs (doc_a < doc_b, jaccard).
-    Band-bucket self-join over ``mh_bands`` → candidates verified with
-    true Jaccard. The only shuffles are the band-bucket join (keys are
-    packed bigints) and the candidate verify join; nothing is quadratic
-    in corpus size."""
-    bands = mh_bands(docs)
-    cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band_id", "band_hash"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+def _verify_jaccard(cand: DataFrame, docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidates → rows with exact Jaccard ≥ threshold."""
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
@@ -449,6 +491,78 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+def _successor_cands(rel: DataFrame, bucket_cols: list[str]) -> DataFrame:
+    """Bucketed relation (doc_id, *bucket_cols) → distinct candidate
+    pairs (doc_a, doc_b) pairing each doc with its ≤ MATCH_CAP doc_id-
+    order successors inside its bucket. lead() over a per-bucket sort —
+    NO bucket self-join, so candidate cost is Σ bucket·log(bucket)
+    (the sort) + Σ bucket·MATCH_CAP (the output), linear in corpus
+    size even when bucket size grows with it."""
+    w = Window.partitionBy(*bucket_cols).orderBy("doc_id")
+    # bind the lead columns in their own projection first: a window
+    # expression can't live inside the generator
+    leaded = rel.select(
+        F.col("doc_id").alias("doc_a"),
+        *[
+            F.lead("doc_id", i).over(w).alias(f"_s{i}")
+            for i in range(1, MATCH_CAP + 1)
+        ],
+    )
+    succ = F.array(*[F.col(f"_s{i}") for i in range(1, MATCH_CAP + 1)])
+    return (
+        leaded.select("doc_a", F.explode_outer(succ).alias("doc_b"))
+        .filter(F.col("doc_b").isNotNull())
+        .distinct()
+    )
+
+
+def _cap_per_doc(
+    verified: DataFrame, order_cols: list[Column]
+) -> DataFrame:
+    """Keep each doc_a's MATCH_CAP best matches (deterministic order)."""
+    wd = Window.partitionBy("doc_a").orderBy(*order_cols)
+    return (
+        verified.withColumn("_rn", F.row_number().over(wd))
+        .filter(F.col("_rn") <= MATCH_CAP)
+        .drop("_rn")
+    )
+
+
+def star_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) → verified per-bucket STAR edges (doc_a = bucket
+    anchor < doc_b, jaccard) — the CC FEED. Each LSH band bucket elects
+    its min doc_id as anchor and contributes only (anchor → member)
+    edges: O(Σ bucket) edges and verifications with bucket connectivity
+    identical to the all-pairs bucket graph, so downstream connected
+    components are the same clusters at linear cost. The full pair
+    self-join was measured output-quadratic (alpha ≈ 2.1 sf30→sf60)
+    when duplicate-cluster size grows with the corpus."""
+    bands = mh_bands(docs)
+    anch = bands.groupBy("band_id", "band_hash").agg(
+        F.min("doc_id").alias("doc_a")
+    )
+    cand = (
+        bands.join(anch, ["band_id", "band_hash"])
+        .filter(F.col("doc_id") > F.col("doc_a"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_jaccard(cand, docs)
+
+
+def capped_minhash_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) → the capped near-dup pair REPORT (doc_a, doc_b,
+    jaccard): successor-capped candidates (≤ MATCH_CAP per band
+    bucket, see _successor_cands), Jaccard-verified, then each doc
+    keeps its ≤ MATCH_CAP best matches (jaccard DESC, doc_b ASC —
+    bit-portable: the Jaccard double divides identical integers in
+    both engines). Output is ≤ MATCH_CAP rows per doc BY CONSTRUCTION
+    — the linear re-contract of the retired all-pairs report."""
+    cand = _successor_cands(mh_bands(docs), ["band_id", "band_hash"])
+    verified = _verify_jaccard(cand, docs)
+    return _cap_per_doc(verified, [F.desc("jaccard"), F.asc("doc_b")])
 
 
 # ---------------------------------------------------------------------------
@@ -473,13 +587,24 @@ def _dedup_cache_key(spark: SparkSession, sf_dir: str, name: str):
 
 
 def dedup_cache_clear() -> None:
-    """Unpersist and drop every cached dedup substrate relation."""
+    """Drop every cached dedup substrate relation. persist()-backed
+    entries (grams, mh_bands) are unpersisted — that frees their
+    cache-manager blocks immediately. localCheckpoint-backed entries
+    (minhash_pairs, star_pairs, cc_labels) have NO cache-manager entry
+    — unpersist would be a silent no-op — so their executor blocks are
+    reclaimed by the ContextCleaner once this registry drops the last
+    reference and Python GC runs (triggered here so teardown is
+    prompt, not eventual)."""
+    import gc
+
     for df in _DEDUP_CACHE.values():
         try:
-            df.unpersist()
+            if df.storageLevel.useMemory or df.storageLevel.useDisk:
+                df.unpersist()
         except Exception:
             pass  # session may already be gone
     _DEDUP_CACHE.clear()
+    gc.collect()  # lets the ContextCleaner release checkpoint RDD blocks
 
 
 def grams_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -522,75 +647,89 @@ def mh_bands_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build-if-absent verified near-dup pairs (doc_a, doc_b, jaccard)
-    over the documents table. The pair list is the near-dup MINORITY —
-    far smaller than the corpus — so localCheckpoint (row-blocks) is
-    the right materialization, and it cuts the band-join lineage for
-    the CC loop above it."""
+    """Build-if-absent capped near-dup pair REPORT (doc_a, doc_b,
+    jaccard) over the documents table — see capped_minhash_pairs. The
+    report is ≤ MATCH_CAP rows per doc BY CONSTRUCTION, so
+    localCheckpoint (row-blocks) is the right materialization and it
+    cuts the band-window lineage for downstream consumers."""
     key = _dedup_cache_key(spark, sf_dir, "minhash_pairs")
     df = _DEDUP_CACHE.get(key)
     if df is None:
-        docs = grams_cached(spark, sf_dir)
+        cand = _successor_cands(
+            mh_bands_cached(spark, sf_dir), ["band_id", "band_hash"]
+        )
+        verified = _verify_jaccard(cand, grams_cached(spark, sf_dir))
+        df = _cap_per_doc(
+            verified, [F.desc("jaccard"), F.asc("doc_b")]
+        ).localCheckpoint(eager=True)
+        _DEDUP_CACHE[key] = df
+    return df
+
+
+def star_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-if-absent verified STAR edges (doc_a, doc_b, jaccard) —
+    see star_pairs; the CC feed. ≤ 1 edge per (doc, band) BY
+    CONSTRUCTION: localCheckpoint to cut lineage under the CC loop."""
+    key = _dedup_cache_key(spark, sf_dir, "star_pairs")
+    df = _DEDUP_CACHE.get(key)
+    if df is None:
         bands = mh_bands_cached(spark, sf_dir)
+        anch = bands.groupBy("band_id", "band_hash").agg(
+            F.min("doc_id").alias("doc_a")
+        )
         cand = (
-            bands.alias("x")
-            .join(bands.alias("y"), ["band_id", "band_hash"])
-            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-            .select(
-                F.col("x.doc_id").alias("doc_a"),
-                F.col("y.doc_id").alias("doc_b"),
-            )
+            bands.join(anch, ["band_id", "band_hash"])
+            .filter(F.col("doc_id") > F.col("doc_a"))
+            .select("doc_a", F.col("doc_id").alias("doc_b"))
             .distinct()
         )
-        a = docs.select(
-            F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
-        )
-        b = docs.select(
-            F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
-        )
-        df = (
-            cand.join(a, "doc_a")
-            .join(b, "doc_b")
-            .select(
-                "doc_a",
-                "doc_b",
-                _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
-            )
-            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-            .localCheckpoint(eager=True)
-        )
+        df = _verify_jaccard(
+            cand, grams_cached(spark, sf_dir)
+        ).localCheckpoint(eager=True)
         _DEDUP_CACHE[key] = df
     return df
 
 
 def cc_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build-if-absent connected-component labels (doc_id, cluster_id)
-    over the near-dup pair graph — the fold consumed by cluster_cc /
-    cluster_sizes / keep_best / split_leakage_safe, previously re-run
-    per entry. connected_components already returns a checkpointed
-    node-sized frame; the cache just stores it."""
+    over the near-dup STAR-edge graph (star_pairs_cached — bucket
+    connectivity at linear edge count) — the fold consumed by
+    cluster_cc / cluster_sizes / keep_best / split_leakage_safe /
+    near_dup_inflation. connected_components already returns a
+    checkpointed node-sized frame; the cache just stores it. The CC
+    iteration budget is env-tunable (SPARK_GRAFT_CC_MAX_ITERS) so a
+    legitimately deep pair graph has a recovery path that isn't
+    editing library code."""
+    import os
+
     key = _dedup_cache_key(spark, sf_dir, "cc_labels")
     df = _DEDUP_CACHE.get(key)
     if df is None:
         from blog_snapshotbackup_azuredatalake_spark.operators.graph import (
+            MAX_CC_ITERS,
             connected_components,
         )
 
-        df = connected_components(minhash_pairs_cached(spark, sf_dir))
+        max_iters = int(
+            os.environ.get("SPARK_GRAFT_CC_MAX_ITERS", MAX_CC_ITERS)
+        )
+        df = connected_components(
+            star_pairs_cached(spark, sf_dir), max_iters=max_iters
+        )
         _DEDUP_CACHE[key] = df
     return df
 
 
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """See minhash_pairs — this is it over the documents table, served
-    from the session substrate cache (grams + band index + verified
-    pairs are shared with six sibling entries)."""
+    """See capped_minhash_pairs — this is it over the documents table,
+    served from the session substrate cache (grams + band index are
+    shared with six sibling entries)."""
     return minhash_pairs_cached(spark, sf_dir)
 
 
 def _minhash_sql() -> str:
     return f"""
-WITH {sql_minhash_pair_ctes()}
+WITH {sql_capped_minhash_pair_ctes()}
 SELECT doc_a, doc_b, jaccard FROM pairs
 """
 
@@ -1346,6 +1485,186 @@ FROM per_doc GROUP BY source
 """
 
 
+DEDUP_TAUS = [0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold ROI curve: how many docs (and how much token
+    mass) a keep-anchor near-dup pass removes at each Jaccard
+    threshold τ ∈ {DEDUP_TAUS} — the number a curation owner looks at
+    before picking the production τ. Each candidate doc's BEST star-
+    edge Jaccard (max over its ≤8 verified anchor links, from the
+    session substrate cache) decides the highest τ that still removes
+    it; the 5-row τ relation broadcast-nested-loop joins the removed
+    MINORITY only, and the corpus total rides in as a broadcast
+    scalar. Linear: no pair enumeration beyond the cached star edges."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc_b"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("toks"),
+    )
+    best = (
+        star_pairs_cached(spark, sf_dir)
+        .groupBy("doc_b")
+        .agg(F.max("jaccard").alias("best_j"))
+    )
+    joined = best.join(docs, "doc_b")
+    total = docs.groupBy().agg(F.sum("toks").alias("tok_total"))
+    taus = spark.createDataFrame(
+        [(t,) for t in DEDUP_TAUS], "tau double"
+    )
+    return (
+        F.broadcast(taus)
+        .join(joined, F.col("best_j") >= F.col("tau"), "left")
+        .groupBy("tau")
+        .agg(
+            F.count("doc_b").alias("n_removed_docs"),
+            F.coalesce(F.sum("toks"), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_removed"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tau",
+            "n_removed_docs",
+            "tokens_removed",
+            F.expr(
+                "tokens_removed * 1000000 div greatest(tok_total, 1L)"
+            ).alias("removed_token_ppm"),
+        )
+    )
+
+
+def _threshold_curve_sql() -> str:
+    tau_list = ", ".join(str(t) for t in DEDUP_TAUS)
+    return f"""
+WITH {sql_star_pair_ctes()},
+best AS (SELECT doc_b, MAX(jaccard) AS best_j FROM pairs GROUP BY doc_b),
+toks AS (SELECT doc_id AS doc_b,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+         FROM documents),
+total AS (SELECT CAST(SUM(toks) AS BIGINT) AS tok_total FROM toks),
+taus AS (SELECT unnest(CAST([{tau_list}] AS DOUBLE[])) AS tau),
+joined AS (SELECT b.doc_b, b.best_j, t.toks
+           FROM best b JOIN toks t USING (doc_b))
+SELECT tau,
+       CAST(COUNT(doc_b) AS BIGINT) AS n_removed_docs,
+       CAST(COALESCE(SUM(toks), 0) AS BIGINT) AS tokens_removed,
+       CAST(COALESCE(SUM(toks), 0) * 1000000
+            // GREATEST((SELECT tok_total FROM total), 1) AS BIGINT)
+         AS removed_token_ppm
+FROM taus LEFT JOIN joined ON best_j >= tau
+GROUP BY tau
+"""
+
+
+PARA_TOKENS = 32  # aligned block size standing in for '\n' paragraphs
+# pack (doc_id, block_pos) into one BIGINT so "first occurrence" is a
+# plain MIN in both engines; guarded loudly below — a doc past 2^20
+# blocks (33M tokens) would alias packs
+PARA_POS_STRIDE = 1 << 20
+
+
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PARAGRAPH-level dedup — the C4 move (Raffel et al. 2020:
+    discard every repeated three-sentence span) as engine built-ins,
+    no Python anywhere: hash each paragraph, keep the first occurrence
+    (min (doc_id, pos)), report per-source removed-paragraph mass.
+    This corpus carries no newlines, so "paragraph" is the aligned
+    {PARA_TOKENS}-token block — same contract shape, deterministic and
+    oracle-able. Plan: split → explode block index → slice+md5 (all
+    whole-stage codegen) → one groupBy(ph) min (map-side combinable)
+    → hash join back → per-source fold. Linear in corpus tokens BY
+    CONSTRUCTION: no self-join, no pair emission — each paragraph
+    occurrence is one row and meets only its canonical min. This is
+    the span-level REMOVAL primitive next to dedup_substring's span
+    AUDIT (which counts repeated spans but doesn't pick survivors)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("tk")
+    )
+    nblk = F.expr(
+        f"greatest(CAST(ceil(size(tk) / {PARA_TOKENS}.0) AS INT), 1)"
+    )
+    e = docs.select(
+        "doc_id",
+        "source",
+        "tk",
+        F.explode_outer(F.sequence(F.lit(0), nblk - 1)).alias("pos"),
+    )
+    paras = e.select(
+        "source",
+        F.md5(
+            F.expr(
+                f"array_join(slice(tk, pos * {PARA_TOKENS} + 1,"
+                f" {PARA_TOKENS}), ' ')"
+            )
+        ).alias("ph"),
+        F.expr(f"CAST(size(slice(tk, pos * {PARA_TOKENS} + 1,"
+               f" {PARA_TOKENS})) AS BIGINT)").alias("ptoks"),
+        F.expr(
+            f"CASE WHEN pos >= {PARA_POS_STRIDE} THEN"
+            f" CAST(raise_error('dedup_paragraph: block pos >="
+            f" PARA_POS_STRIDE; pack would alias — raise the stride')"
+            f" AS BIGINT)"
+            f" ELSE doc_id * {PARA_POS_STRIDE}L + pos END"
+        ).alias("pk"),
+    )
+    canon = paras.groupBy("ph").agg(F.min("pk").alias("first_pk"))
+    marked = paras.join(canon, "ph").select(
+        "source",
+        "ptoks",
+        (F.col("pk") != F.col("first_pk")).alias("removed"),
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.when(F.col("removed"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_paras"),
+        F.sum("ptoks").alias("tokens_total"),
+        F.coalesce(
+            F.sum(F.when(F.col("removed"), F.col("ptoks"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("tokens_removed"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN removed THEN ptoks END), 0)"
+            " * 1000000 div greatest(sum(ptoks), 1) AS BIGINT)"
+        ).alias("removed_token_ppm"),
+    )
+
+
+_DEDUP_PARAGRAPH_SQL = f"""
+WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+           FROM documents),
+e AS (SELECT doc_id, source, tk,
+             unnest(range(0, greatest(CAST(ceil(len(tk) / {PARA_TOKENS}.0)
+                                           AS BIGINT), 1))) AS pos
+      FROM d),
+paras AS (
+  SELECT source,
+         md5(array_to_string(list_slice(tk, pos * {PARA_TOKENS} + 1,
+                                        pos * {PARA_TOKENS}
+                                        + {PARA_TOKENS}), ' ')) AS ph,
+         CAST(len(list_slice(tk, pos * {PARA_TOKENS} + 1,
+                             pos * {PARA_TOKENS} + {PARA_TOKENS}))
+              AS BIGINT) AS ptoks,
+         doc_id * {PARA_POS_STRIDE} + pos AS pk
+  FROM e),
+canon AS (SELECT ph, MIN(pk) AS first_pk FROM paras GROUP BY ph)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(SUM(CASE WHEN pk <> first_pk THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_paras,
+       CAST(SUM(ptoks) AS BIGINT) AS tokens_total,
+       CAST(COALESCE(SUM(CASE WHEN pk <> first_pk THEN ptoks END), 0)
+            AS BIGINT) AS tokens_removed,
+       CAST(COALESCE(SUM(CASE WHEN pk <> first_pk THEN ptoks END), 0)
+            * 1000000 // GREATEST(SUM(ptoks), 1) AS BIGINT)
+         AS removed_token_ppm
+FROM paras JOIN canon USING (ph)
+GROUP BY source
+"""
+
+
 def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH band-configuration calibration: measure, as data, what the
     16-perm/8-band MinHash index actually buys — candidate volume,
@@ -1372,17 +1691,13 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     version measured 156 s at sf0.1 vs ~3 s for this plan — same row,
     same values.)"""
     docs = grams_cached(spark, sf_dir)
-    bands = mh_bands_cached(spark, sf_dir)
-    cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band_id", "band_hash"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .distinct()
+    # the PRODUCTION candidate set — successor-capped, exactly what the
+    # deployed report verifies (recall below prices BOTH the banding
+    # and the caps against exact truth)
+    cand = _successor_cands(
+        mh_bands_cached(spark, sf_dir), ["band_id", "band_hash"]
     )
-    # candidates that verify ≥ threshold — the cached production pairs
+    # candidates that verify ≥ threshold — the cached production report
     hits = minhash_pairs_cached(spark, sf_dir)
     ex = docs.select(
         "doc_id", F.explode(F.array_distinct("sh")).alias("g")
@@ -1443,7 +1758,7 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LSH_CALIBRATION_SQL = f"""
-WITH {sql_minhash_pair_ctes()},
+WITH {sql_capped_minhash_pair_ctes()},
 truth AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -1467,6 +1782,8 @@ SELECT (SELECT COUNT(*) FROM sh) AS n_docs,
 QUERIES = {
     "dedup_lsh_calibration": dedup_lsh_calibration,
     "dedup_substring": dedup_substring,
+    "dedup_paragraph": dedup_paragraph,
+    "dedup_threshold_curve": dedup_threshold_curve,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment": dedup_containment,
@@ -1480,9 +1797,11 @@ QUERIES = {
 ORACLES = {
     "dedup_lsh_calibration": _LSH_CALIBRATION_SQL,
     "dedup_substring": _DEDUP_SUBSTRING_SQL,
+    "dedup_paragraph": _DEDUP_PARAGRAPH_SQL,
+    "dedup_threshold_curve": _threshold_curve_sql(),
     "dedup_exact": _DEDUP_EXACT_SQL,
-    "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
-    "dedup_containment": _DEDUP_CONTAINMENT_SQL,
+    "dedup_ngram_jaccard": _ngram_sql(),
+    "dedup_containment": _containment_sql(),
     "dedup_minhash": _minhash_sql(),
     "dedup_incremental": _incremental_sql(),
     "dedup_simhash": _simhash_sql(),

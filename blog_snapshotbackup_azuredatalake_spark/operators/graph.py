@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from blog_snapshotbackup_azuredatalake_spark.operators.dedup import (
-    sql_minhash_pair_ctes,
+    sql_star_pair_ctes,
 )
 from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
 
@@ -44,8 +44,18 @@ MAX_CC_ITERS = 20
 
 def connected_components(pairs: DataFrame, max_iters: int = MAX_CC_ITERS) -> DataFrame:
     """(doc_a, doc_b) undirected pairs → (doc_id, cluster_id) with
-    cluster_id = min doc_id reachable. Min-label propagation to a
-    fixpoint; one shuffle per round, lineage cut per round."""
+    cluster_id = min doc_id reachable. Min-label propagation PLUS a
+    pointer-jumping shortcut per round (label ← label(label), the
+    large-star/small-star move): propagation alone needs diameter
+    rounds — a 1000-hop chain component would exhaust any fixed
+    iteration budget and hard-fail — while composing each round with
+    one shortcut doubles the effective reach per round, so convergence
+    is O(log diameter) and the default budget covers diameters past
+    2^20. Fixpoint correctness: labels only decrease, are node ids
+    inside their own component, and a stable labeling is constant per
+    component with label(c)=c — the only such constant is the
+    component min. One min-agg shuffle plus one node-sized
+    label-composition join per round, lineage cut per round."""
     from pyspark import StorageLevel
 
     edges = pairs.select(
@@ -82,10 +92,29 @@ def connected_components(pairs: DataFrame, max_iters: int = MAX_CC_ITERS) -> Dat
         arriving = edges.join(
             labels.hint("shuffle_hash"), edges.src == labels.doc_id
         ).select(F.col("dst").alias("doc_id"), "cluster_id")
-        updated = (
+        propagated = (
             arriving.unionByName(labels)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
+        )
+        # pointer-jumping shortcut: label ← label(label). Node-sized
+        # self-join (every label value is a node id present in the
+        # relation, so the left join always matches; coalesce guards
+        # the theoretical miss). This is what turns O(diameter) rounds
+        # into O(log diameter).
+        ptr = propagated.select(
+            F.col("doc_id").alias("_p"), F.col("cluster_id").alias("_pl")
+        )
+        updated = (
+            propagated.join(
+                ptr.hint("shuffle_hash"),
+                propagated.cluster_id == ptr._p,
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.coalesce("_pl", "cluster_id").alias("cluster_id"),
+            )
             .localCheckpoint(eager=True)
         )
         cur_sum = updated.agg(
@@ -98,15 +127,16 @@ def connected_components(pairs: DataFrame, max_iters: int = MAX_CC_ITERS) -> Dat
         prev_sum = cur_sum
     edges.unpersist()  # labels is checkpointed — lineage already cut
     if not converged:
-        # min-label propagation moves one hop per round: a component
-        # whose min-label eccentricity exceeds max_iters would yield a
-        # silently WRONG census (split components). Loud-fail — the
-        # caller either raises max_iters or the graph genuinely needs
-        # a pointer-jumping (large-star/small-star) O(log n) variant.
+        # with pointer jumping each round roughly doubles reach, so
+        # max_iters=20 covers component diameters past 2^20; running
+        # out anyway means something pathological — loud-fail rather
+        # than return a silently split census. max_iters is plumbed
+        # through cc_labels_cached via SPARK_GRAFT_CC_MAX_ITERS.
         raise RuntimeError(
             "connected_components did not converge within "
             f"{max_iters} rounds (label sum still decreasing); "
-            "raise max_iters — the result would be a wrong census"
+            "raise max_iters (env SPARK_GRAFT_CC_MAX_ITERS for the "
+            "dedup substrate cache) — the result would be a wrong census"
         )
     return labels
 
@@ -132,7 +162,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CLUSTER_CC_SQL = f"""
-WITH RECURSIVE {sql_minhash_pair_ctes()},
+WITH RECURSIVE {sql_star_pair_ctes()},
 edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
           UNION SELECT doc_b, doc_a FROM pairs),
 reach(src, dst) AS (
@@ -196,7 +226,7 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CLUSTER_SIZES_SQL = f"""
-WITH RECURSIVE {sql_minhash_pair_ctes()},
+WITH RECURSIVE {sql_star_pair_ctes()},
 edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
           UNION SELECT doc_b, doc_a FROM pairs),
 reach(src, dst) AS (
@@ -243,11 +273,15 @@ def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from blog_snapshotbackup_azuredatalake_spark.operators.dedup import (
         cc_labels_cached,
-        minhash_pairs_cached,
+        star_pairs_cached,
     )
 
     full = load_table(spark, sf_dir, "documents")
-    pairs = minhash_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    # the audited pair set = the CC feed (verified star edges): every
+    # audited link is inside one cluster, so cross_pairs_safe is 0 by
+    # construction and the naive column counts the links a doc-hash
+    # split would cut
+    pairs = star_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
     comp = cc_labels_cached(spark, sf_dir)
 
     def split_of(col: F.Column) -> F.Column:
@@ -331,7 +365,7 @@ def _leakage_safe_sql() -> str:
         )
 
     return f"""
-WITH RECURSIVE {sql_minhash_pair_ctes()},
+WITH RECURSIVE {sql_star_pair_ctes()},
 edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
           UNION SELECT doc_b, doc_a FROM pairs),
 reach(src, dst) AS (
@@ -421,7 +455,7 @@ def _keep_best_sql() -> str:
     )
 
     return f"""
-WITH RECURSIVE {sql_minhash_pair_ctes()},
+WITH RECURSIVE {sql_star_pair_ctes()},
 edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
           UNION SELECT doc_b, doc_a FROM pairs),
 reach(src, dst) AS (
@@ -895,6 +929,157 @@ SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
             // GREATEST((SELECT SUM(deg * (deg - 1)) // 2 FROM deg), 1)
             AS BIGINT)
          AS clustering_fp
+"""
+
+
+# DOULION edge-sampling rate 1/TRI_SAMPLE_DEN (Tsourakakis et al.,
+# KDD'09): count triangles exactly on a deterministically hash-sampled
+# edge subset, scale by den³. p = 1/4 keeps the estimator's relative
+# error low (each triangle survives with p³ = 1/64; the co-purchase
+# graph has millions of triangles at bench SFs so the CV is tiny) while
+# cutting the intersect plan's work 4× on edges and ~16-64× on
+# adjacency intersections.
+TRI_SAMPLE_DEN = 4
+
+
+def graph_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled triangle ESTIMATE (DOULION shape) — the past-the-
+    broadcast-line answer graph_triangle_count can't give on one box:
+    exact closure at 360 M edges moves Θ(m·√m) ≈ 300 GB (SCALING.md
+    round-5 triangle section) — routine across 1000 executors,
+    disk-infeasible on one. Keep each edge iff md5(u‖'_'‖v) mod
+    {TRI_SAMPLE_DEN} = 0 (DETERMINISTIC, so the DuckDB oracle applies
+    the identical sample and the driver's hash gate holds), run the
+    same degree-oriented adjacency-intersect census on the sampled
+    subgraph, and report T̂ = T_s · {TRI_SAMPLE_DEN}³. Every triangle
+    survives sampling with p³, so E[T̂] = T; the entry carries the
+    sampled count alongside the estimate so the scale-up factor is
+    auditable. Sampled-edge relations ride the session graph cache."""
+    from pyspark import StorageLevel
+
+    e0 = copurchase_edges_cached(spark, sf_dir)
+    keep = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.col("u"), F.col("v"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % TRI_SAMPLE_DEN
+        == 0
+    )
+    es_key = _cache_key(spark, sf_dir, "tri_est_edges")
+    es = _GRAPH_CACHE.get(es_key)
+    if es is None:
+        es = e0.filter(keep).persist(StorageLevel.MEMORY_AND_DISK)
+        es.count()
+        _GRAPH_CACHE[es_key] = es
+    deg = (
+        es.select(F.col("u").alias("node"))
+        .unionByName(es.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    lower_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    adj_key = _cache_key(spark, sf_dir, "tri_est_adjacency")
+    adj = _GRAPH_CACHE.get(adj_key)
+    o_key = _cache_key(spark, sf_dir, "tri_est_oriented")
+    o = _GRAPH_CACHE.get(o_key)
+    if o is None:
+        o = (
+            es.join(du, "u")
+            .join(dv, "v")
+            .select(
+                F.when(lower_first, F.col("u"))
+                .otherwise(F.col("v"))
+                .alias("src"),
+                F.when(lower_first, F.col("v"))
+                .otherwise(F.col("u"))
+                .alias("dst"),
+            )
+            .persist()
+        )
+        o.count()
+        _GRAPH_CACHE[o_key] = o
+    if adj is None:
+        adj = (
+            o.groupBy("src")
+            .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+            .persist()
+        )
+        adj.count()
+        _GRAPH_CACHE[adj_key] = adj
+    from blog_snapshotbackup_azuredatalake_spark.functions.hints import (
+        would_broadcast,
+    )
+
+    hint = (
+        F.broadcast
+        if would_broadcast(
+            adj, max_rows=TRI_ADJ_MAX_ROWS, max_bytes=TRI_ADJ_MAX_BYTES
+        )
+        else (lambda d: d.hint("shuffle_hash"))
+    )
+    nu = hint(adj.select("src", F.col("nbrs").alias("nu")))
+    nv = hint(
+        adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nv"))
+    )
+    tri_s = (
+        o.join(nu, "src")
+        .join(nv, "dst")
+        .select(F.size(F.array_intersect("nu", "nv")).alias("c"))
+        .groupBy()
+        .agg(
+            F.coalesce(F.sum("c"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles_sampled")
+        )
+    )
+    counts = (
+        e0.groupBy()
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(
+            es.groupBy().agg(F.count(F.lit(1)).alias("n_edges_sampled"))
+        )
+        .crossJoin(tri_s)
+    )
+    den3 = TRI_SAMPLE_DEN**3
+    return counts.select(
+        "n_edges",
+        "n_edges_sampled",
+        F.lit(TRI_SAMPLE_DEN).cast("bigint").alias("sample_den"),
+        "n_triangles_sampled",
+        (F.col("n_triangles_sampled") * F.lit(den3))
+        .cast("bigint")
+        .alias("est_triangles"),
+    )
+
+
+_TRIANGLE_EST_SQL = f"""
+WITH {_COPURCHASE_SQL},
+es AS (SELECT u, v FROM e0
+       WHERE CAST(concat('0x', substr(md5(u || '_' || v), 1, 15))
+                  AS BIGINT) % {TRI_SAMPLE_DEN} = 0),
+deg AS (SELECT node, COUNT(*) AS deg
+        FROM (SELECT u AS node FROM es UNION ALL SELECT v FROM es)
+        GROUP BY node),
+o AS (SELECT CASE WHEN (du.deg, u) < (dv.deg, v) THEN u ELSE v END AS src,
+             CASE WHEN (du.deg, u) < (dv.deg, v) THEN v ELSE u END AS dst
+      FROM es JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+w AS (SELECT o1.dst AS wu, o2.dst AS wv
+      FROM o o1 JOIN o o2 USING (src) WHERE o1.dst < o2.dst),
+tri AS (SELECT COUNT(*) AS n FROM w JOIN es ON es.u = w.wu AND es.v = w.wv)
+SELECT CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM es) AS BIGINT) AS n_edges_sampled,
+       CAST({TRI_SAMPLE_DEN} AS BIGINT) AS sample_den,
+       CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles_sampled,
+       CAST((SELECT n FROM tri) * {TRI_SAMPLE_DEN ** 3} AS BIGINT)
+         AS est_triangles
 """
 
 
@@ -1470,6 +1655,7 @@ QUERIES = {
     "graph_pagerank": graph_pagerank,
     "graph_link_predict": graph_link_predict,
     "graph_triangle_count": graph_triangle_count,
+    "graph_triangle_estimate": graph_triangle_estimate,
     "graph_degree_stats": graph_degree_stats,
     "graph_bfs_reach": graph_bfs_reach,
     "graph_kcore": graph_kcore,
@@ -1485,6 +1671,7 @@ ORACLES = {
     "dedup_keep_best": _keep_best_sql(),
     "graph_link_predict": _link_predict_sql(),
     "graph_triangle_count": _TRIANGLE_SQL,
+    "graph_triangle_estimate": _TRIANGLE_EST_SQL,
     "graph_degree_stats": _DEGREE_STATS_SQL,
     "graph_bfs_reach": _BFS_REACH_SQL,
     "graph_kcore": _kcore_sql(),

@@ -785,16 +785,33 @@ def mm_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "asset_bytes"
         ),
     )
-    packed = assets.select(
+    seqed = assets.select(
+        "doc_id",
+        "source",
+        "block",
+        "asset_bytes",
+        F.expr(
+            f"(sum(asset_bytes) over (partition by source, block"
+            f" order by doc_id"
+            f" rows between unbounded preceding and current row)"
+            f" - asset_bytes) div {SHARD_BYTES}"
+        ).alias("seq"),
+    )
+    # shard_id = block·stride + seq is globally unique ONLY while
+    # seq < stride (a (source, block) stream past stride·SHARD_BYTES
+    # bytes would silently collide across blocks): fail loudly instead
+    # of corrupting the manifest.
+    packed = seqed.select(
         "doc_id",
         "source",
         "asset_bytes",
         F.expr(
-            f"block * {MM_BLOCK_STRIDE}L +"
-            f" (sum(asset_bytes) over (partition by source, block"
-            f" order by doc_id"
-            f" rows between unbounded preceding and current row)"
-            f" - asset_bytes) div {SHARD_BYTES}"
+            f"CASE WHEN seq >= {MM_BLOCK_STRIDE}L THEN"
+            f" CAST(raise_error('mm_shard_pack: within-block shard seq"
+            f" >= MM_BLOCK_STRIDE ({MM_BLOCK_STRIDE}); shard_id would"
+            f" collide across blocks — raise MM_BLOCK_STRIDE or shrink"
+            f" blocks') AS BIGINT)"
+            f" ELSE block * {MM_BLOCK_STRIDE}L + seq END"
         ).alias("shard_id"),
     )
     return packed.groupBy("source", "shard_id").agg(

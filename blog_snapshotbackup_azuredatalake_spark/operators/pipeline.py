@@ -2,9 +2,10 @@
 
 ``curate_corpus`` chains the individual operators the way a production
 training-data job would: quality-filter → near-dup removal (MinHash-LSH
-on the survivors) → deterministic train/val/test split → per-(source,
+star edges on the survivors — anchor-linking, the linear shape; see
+dedup.star_pairs) → deterministic train/val/test split → per-(source,
 split) stats. Every stage is the already-oracle-checked building block
-(text.with_quality_stats, dedup.minhash_pairs, curation's hash split);
+(text.with_quality_stats, dedup.star_pairs, curation's hash split);
 this query proves they COMPOSE — the DuckDB oracle recomputes the whole
 funnel in one statement from the same CTE builders.
 
@@ -26,8 +27,8 @@ from blog_snapshotbackup_azuredatalake_spark.operators.curation import (
 from blog_snapshotbackup_azuredatalake_spark.operators.dedup import (
     _hash60,
     grams_for,
-    minhash_pairs,
-    sql_minhash_pair_ctes,
+    sql_star_pair_ctes,
+    star_pairs,
 )
 from blog_snapshotbackup_azuredatalake_spark.operators.text import (
     sql_quality_ctes,
@@ -45,14 +46,15 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = with_quality_stats(docs).filter(
         F.col("quality_score") >= QUALITY_THRESHOLD
     )
-    # near-dup removal among survivors: drop the higher doc_id of each
-    # verified pair (canonical = smallest id in a duplicate cluster)
+    # near-dup removal among survivors: drop every verified non-anchor
+    # bucket member (canonical = the bucket-min anchor) — star edges,
+    # O(Σ bucket) instead of the all-pairs self-join
     drops = (
         # the narrow (doc_id, sh) fingerprint frame is consumed by the
         # band index and both verify sides — materialize it once (the
         # wide `kept` frame itself stays lazy: checkpointing text-bearing
         # rows measurably regresses)
-        minhash_pairs(grams_for(kept).localCheckpoint(eager=True))
+        star_pairs(grams_for(kept).localCheckpoint(eager=True))
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
@@ -83,7 +85,7 @@ WITH {sql_quality_ctes("(SELECT doc_id, text, source, n_chars FROM documents)")}
 kept AS (
   SELECT * FROM qscored WHERE quality_score >= {QUALITY_THRESHOLD}
 ),
-{sql_minhash_pair_ctes("kept")},
+{sql_star_pair_ctes("kept")},
 drops AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
 unique_docs AS (
   SELECT * FROM kept
@@ -125,7 +127,7 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quality_score") >= QUALITY_THRESHOLD
     )
     drops = (
-        minhash_pairs(grams_for(kept).localCheckpoint(eager=True))
+        star_pairs(grams_for(kept).localCheckpoint(eager=True))
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
@@ -161,7 +163,7 @@ WITH {sql_quality_ctes("(SELECT doc_id, text, source, n_chars FROM documents)")}
 kept AS (
   SELECT * FROM qscored WHERE quality_score >= {QUALITY_THRESHOLD}
 ),
-{sql_minhash_pair_ctes("kept")},
+{sql_star_pair_ctes("kept")},
 drops AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
 wide AS (
   SELECT (SELECT COUNT(*) FROM documents) AS n_raw,

@@ -1396,10 +1396,18 @@ def q_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     the previous day, and score MAE per type. Money-free integer
     pipeline: hourly actuals fold as floor-cents BIGINTs (never
     ROUND, §4), days/hours are pure epoch-int arithmetic, missing
-    hours on either side default to 0 via a full-outer join of the
-    two day slices. Two shuffles total — the hourly rollup (grid ∝
-    types × hours, not events) and the per-type fold; the events scan
-    is touched once."""
+    hours on either side default to 0 via conditional aggregation over
+    the two day slices (COUNT/SUM over CASE day=T vs day=T−1 — the
+    same grid a full-outer join of the slices would produce, in one
+    pass). The as-of day T = max(day) is a global window max over the
+    HOURLY GRID, not a driver-side collect: the grid is bounded by
+    construction (event types × hours of history — it grows with the
+    calendar, not the corpus), so the single-partition window exchange
+    moves kilobytes while the events scan happens exactly once in the
+    executed plan. A broadcast-scalar crossJoin (q_order_aging's
+    pattern) would also avoid the collect but re-scans the narrow asof
+    branch; the window form is structurally single-scan
+    (diag_plan_audit guards it)."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.expr(f"(ts div 1000) div {_DAY_US}").cast("bigint").alias("day"),
@@ -1411,18 +1419,28 @@ def q_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy("event_type", "day", "hour").agg(
         F.sum("cents").alias("actual_cents")
     )
-    last_day = hourly.agg(F.max("day").alias("d")).collect()[0]["d"]
-    test = hourly.filter(F.col("day") == last_day).select(
-        "event_type", "hour", "actual_cents"
-    )
-    train = hourly.filter(F.col("day") == last_day - 1).select(
-        "event_type", "hour", F.col("actual_cents").alias("pred_cents")
-    )
-    j = test.join(train, ["event_type", "hour"], "full_outer").select(
-        "event_type",
-        "hour",
-        F.coalesce("actual_cents", F.lit(0)).alias("a"),
-        F.coalesce("pred_cents", F.lit(0)).alias("p"),
+    j = (
+        hourly.withColumn(
+            "t", F.max("day").over(Window.partitionBy())
+        )
+        .filter(F.col("day") >= F.col("t") - 1)
+        .groupBy("event_type", "hour")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("day") == F.col("t"), F.col("actual_cents"))
+                ),
+                F.lit(0),
+            ).alias("a"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("day") == F.col("t") - 1, F.col("actual_cents")
+                    )
+                ),
+                F.lit(0),
+            ).alias("p"),
+        )
     )
     return j.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_hours"),
@@ -1827,6 +1845,205 @@ GROUP BY n_name
 """
 
 
+def q_order_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle — the retention-economics report
+    every subscription/commerce analytics stack ships: customers are
+    grouped by FIRST-order month (the cohort), and revenue folds per
+    (cohort month, months-since-first) cell. Month index is pure
+    integer calendar arithmetic (year·12 + month − 1 — identical in
+    both engines, no epoch division drift); revenue folds as
+    floor-cents BIGINTs (o_totalprice is a raw double; a double SUM
+    would be fold-order-dependent, §4). Two shuffles: the per-customer
+    min (map-side combinable) and the cohort-cell fold after a
+    shuffle join back on custkey — the standard cohort plan at any
+    scale; output is a bounded months×ages triangle."""
+    mo = "year(o_orderdate) * 12 + month(o_orderdate) - 1"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(mo).cast("bigint").alias("m"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    cohort = orders.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    return (
+        orders.join(cohort, "o_custkey")
+        .groupBy(
+            F.col("m0").alias("cohort_month"),
+            (F.col("m") - F.col("m0")).alias("month_age"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+
+
+_Q_COHORT_LTV_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+           AS m,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), cohort AS (SELECT o_custkey, MIN(m) AS m0 FROM o GROUP BY o_custkey)
+SELECT m0 AS cohort_month, m - m0 AS month_age,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM o JOIN cohort USING (o_custkey)
+GROUP BY 1, 2
+"""
+
+
+# log2 buckets as a generated integer CASE chain: floor(log2(n)) via
+# double log diverges at exact powers of two (ln(8)/ln(2) can land at
+# 2.9999999999999996), so the bucket edges are integer comparisons —
+# identical in both engines, codegen-friendly.
+_POW2_MAX = 24
+
+
+def _log2_bucket_sql(col: str) -> str:
+    cases = " ".join(
+        f"WHEN {col} >= {1 << b} THEN {b}"
+        for b in range(_POW2_MAX, 0, -1)
+    )
+    return f"CASE {cases} ELSE 0 END"
+
+
+def q_events_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration histogram: per-user event counts folded
+    into log2 buckets — the one-page answer to "is the event stream a
+    few power users or a broad base", the skew diagnostic run before
+    any per-user shuffle is sized. Per-user fold is map-side
+    combinable; the histogram fold runs on the user-count-sized
+    relation; output is ≤ {_POW2_MAX}+1 rows at any scale. Bucket
+    edges are integer CASE comparisons, not floor(log2) doubles (the
+    power-of-two boundary is exactly where libm log diverges)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    bucketed = per_user.select(
+        F.expr(_log2_bucket_sql("n")).cast("int").alias("log2_bucket"),
+        "n",
+    )
+    total = bucketed.groupBy().agg(F.sum("n").alias("n_total"))
+    return (
+        bucketed.groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n").alias("n_events"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "log2_bucket",
+            "n_users",
+            "n_events",
+            F.expr(
+                "n_events * 1000000 div greatest(n_total, 1L)"
+            ).alias("events_share_ppm"),
+        )
+    )
+
+
+def _q_power_users_sql() -> str:
+    return f"""
+WITH per_user AS (SELECT user_id, COUNT(*) AS n FROM events
+                  GROUP BY user_id),
+bucketed AS (SELECT CAST({_log2_bucket_sql("n")} AS INT) AS log2_bucket, n
+             FROM per_user),
+total AS (SELECT SUM(n) AS n_total FROM bucketed)
+SELECT log2_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(SUM(n) * 1000000 // GREATEST((SELECT n_total FROM total), 1)
+            AS BIGINT) AS events_share_ppm
+FROM bucketed GROUP BY log2_bucket
+"""
+
+
+BASKET_MIN_SUPPORT = 3  # pair must co-occur in ≥ this many orders
+BASKET_TOP_K = 20
+
+
+def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: top {BASKET_TOP_K} part pairs by LIFT
+    (P(u,v)/P(u)P(v)) with a support floor — the co-purchase
+    recommendation primitive. Pair counts come from the bounded
+    order-key self-join (order size ≤ 7 in this schema, so fanout is a
+    small constant — the graph substrate's edge shape, with counts);
+    lift divides identical integers in both engines so the double is
+    bit-portable, and the top-K is a fully-ordered (lift DESC, u, v)
+    limit — Spark executes it as distributed TakeOrdered, never a
+    global sort materialization."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = li.distinct()
+    # single-row order count rides in as a broadcast scalar — never a
+    # driver-side count(), which would run the basket scan as its own
+    # job and again on execute (the q_forecast_seasonal_naive lesson)
+    n_ord = baskets.select("l_orderkey").distinct().groupBy().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    part_cnt = baskets.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = baskets.select("l_orderkey", F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= BASKET_MIN_SUPPORT)
+    )
+    cu = part_cnt.select(F.col("l_partkey").alias("u"), F.col("cnt").alias("n_u"))
+    cv = part_cnt.select(F.col("l_partkey").alias("v"), F.col("cnt").alias("n_v"))
+    scored = (
+        pairs.join(cu, "u")
+        .join(cv, "v")
+        .crossJoin(F.broadcast(n_ord))
+        .select(
+            "u",
+            "v",
+            "n_both",
+            "n_u",
+            "n_v",
+            (
+                F.col("n_both").cast("double")
+                * F.col("n_orders").cast("double")
+                / (F.col("n_u") * F.col("n_v")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.asc("u"), F.asc("v")
+    ).limit(BASKET_TOP_K)
+
+
+_Q_BASKET_SQL = f"""
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_ord AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets),
+part_cnt AS (SELECT l_partkey, COUNT(*) AS cnt FROM baskets
+             GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n_both
+  FROM baskets a JOIN baskets b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT u, v, CAST(n_both AS BIGINT) AS n_both,
+       CAST(cu.cnt AS BIGINT) AS n_u, CAST(cv.cnt AS BIGINT) AS n_v,
+       CAST(n_both AS DOUBLE) * CAST((SELECT n_orders FROM n_ord) AS DOUBLE)
+         / CAST(cu.cnt * cv.cnt AS DOUBLE) AS lift
+FROM pairs
+JOIN part_cnt cu ON cu.l_partkey = u
+JOIN part_cnt cv ON cv.l_partkey = v
+ORDER BY lift DESC, u, v
+LIMIT {BASKET_TOP_K}
+"""
+
+
 QUERIES = {
     "q_forecast_seasonal_naive": q_forecast_seasonal_naive,
     "q_events_attribution": q_events_attribution,
@@ -1861,6 +2078,9 @@ QUERIES = {
     "q_events_sliding_dau": q_events_sliding_dau,
     "q_order_aging": q_order_aging,
     "q_customer_migration": q_customer_migration,
+    "q_order_cohort_ltv": q_order_cohort_ltv,
+    "q_events_power_users": q_events_power_users,
+    "q_basket_affinity": q_basket_affinity,
 }
 
 ORACLES = {
@@ -1897,4 +2117,7 @@ ORACLES = {
     "q_events_sliding_dau": _Q_SLIDING_DAU_SQL,
     "q_order_aging": _Q_AGING_SQL,
     "q_customer_migration": _Q_MIGRATION_SQL,
+    "q_order_cohort_ltv": _Q_COHORT_LTV_SQL,
+    "q_events_power_users": _q_power_users_sql(),
+    "q_basket_affinity": _Q_BASKET_SQL,
 }

@@ -220,6 +220,18 @@ def diag_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
          "BroadcastHashJoin" in pvq and "SortMergeJoin" not in pvq
          and "CartesianProduct" not in pvq)
     )
+    from blog_snapshotbackup_azuredatalake_spark.plans.analytics_ext import (
+        q_forecast_seasonal_naive,
+    )
+
+    # one scan NODE: "Scan parquet" prints once in the plan tree and
+    # once in the per-node detail section, so a single-scan plan
+    # contains the string exactly twice.
+    psn = plan_of(q_forecast_seasonal_naive(spark, sf_dir))
+    checks.append(
+        ("q_forecast_seasonal_naive", "single_events_scan",
+         psn.count("Scan parquet") == 2)
+    )
     return spark.createDataFrame(
         checks, "query string, plan_property string, ok boolean"
     )

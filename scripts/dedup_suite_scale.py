@@ -23,6 +23,7 @@ ENTRIES = [
     "dedup_ngram_jaccard",
     "dedup_containment",
     "dedup_substring",
+    "dedup_paragraph",
     "dedup_simhash",
     "dedup_embedding",
     "dedup_anchor_calibration",

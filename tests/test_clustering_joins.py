@@ -15,7 +15,7 @@ from blog_snapshotbackup_azuredatalake_spark.streaming.joins import (
 from tests.conftest import SF_DIR
 
 
-pytestmark = pytest.mark.slow  # excluded from the sub-3-min smoke gate
+pytestmark = pytest.mark.slow  # excluded from the ≈5¼-min smoke gate
 
 def test_kmeans_partitions_corpus_and_converges(spark):
     out = emb_kmeans(spark, SF_DIR).collect()

@@ -25,6 +25,20 @@ def test_cc_merges_chain(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (8, 8), (9, 8)}
 
 
+def test_cc_deep_chain_converges(spark):
+    # adversarial diameter: a 200-hop path. Plain min-label propagation
+    # moves one hop per round and would exhaust MAX_CC_ITERS=20 (the
+    # loud-fail raise); the pointer-jumping shortcut makes convergence
+    # O(log diameter), so the default budget must cover this easily.
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a bigint, doc_b bigint"
+    )
+    labels = graph.connected_components(pairs)
+    got = {(r["doc_id"], r["cluster_id"]) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(n + 1)}
+
+
 def test_cc_canonical_flag_counts(spark):
     out = graph.dedup_cluster_cc(spark, SF_DIR)
     n_clusters = out.select("cluster_id").distinct().count()
@@ -350,3 +364,9 @@ def test_cc_census_conserves_nodes(spark):
         assert r["min_size"] <= r["max_size"]
         assert len(str(r["min_size"])) == r["bucket"]
         assert len(str(r["max_size"])) == r["bucket"]
+
+
+@pytest.mark.parametrize("name", sorted(graph.ORACLES))
+def test_graph_matches_oracle(spark, ddb, name):
+    df = graph.QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(df, ddb, graph.ORACLES[name])

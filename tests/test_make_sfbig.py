@@ -17,7 +17,7 @@ from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
 from tests.conftest import SF_DIR
 
 
-pytestmark = pytest.mark.slow  # excluded from the sub-3-min smoke gate
+pytestmark = pytest.mark.slow  # excluded from the ≈5¼-min smoke gate
 
 def test_sfbig_generator_invariants(spark):
     out = tempfile.mkdtemp(prefix="sfbig_test_") + "/sf0.002"

@@ -1,8 +1,9 @@
 """Multimodal binary plumbing: schema, determinism, round-trip of the
 synthetic header through the mapInPandas decode."""
 
+import pytest
 from blog_snapshotbackup_azuredatalake_spark.operators import multimodal
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, assert_matches_oracle
 
 
 def test_decode_pipeline_round_trips_metadata(spark):
@@ -183,3 +184,12 @@ def test_decode_routes_real_containers_by_magic():
     assert multimodal._decode_payload(synth) == (
         "png", 32, 64, b"\x01" * 64
     )
+
+
+from blog_snapshotbackup_azuredatalake_spark.operators import multimodal as _mm
+
+
+@pytest.mark.parametrize("name", sorted(_mm.ORACLES))
+def test_multimodal_matches_oracle(spark, ddb, name):
+    df = _mm.QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(df, ddb, _mm.ORACLES[name])

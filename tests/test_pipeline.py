@@ -1,5 +1,7 @@
 """curate_corpus composite vs DuckDB oracle + funnel sanity."""
 
+import pytest
+
 from blog_snapshotbackup_azuredatalake_spark.operators import pipeline
 from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
 from tests.conftest import SF_DIR, assert_matches_oracle
@@ -42,3 +44,12 @@ def test_filter_funnel_is_monotone_and_consistent_with_curate(spark):
     # the funnel's final survivor count must equal curate_corpus mass
     curated = pipeline.curate_corpus(spark, SF_DIR).collect()
     assert surv[2] == sum(r["n_docs"] for r in curated)
+
+
+from blog_snapshotbackup_azuredatalake_spark.operators import pipeline as _pl
+
+
+@pytest.mark.parametrize("name", sorted(_pl.ORACLES))
+def test_pipeline_matches_oracle(spark, ddb, name):
+    df = _pl.QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(df, ddb, _pl.ORACLES[name])

@@ -281,3 +281,12 @@ def test_dq_reconciliation_counts_are_conserved(spark):
         assert r["n_reconciled"] <= r["n_orders"] - r["n_no_detail"]
         if r["sum_abs_diff_cents"] is not None:
             assert r["max_abs_diff_cents"] <= r["sum_abs_diff_cents"]
+
+
+import pytest
+
+
+@pytest.mark.parametrize("name", sorted(quality.ORACLES))
+def test_quality_matches_oracle(spark, ddb, name):
+    df = quality.QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(df, ddb, quality.ORACLES[name])

@@ -11,10 +11,10 @@ from blog_snapshotbackup_azuredatalake_spark.sources.sinks import (
     copy_table,
     verify_copy,
 )
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, assert_matches_oracle
 
 
-pytestmark = pytest.mark.slow  # excluded from the sub-3-min smoke gate
+pytestmark = pytest.mark.slow  # excluded from the ≈5¼-min smoke gate
 
 def test_copy_partitioned_with_manifest(spark, tmp_path):
     orders = load_table(spark, SF_DIR, "orders").withColumn(
@@ -158,3 +158,12 @@ def test_merge_schema_evolve_null_fills_v1(spark):
     assert r["n_rows"] == r["n_v1_rows"] + r["n_v2_rows"]
     assert r["n_v2_rows"] > 0 and r["n_v1_rows"] > r["n_v2_rows"]
     assert r["n_fields"] == 4
+
+
+from blog_snapshotbackup_azuredatalake_spark.sources import sinks as _si
+
+
+@pytest.mark.parametrize("name", sorted(_si.ORACLES))
+def test_sinks_matches_oracle(spark, ddb, name):
+    df = _si.QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(df, ddb, _si.ORACLES[name])

@@ -1,5 +1,7 @@
 """Portable-HLL sketch vs DuckDB oracle at sf0.001, plus accuracy."""
 
+import pytest
+
 from blog_snapshotbackup_azuredatalake_spark.operators import sketch
 from tests.conftest import SF_DIR, assert_matches_oracle
 
@@ -72,3 +74,12 @@ def test_kmv_estimates_within_bound(spark):
         exact, est = row[f"exact_{tag}"], row[f"est_{tag}"]
         assert est > 0
         assert abs(est - exact) <= max(0.35 * exact, 2.0)
+
+
+from blog_snapshotbackup_azuredatalake_spark.operators import sketch as _sk
+
+
+@pytest.mark.parametrize("name", sorted(_sk.ORACLES))
+def test_sketch_matches_oracle(spark, ddb, name):
+    df = _sk.QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(df, ddb, _sk.ORACLES[name])

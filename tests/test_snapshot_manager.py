@@ -7,10 +7,10 @@ import pytest
 
 from blog_snapshotbackup_azuredatalake_spark.operators.snapshot_manager import SnapshotManager
 from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, assert_matches_oracle
 
 
-pytestmark = pytest.mark.slow  # excluded from the sub-3-min smoke gate
+pytestmark = pytest.mark.slow  # excluded from the ≈5¼-min smoke gate
 
 @pytest.fixture()
 def mgr(spark, tmp_path):
@@ -289,3 +289,14 @@ def test_restore_drill_detects_tampering(spark, tmp_path):
         )
 
     assert fp(mgr.restore("orders", s1)) != fp(v1)
+
+
+from blog_snapshotbackup_azuredatalake_spark.operators import (
+    snapshot_manager as _sm,
+)
+
+
+@pytest.mark.parametrize("name", sorted(_sm.ORACLES))
+def test_snapshot_manager_matches_oracle(spark, ddb, name):
+    df = _sm.QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(df, ddb, _sm.ORACLES[name])

@@ -6,10 +6,10 @@ from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
     load_path,
     load_table,
 )
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, assert_matches_oracle
 
 
-pytestmark = pytest.mark.slow  # excluded from the sub-3-min smoke gate
+pytestmark = pytest.mark.slow  # excluded from the ≈5¼-min smoke gate
 
 def test_csv_round_trip(spark, tmp_path):
     nation = load_table(spark, SF_DIR, "nation")
@@ -85,3 +85,12 @@ def test_python_stream_source_drains_batchwise(spark):
     }
     total = sum(r["n_rows"] for r in rows)
     assert total == spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+
+from blog_snapshotbackup_azuredatalake_spark.sources import pysource as _ps
+
+
+@pytest.mark.parametrize("name", sorted(_ps.ORACLES))
+def test_pysource_matches_oracle(spark, ddb, name):
+    df = _ps.QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(df, ddb, _ps.ORACLES[name])

@@ -18,7 +18,7 @@ from blog_snapshotbackup_azuredatalake_spark.streaming import entries, joins
 from tests.conftest import SF_DIR, assert_matches_oracle
 
 
-pytestmark = pytest.mark.slow  # excluded from the sub-3-min smoke gate
+pytestmark = pytest.mark.slow  # excluded from the ≈5¼-min smoke gate
 
 def _events_schema(spark):
     return load_table(spark, SF_DIR, "events").schema

@@ -1645,8 +1645,155 @@ FROM sizes GROUP BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# local clustering coefficient (kNN graph — embedding-manifold quality)
+# ---------------------------------------------------------------------------
+
+
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient distribution of the corpus kNN
+    graph, reported per degree: cc(v) = 2·T(v)/(deg(v)·(deg(v)−1)) in
+    ppm fixed-point, averaged over nodes of equal degree. On a kNN
+    graph this is the embedding-manifold quality signal — high cc
+    means neighborhoods agree with each other (locally flat manifold),
+    low cc at high degree flags hub vectors whose neighbor lists are
+    semantic noise.
+
+    Per-node triangle counts need each triangle credited to ALL THREE
+    vertices, so unlike graph_triangle_count's pure census this plan
+    must EXPLODE the per-edge common-neighbor intersections — output
+    Θ(T) rows. That is affordable here BY CONSTRUCTION: knn edges are
+    degree-capped (k out-edges, bucket-occupancy-capped in-degree), so
+    T ≤ n·k² — linear in corpus size. On the unbounded co-purchase
+    graph exact local cc would inherit the Θ(m·√m) wall SCALING.md
+    documents for exact closure; there, the DOULION-style sampled
+    estimate (graph_triangle_estimate) is the scale path. Orientation,
+    adjacency, and intersect follow graph_triangle_count's
+    degree-oriented plan, applied to the session-cached knn edge
+    substrate (knn_edges_cached); deg<2 nodes are excluded (cc
+    undefined), triangle-free nodes report 0."""
+    e0 = knn_edges_cached(spark, sf_dir)
+    und = (
+        e0.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    lower_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias(
+                "src"
+            ),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias(
+                "dst"
+            ),
+        )
+    )
+    adj = o.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    )
+    nu = adj.select("src", F.col("nbrs").alias("nu"))
+    nv = adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nv"))
+    tri = (
+        o.join(nu, "src")
+        .join(nv, "dst")
+        .select(
+            "src", "dst", F.explode(F.array_intersect("nu", "nv")).alias("w")
+        )
+    )
+    credits = (
+        tri.select(F.col("src").alias("node"))
+        .unionByName(tri.select(F.col("dst").alias("node")))
+        .unionByName(tri.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    per_node = (
+        deg.filter(F.col("deg") >= 2)
+        .join(credits, "node", "left")
+        .select(
+            "deg",
+            F.expr(
+                "coalesce(t, 0L) * 2000000L div (deg * (deg - 1))"
+            ).alias("cc_ppm"),
+        )
+    )
+    return per_node.groupBy("deg").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.expr("sum(cc_ppm) div count(1)").alias("mean_cc_ppm"),
+        F.max("cc_ppm").alias("max_cc_ppm"),
+    ).select(F.col("deg").cast("int").alias("deg"), "n_nodes",
+             "mean_cc_ppm", "max_cc_ppm")
+
+
+def _clustering_coefficient_sql() -> str:
+    from blog_snapshotbackup_azuredatalake_spark.operators.similarity import (
+        _ANN_KNN_GRAPH_SQL,
+    )
+
+    return f"""
+WITH graph AS ({_ANN_KNN_GRAPH_SQL}),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM graph WHERE src <> dst
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und
+  ) GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND u < v)
+              THEN u ELSE v END AS src,
+         CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND u < v)
+              THEN v ELSE u END AS dst
+  FROM und JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v
+),
+tri AS (
+  SELECT euv.src, euv.dst, euw.dst AS w
+  FROM o euv
+  JOIN o euw ON euw.src = euv.src
+  JOIN o evw ON evw.src = euv.dst AND evw.dst = euw.dst
+),
+credits AS (
+  SELECT node, COUNT(*) AS t FROM (
+    SELECT src AS node FROM tri
+    UNION ALL SELECT dst FROM tri
+    UNION ALL SELECT w FROM tri
+  ) GROUP BY node
+),
+per_node AS (
+  SELECT d.deg,
+         COALESCE(c.t, 0) * 2000000 // (d.deg * (d.deg - 1)) AS cc_ppm
+  FROM deg d LEFT JOIN credits c ON c.node = d.node
+  WHERE d.deg >= 2
+)
+SELECT CAST(deg AS INT) AS deg,
+       COUNT(*) AS n_nodes,
+       CAST(SUM(cc_ppm) // COUNT(*) AS BIGINT) AS mean_cc_ppm,
+       CAST(MAX(cc_ppm) AS BIGINT) AS max_cc_ppm
+FROM per_node GROUP BY deg
+"""
+
+
 QUERIES = {
     "graph_assortativity": graph_assortativity,
+    "graph_clustering_coefficient": graph_clustering_coefficient,
     "graph_cc_census": graph_cc_census,
     "dedup_cluster_cc": dedup_cluster_cc,
     "dedup_cluster_sizes": dedup_cluster_sizes,
@@ -1664,6 +1811,7 @@ QUERIES = {
 }
 ORACLES = {
     "graph_assortativity": _ASSORTATIVITY_SQL,
+    "graph_clustering_coefficient": _clustering_coefficient_sql(),
     "graph_cc_census": _CC_CENSUS_SQL,
     "dedup_cluster_cc": _CLUSTER_CC_SQL,
     "dedup_cluster_sizes": _CLUSTER_SIZES_SQL,

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from blog_snapshotbackup_azuredatalake_spark.operators.dedup import (
     _dot_cos,
     _sign_bucket,
+    _sql_cos,
     _SQL_BUCKET,
     _SQL_COS,
 )
@@ -2494,8 +2495,103 @@ FROM negs n LEFT JOIN pos p USING (q_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# random-pair cosine calibration (SemDeDup / dedup threshold grounding)
+# ---------------------------------------------------------------------------
+
+CAL_PAIR_MOD = 4  # hash gate: expected 1/4 of vectors enter the sample
+CAL_PAIR_CAP = 1024  # hard cap on sampled vectors (512 pairs)
+CAL_COS_BUCKETS = 20  # histogram over [-1, 1] in 0.1 steps
+
+
+def emb_pair_cosine_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-distribution calibration for every cosine threshold in the
+    repo (SemDeDup is_dup, ann_range_search radius, knn edges): cosine
+    of ~{CAL_PAIR_CAP}/2 pseudo-random vector pairs, histogrammed over
+    [-1, 1] in {CAL_COS_BUCKETS} buckets. A threshold is meaningful
+    only relative to this background mass — if τ=0.92 sits above the
+    histogram's support, near-dup hits at 0.92 are signal, not chance.
+
+    Sampling is the audit-scale pattern of dedup_anchor_calibration:
+    a stateless md5 gate (keeps ~1/{CAL_PAIR_MOD} of vectors, pure map
+    filter, pushdown-friendly) followed by a HARD cap of
+    {CAL_PAIR_CAP} — the only global sort ever sees the gated sample
+    and the window is bounded by the cap, so cost is O(1) in corpus
+    size at any SF. Pairing is lead() over the capped md5 order
+    (consecutive ranks — md5 order decorrelates ids, so pairs are
+    effectively random); cosine is the shared bit-identical double
+    fold (`_dot_cos` ↔ `_sql_cos`)."""
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    gated = vecs.filter(
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15),
+               16, 10).cast("bigint") % CAL_PAIR_MOD == 0
+    ).select(
+        "vec_id",
+        "embedding",
+        F.md5(F.col("vec_id").cast("string")).alias("h"),
+    )
+    w = Window.orderBy("h", "vec_id")
+    sample = gated.select(
+        "vec_id", "embedding", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= CAL_PAIR_CAP)
+    paired = sample.select(
+        "rn",
+        "vec_id",
+        "embedding",
+        F.lead("vec_id").over(Window.orderBy("rn")).alias("b_id"),
+        F.lead("embedding").over(Window.orderBy("rn")).alias("b_emb"),
+    ).filter((F.col("rn") % 2 == 1) & F.col("b_id").isNotNull())
+    cos = _dot_cos(F.col("embedding"), F.col("b_emb"))
+    bucketed = paired.select(
+        F.least(
+            F.floor((cos + 1.0) / 0.1).cast("int"),
+            F.lit(CAL_COS_BUCKETS - 1),
+        ).alias("bucket")
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 0.1 - 1.0).alias("cos_lo"),
+            "n_pairs",
+        )
+    )
+
+
+_CAL_PAIR_SQL = f"""
+WITH gated AS (
+  SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h
+  FROM embeddings
+  WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+             AS BIGINT) % {CAL_PAIR_MOD} = 0
+), sample AS (
+  SELECT vec_id, embedding,
+         ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rn
+  FROM gated
+  QUALIFY rn <= {CAL_PAIR_CAP}
+), paired AS (
+  SELECT rn, embedding AS a_emb,
+         LEAD(vec_id) OVER (ORDER BY rn) AS b_id,
+         LEAD(embedding) OVER (ORDER BY rn) AS b_emb
+  FROM sample
+  QUALIFY rn % 2 = 1 AND b_id IS NOT NULL
+), buckets AS (
+  SELECT LEAST(CAST(FLOOR(({_sql_cos("a_emb", "b_emb")} + 1.0) / 0.1)
+                    AS INT), {CAL_COS_BUCKETS - 1}) AS bucket
+  FROM paired
+)
+SELECT bucket, bucket * 0.1e0 - 1.0e0 AS cos_lo,
+       COUNT(*) AS n_pairs
+FROM buckets GROUP BY bucket
+"""
+
+
 QUERIES = {
     "emb_hard_negatives": emb_hard_negatives,
+    "emb_pair_cosine_calibration": emb_pair_cosine_calibration,
     "ann_hybrid_rrf": ann_hybrid_rrf,
     "ann_range_search": ann_range_search,
     "emb_label_knn_classify": emb_label_knn_classify,
@@ -2521,6 +2617,7 @@ QUERIES = {
 
 ORACLES = {
     "emb_hard_negatives": _HARD_NEG_SQL,
+    "emb_pair_cosine_calibration": _CAL_PAIR_SQL,
     "ann_hybrid_rrf": _hybrid_rrf_sql(),
     "ann_range_search": _ANN_RANGE_SQL,
     "emb_label_knn_classify": _KNN_CLASSIFY_SQL,

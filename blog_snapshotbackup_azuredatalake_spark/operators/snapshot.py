@@ -1875,7 +1875,107 @@ FROM p LEFT JOIN r ON p.month = r.month
 """
 
 
+# ---------------------------------------------------------------------------
+# deletion vectors (merge-on-read): read-path stats per file
+# ---------------------------------------------------------------------------
+
+DV_FILE_SPAN = 4096  # orderkeys per synthetic base file
+DV_DELETE_MOD = 37  # hash gate: ~1/37 of rows carry a deletion-vector bit
+
+
+def snap_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletion vectors (the Delta/Iceberg v2 read path):
+    a base snapshot's rows live in immutable files; deletes don't
+    rewrite files, they record (file, row-key) tombstones, and every
+    reader anti-joins the tombstone set at scan time. Base files are
+    modeled as orderkey spans of lineitem ({DV_FILE_SPAN} keys/file —
+    the same synthetic-file device as snap_partition_stats); the DV is
+    a deterministic md5 gate over (orderkey, linenumber) standing in
+    for an arbitrary predicate delete. The report is the table each
+    compactor works from: per-file row count, tombstone count, live
+    count, and deleted share in ppm — files past a rewrite threshold
+    are exactly the ones a maintenance job would rewrite. Both sides
+    compute the file id in the scan projection, so the anti-join is
+    co-partitioned on file_id+key with NO extra shuffle beyond the one
+    the join itself needs; tombstones are (file_id, 2 bigints) — the
+    100 TB read overhead is the DV's size, not the table's."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr(f"l_orderkey div {DV_FILE_SPAN}").alias("file_id"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % DV_DELETE_MOD
+        == 0
+    )
+    dv = li.filter(gate)
+    live = li.join(
+        dv.select("l_orderkey", "l_linenumber"),
+        ["l_orderkey", "l_linenumber"],
+        "left_anti",
+    )
+    base_stats = li.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    dv_stats = dv.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_deleted")
+    )
+    live_stats = live.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_live")
+    )
+    return (
+        base_stats.join(dv_stats, "file_id", "left")
+        .join(live_stats, "file_id", "left")
+        .select(
+            "file_id",
+            "n_rows",
+            F.coalesce("n_deleted", F.lit(0)).alias("n_deleted"),
+            F.coalesce("n_live", F.lit(0)).alias("n_live"),
+            F.expr(
+                "coalesce(n_deleted, 0L) * 1000000L div n_rows"
+            ).alias("deleted_ppm"),
+        )
+    )
+
+
+_DV_SQL = f"""
+WITH li AS (
+  SELECT CAST(l_orderkey // {DV_FILE_SPAN} AS BIGINT) AS file_id,
+         l_orderkey, l_linenumber,
+         CAST(concat('0x', substr(md5(concat_ws('|',
+              CAST(l_orderkey AS VARCHAR),
+              CAST(l_linenumber AS VARCHAR))), 1, 15)) AS BIGINT)
+           % {DV_DELETE_MOD} = 0 AS deleted
+  FROM lineitem
+)
+SELECT file_id,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN deleted THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_deleted,
+       CAST(SUM(CASE WHEN deleted THEN 0 ELSE 1 END) AS BIGINT) AS n_live,
+       CAST(SUM(CASE WHEN deleted THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS deleted_ppm
+FROM li GROUP BY file_id
+"""
+
+
 QUERIES = {
+    "snap_deletion_vectors": snap_deletion_vectors,
     "snap_cross_region_lag": snap_cross_region_lag,
     "snap_ttl_enforce": snap_ttl_enforce,
     "snap_branch_merge": snap_branch_merge,
@@ -1900,6 +2000,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "snap_deletion_vectors": _DV_SQL,
     "snap_cross_region_lag": _CROSS_REGION_LAG_SQL,
     "snap_ttl_enforce": _SNAP_TTL_SQL,
     "snap_branch_merge": _SNAP_BRANCH_MERGE_SQL,

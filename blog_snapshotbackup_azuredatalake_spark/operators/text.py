@@ -1891,8 +1891,79 @@ GROUP BY a.source, b.source
 """
 
 
+# ---------------------------------------------------------------------------
+# hashed linear quality classifier (the fastText-filter shape)
+# ---------------------------------------------------------------------------
+
+CLS_WEIGHT_MOD = 2001  # token weight ∈ [0, 2000] milli-units
+CLS_KEEP_MILLI = 1000  # keep if mean token weight ≥ 1.0 (the prior mean)
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear text-quality classifier over hashed unigram features —
+    the production corpus-filter shape (fastText / CCNet quality
+    models): weight(token) = md5-hash-bucketed lookup, doc score =
+    mean token weight, keep iff score ≥ threshold. The weights here
+    are derived from the hash itself (a deterministic stand-in for a
+    trained table; swapping in real weights is a broadcast-map join
+    with identical shape/cost), which keeps the entry oracle-checkable
+    on any engine. Scoring is `F.aggregate` over the split-token
+    array — per-row JVM arithmetic, NO explode and NO shuffle of the
+    corpus; the only shuffle is the final ≤|sources| groupBy, so at
+    100 TB the classifier runs as a pure map stage. Weights and scores
+    stay in integer milli-units end-to-end (nonnegative, so integral
+    `div` is floor on every engine); keep-rate is ppm fixed-point."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        F.expr(
+            f"aggregate(split(text, ' '), 0L, (acc, t) -> acc + "
+            f"cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint) "
+            f"% {CLS_WEIGHT_MOD}) div size(split(text, ' '))"
+        ).alias("milli_score"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("milli_score") >= CLS_KEEP_MILLI).cast("bigint")
+            ).alias("n_keep"),
+            F.sum("milli_score").alias("sum_milli"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_keep",
+            F.expr("n_keep * 1000000L div n_docs").alias("keep_ppm"),
+            F.expr("sum_milli div n_docs").alias("mean_milli_score"),
+        )
+    )
+
+
+_CLS_SQL = f"""
+WITH scored AS (
+  SELECT source,
+         list_sum(list_transform(string_split(text, ' '),
+           t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+                % {CLS_WEIGHT_MOD}))
+           // len(string_split(text, ' ')) AS milli_score
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN milli_score >= {CLS_KEEP_MILLI} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_keep,
+       CAST(SUM(CASE WHEN milli_score >= {CLS_KEEP_MILLI} THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS keep_ppm,
+       CAST(SUM(milli_score) // COUNT(*) AS BIGINT) AS mean_milli_score
+FROM scored GROUP BY source
+"""
+
+
 QUERIES = {
     "text_source_tv_divergence": text_source_tv_divergence,
+    "text_quality_classifier": text_quality_classifier,
     "text_zipf_topmass": text_zipf_topmass,
     "text_char_diversity": text_char_diversity,
     "text_cooccurrence": text_cooccurrence,
@@ -1917,6 +1988,7 @@ QUERIES = {
 
 ORACLES = {
     "text_source_tv_divergence": _TV_DIVERGENCE_SQL,
+    "text_quality_classifier": _CLS_SQL,
     "text_zipf_topmass": _ZIPF_TOPMASS_SQL,
     "text_char_diversity": _CHAR_DIVERSITY_SQL,
     "text_cooccurrence": _COOC_SQL,

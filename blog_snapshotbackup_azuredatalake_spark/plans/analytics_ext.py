@@ -2044,8 +2044,162 @@ LIMIT {BASKET_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# revenue concentration (Pareto bands)
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue concentration as a banded Pareto report: each
+    customer's lifetime revenue (exact DECIMAL cents) is bucketed by
+    its decimal magnitude (digit count of the cents total — an exact
+    integer band, no logs), and each band reports customer count, band
+    revenue, and the cumulative revenue share in ppm from the richest
+    band down. The classic Pareto curve needs a TOTAL order over
+    customers — a single-partition window over every customer, which
+    dies at 100 TB; banding first caps the ordered set at ~15 rows
+    (digit counts of a bigint), so the cumulative window is O(1)
+    regardless of customer count. Revenue agg is one orderkey→custkey
+    shuffle pair; ppm is integer fixed-point (`div`), never a float
+    ratio, so the hash matches any engine bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", _rev().alias("rev")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev").alias("rev"))
+        .select(
+            # explicit floor: a bare decimal->bigint cast truncates on
+            # some engines and rounds on others
+            F.floor(F.col("rev") * 100).cast("bigint").alias("cents")
+        )
+        .filter(F.col("cents") > 0)
+    )
+    bands = (
+        per_cust.groupBy(
+            F.length(F.col("cents").cast("string")).alias("band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").alias("band_cents"),
+        )
+    )
+    return bands.select(
+        F.col("band").cast("int").alias("band"),
+        "n_customers",
+        "band_cents",
+        # decimal(38,0) intermediate: cum*1e6 overflows bigint past ~sf3
+        F.expr(
+            "cast(sum(band_cents) over (order by band desc "
+            "rows between unbounded preceding and current row) "
+            "as decimal(38,0)) * 1000000 div sum(band_cents) over ()"
+        )
+        .cast("bigint")
+        .alias("cum_share_ppm"),
+    )
+
+
+_Q_CONCENTRATION_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(floor(SUM({_SQL_REV}) * 100) AS BIGINT) AS cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey
+  HAVING CAST(floor(SUM({_SQL_REV}) * 100) AS BIGINT) > 0
+), bands AS (
+  SELECT length(CAST(cents AS VARCHAR)) AS band,
+         COUNT(*) AS n_customers,
+         SUM(cents) AS band_cents
+  FROM per_cust GROUP BY band
+)
+SELECT CAST(band AS INT) AS band,
+       CAST(n_customers AS BIGINT) AS n_customers,
+       CAST(band_cents AS BIGINT) AS band_cents,
+       CAST(CAST(SUM(band_cents) OVER (ORDER BY band DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS HUGEINT) * 1000000 // SUM(band_cents) OVER () AS BIGINT)
+         AS cum_share_ppm
+FROM bands
+"""
+
+
+# ---------------------------------------------------------------------------
+# weekday × hour activity heatmap with z-scores
+# ---------------------------------------------------------------------------
+
+
+def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event activity heatmap: counts per (day-of-week × hour-of-day)
+    cell with each cell's z-score against the 168-cell grid (the
+    ops-dashboard \"when is traffic unusual\" matrix). Both moments are
+    computed from EXACT integer counts (Σc, Σc² as bigints), so mean/
+    variance/z are single deterministic double expressions — no
+    order-dependent float accumulation, the cross-engine hash is safe.
+    One groupBy to ≤168 cells (partial-agg collapses executor-side);
+    the moment pass is over those 168 rows via a broadcast scalar —
+    the events scan happens once. dow/hod come from integer epoch
+    arithmetic on the catalog's epoch-ns `ts` (1970-01-01 = Thursday →
+    `(day+4)%7+1` is Spark's 1=Sunday convention), so no timezone or
+    calendar function can diverge across engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("cast((ts div 86400000000000 + 4) % 7 + 1 as int)").alias(
+            "dow"
+        ),
+        F.expr("cast((ts % 86400000000000) div 3600000000000 as int)").alias(
+            "hod"
+        ),
+    )
+    cells = ev.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    stats = cells.agg(
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    mean = F.col("s1").cast("double") / F.col("k")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("k")
+    ) / F.col("k")
+    return cells.crossJoin(F.broadcast(stats)).select(
+        F.col("dow").cast("int").alias("dow"),
+        F.col("hod").cast("int").alias("hod"),
+        "n_events",
+        ((F.col("n_events") - mean) / F.sqrt(var)).alias("zscore"),
+    )
+
+
+_Q_HEATMAP_SQL = """
+WITH cells AS (
+  SELECT CAST((epoch_ns(ts) // 86400000000000 + 4) % 7 + 1 AS INT) AS dow,
+         CAST((epoch_ns(ts) % 86400000000000) // 3600000000000 AS INT)
+           AS hod,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT SUM(n_events) AS s1,
+         SUM(n_events * n_events) AS s2,
+         COUNT(*) AS k
+  FROM cells
+)
+SELECT CAST(dow AS INT) AS dow, CAST(hod AS INT) AS hod,
+       CAST(n_events AS BIGINT) AS n_events,
+       (n_events - CAST(s1 AS DOUBLE) / k)
+         / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k) / k)
+         AS zscore
+FROM cells, stats
+"""
+
+
 QUERIES = {
     "q_forecast_seasonal_naive": q_forecast_seasonal_naive,
+    "q_revenue_concentration": q_revenue_concentration,
+    "q_activity_heatmap": q_activity_heatmap,
     "q_events_attribution": q_events_attribution,
     "q_rfm_segments": q_rfm_segments,
     "q_events_user_paths": q_events_user_paths,
@@ -2085,6 +2239,8 @@ QUERIES = {
 
 ORACLES = {
     "q_forecast_seasonal_naive": _Q_SEASONAL_SQL,
+    "q_revenue_concentration": _Q_CONCENTRATION_SQL,
+    "q_activity_heatmap": _Q_HEATMAP_SQL,
     "q_events_attribution": _Q_ATTRIBUTION_SQL,
     "q_rfm_segments": _Q_RFM_SQL,
     "q_events_user_paths": _Q_USER_PATHS_SQL,

@@ -40,6 +40,10 @@ def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfbig/sf1"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    # optional 4th arg: comma-separated table subset (e.g. a dedup-suite
+    # run only needs documents,embeddings — skipping lineitem saves
+    # ~15 GB and most of the generation time at factor 600)
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
 
     sys.path.insert(
         0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -75,6 +79,8 @@ def main() -> None:
     stride = KEY_OFFSET * (gmax // KEY_OFFSET + 1)
 
     for t, keys in SHIFTS.items():
+        if only is not None and t not in only:
+            continue
         base = load_table(spark, src, t)
         copies = []
         for i in range(factor):

@@ -51,6 +51,23 @@ DEFAULT_NAMES = [
     "q_customer_migration",
     "snap_cross_region_lag",
     "stream_enrich_scd2",
+    # round-5 final batch (capped pair contracts + new reports)
+    "dedup_paragraph",
+    "dedup_threshold_curve",
+    "graph_triangle_estimate",
+    "q_order_cohort_ltv",
+    "q_events_power_users",
+    "q_basket_affinity",
+    # re-spot post-cap (successor contracts; dedup_minhash already above)
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    # round-6 batch 1
+    "q_revenue_concentration",
+    "q_activity_heatmap",
+    "text_quality_classifier",
+    "emb_pair_cosine_calibration",
+    "snap_deletion_vectors",
+    "graph_clustering_coefficient",
 ]
 
 

@@ -32,6 +32,12 @@ def _registry() -> tuple[dict, dict]:
         modules.append(analytics_ext)
     except ImportError:
         pass
+    try:
+        import blog_snapshotbackup_azuredatalake_spark.plans.timeseries as timeseries
+
+        modules.append(timeseries)
+    except ImportError:
+        pass
     try:  # modules land incrementally; keep the contract importable always
         import blog_snapshotbackup_azuredatalake_spark.operators.snapshot as snapshot
 

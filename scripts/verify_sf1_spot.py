@@ -68,6 +68,17 @@ DEFAULT_NAMES = [
     "emb_pair_cosine_calibration",
     "snap_deletion_vectors",
     "graph_clustering_coefficient",
+    # round-6 batch 2 (time-series / behavioral suite)
+    "q_events_cusum",
+    "q_autocorr_daily",
+    "q_shipping_sla",
+    "q_interarrival_stats",
+    "q_hhi_supplier",
+    "q_discount_elasticity",
+    "q_user_diversity",
+    "q_repeat_purchase_interval",
+    "q_percentile_bands",
+    "q_ewma_hourly",
 ]
 
 

@@ -3,7 +3,11 @@ driver's hash gate tolerates zero drift, so the local gate does too)."""
 
 import pytest
 
-from blog_snapshotbackup_azuredatalake_spark.plans import analytics, analytics_ext
+from blog_snapshotbackup_azuredatalake_spark.plans import (
+    analytics,
+    analytics_ext,
+    timeseries,
+)
 from tests.conftest import SF_DIR, assert_matches_oracle
 
 
@@ -77,3 +81,9 @@ def test_grouping_sets_skips_unrequested_rollup(spark):
     assert total[0]["n_orders"] == sum(
         r["n_orders"] for r in out if r["gid"] == 0
     )
+
+
+@pytest.mark.parametrize("name", sorted(timeseries.QUERIES))
+def test_timeseries_matches_oracle(spark, ddb, name):
+    df = timeseries.QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(df, ddb, timeseries.ORACLES[name])

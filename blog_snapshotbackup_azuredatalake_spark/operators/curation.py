@@ -2289,7 +2289,83 @@ FROM marked GROUP BY source
 """
 
 
+def emb_diversity_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding diversity: EXACT average pairwise cosine in
+    O(n·d) via the moment identity ``Σ_{i≠j} u_i·u_j = ||Σu||² −
+    Σ||u_i||²`` — the 100 TB replacement for the O(n²) pairwise pass
+    (SemDeDup-style cluster-tightness audits need exactly this number,
+    and a million-vector label would cost 5·10¹¹ pairs naively; here
+    the corpus is touched once).
+
+    Parity: elements quantize to floor(x·2¹⁴) BIGINT (embeddings are
+    unit-norm, so bias ≈ 2⁻¹³ on a cosine), per-(label,dim) sums are
+    exact integers, ||Σq||² folds those 64 values in DECIMAL(38,0)
+    (order-free), and the one decimal→double conversion goes through a
+    string cast (DuckDB's direct cast double-rounds past 2^53 —
+    q_autocorr_daily's sf1 lesson). Also emits the centroid norm (mean
+    resultant length — the label's internal coherence).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("x").cast("double") * F.lit(16384)).cast("bigint").alias("q"),
+    )
+    per_ld = dims.groupBy("label", "dim").agg(F.sum("q").alias("s"))
+    dec = F.col("s").cast("decimal(19,0)")
+    sumsq = per_ld.groupBy("label").agg(
+        F.sum(dec * dec).alias("ssq"),
+    )
+    norms = dims.groupBy("label").agg(
+        F.sum(F.col("q") * F.col("q")).alias("qq"),
+        (F.count(F.lit(1)) / F.lit(64)).cast("bigint").alias("n"),
+    )
+    j = sumsq.join(norms, "label")
+    ssq_d = F.col("ssq").cast("string").cast("double")
+    qq_d = F.col("qq").cast("double")
+    dn = F.col("n").cast("double")
+    q2 = F.lit(float(16384 * 16384))
+    return j.select(
+        "label",
+        F.col("n").alias("n_vectors"),
+        ((ssq_d - qq_d) / (dn * (dn - F.lit(1.0)) * q2)).alias(
+            "avg_pairwise_cosine"
+        ),
+        (F.sqrt(ssq_d) / (dn * F.lit(16384.0))).alias("centroid_norm"),
+    )
+
+
+_EMB_DIVERSITY_SQL = """
+WITH dims AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 16384) AS BIGINT) AS q
+  FROM embeddings
+), per_ld AS (
+  SELECT label, dim, CAST(SUM(q) AS BIGINT) AS s
+  FROM dims GROUP BY 1, 2
+), sumsq AS (
+  SELECT label,
+         SUM(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))) AS ssq
+  FROM per_ld GROUP BY 1
+), norms AS (
+  SELECT label, CAST(SUM(q * q) AS BIGINT) AS qq,
+         CAST(COUNT(*) // 64 AS BIGINT) AS n
+  FROM dims GROUP BY 1
+)
+SELECT label, n AS n_vectors,
+       (CAST(CAST(ssq AS VARCHAR) AS DOUBLE) - CAST(qq AS DOUBLE))
+         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * 268435456.0)
+         AS avg_pairwise_cosine,
+       sqrt(CAST(CAST(ssq AS VARCHAR) AS DOUBLE))
+         / (CAST(n AS DOUBLE) * 16384.0) AS centroid_norm
+FROM sumsq JOIN norms USING (label)
+"""
+
+
 QUERIES = {
+    "emb_diversity_moment": emb_diversity_moment,
     "corpus_dup_inflation": corpus_dup_inflation,
     "corpus_near_dup_inflation": corpus_near_dup_inflation,
     "corpus_version_diff": corpus_version_diff,
@@ -2317,6 +2393,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_diversity_moment": _EMB_DIVERSITY_SQL,
     "corpus_dup_inflation": _DUP_INFLATION_SQL,
     "corpus_near_dup_inflation": _near_dup_inflation_sql(),
     "corpus_version_diff": _VERSION_DIFF_SQL,

@@ -540,6 +540,80 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PPR_SEEDS = 16
+PPR_ITERS = 6
+
+
+def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart) over the kNN
+    similarity graph from a deterministic seed set — the retrieval-
+    expansion / semantic-neighborhood score that global PageRank can't
+    give: teleport mass returns to the SEEDS, so rank measures
+    proximity to the seed community rather than global centrality.
+
+    Seeds are the {PPR_SEEDS} lowest node ids in the edge list
+    (deterministic across engines and runs; the fixture convention for
+    "the query's cluster"). Same fixed-iteration shape as
+    graph_pagerank: per round one edge-keyed join + one dst-keyed sum,
+    edge-list-sized, lineage cut per round; the restart vector is a
+    broadcast-joined seed relation, never a driver-side loop. At 100 TB
+    the per-round cost is one shuffle of the n·k edge list — the
+    embedding payload is never touched after graph build. Rows-only
+    entry: iterated double sums are fold-order-dependent (same class
+    as graph_pagerank / emb_kmeans)."""
+    edges = knn_edges_cached(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seeds = (
+        nodes.orderBy("id")
+        .limit(PPR_SEEDS)
+        .select("id", F.lit(True).alias("is_seed"))
+        .localCheckpoint(eager=True)
+    )
+    n_seeds = seeds.count()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+    d = PAGERANK_DAMPING
+    restart = F.when(F.col("is_seed"), F.lit((1.0 - d) / n_seeds)).otherwise(
+        F.lit(0.0)
+    )
+    base = nodes.join(F.broadcast(seeds), "id", "left").select(
+        "id", F.coalesce("is_seed", F.lit(False)).alias("is_seed")
+    )
+    ranks = base.select(
+        "id",
+        "is_seed",
+        F.when(F.col("is_seed"), F.lit(1.0 / n_seeds))
+        .otherwise(F.lit(0.0))
+        .alias("rank"),
+    )
+    for _ in range(PPR_ITERS):
+        contrib = ed.join(ranks, ed.src == ranks.id).select(
+            F.col("dst").alias("id"),
+            (F.col("rank") / F.col("out_deg")).alias("c"),
+        )
+        ranks = (
+            base.join(
+                contrib.groupBy("id").agg(F.sum("c").alias("s")), "id", "left"
+            )
+            .select(
+                "id",
+                "is_seed",
+                (restart + F.lit(d) * F.coalesce("s", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("id").alias("vec_id"), "is_seed", "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # link prediction on the k-NN graph (common out-neighbors)
 # ---------------------------------------------------------------------------
@@ -1800,6 +1874,7 @@ QUERIES = {
     "corpus_split_leakage_safe": corpus_split_leakage_safe,
     "dedup_keep_best": dedup_keep_best,
     "graph_pagerank": graph_pagerank,
+    "graph_ppr": graph_ppr,
     "graph_link_predict": graph_link_predict,
     "graph_triangle_count": graph_triangle_count,
     "graph_triangle_estimate": graph_triangle_estimate,

@@ -75,6 +75,63 @@ _DQ_PROFILE_SQL = "\nUNION ALL\n".join(
 )
 
 
+# (column, SQL emptiness predicate) pairs for the per-source
+# completeness matrix — "empty" is the domain-specific degenerate
+# value a NULL check misses
+_COMPLETENESS_COLS = (
+    ("text", "length(text) = 0"),
+    ("lang", "length(lang) = 0"),
+    ("n_chars", "n_chars <= 0"),
+)
+
+
+def dq_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, column) completeness matrix over documents: NULL
+    count, domain-empty count (zero-length strings, non-positive
+    n_chars — degeneracies a NULL check misses), and usable-rows ppm.
+    The ingest dashboard that says WHICH feed dropped WHICH field.
+
+    dq_profile is the per-column global profile; this is the grouped
+    matrix — one scan, one groupBy(source) with conditional aggregates
+    (partial-agg collapses executor-side to #sources rows), stacked to
+    long format afterwards. The ppm is integer floor-division of exact
+    counts — no float anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, empty in _COMPLETENESS_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(
+            F.sum(F.expr(f"case when {empty} then 1 else 0 end")).alias(
+                f"ne_{c}"
+            )
+        )
+    one = docs.groupBy("source").agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_rows, n_rows - nn_{c}, ne_{c},"
+        f" (nn_{c} - ne_{c}) * 1000000 div n_rows"
+        for c, _ in _COMPLETENESS_COLS
+    )
+    return one.select(
+        "source",
+        F.expr(
+            f"stack({len(_COMPLETENESS_COLS)}, {stack_args}) "
+            "as (col_name, n_rows, n_nulls, n_empty, complete_ppm)"
+        ),
+    )
+
+
+_DQ_COMPLETENESS_SQL = "\nUNION ALL\n".join(
+    f"SELECT source, '{c}' AS col_name, COUNT(*) AS n_rows,"
+    f" COUNT(*) - COUNT({c}) AS n_nulls,"
+    f" CAST(SUM(CASE WHEN {empty} THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,"
+    f" CAST((COUNT({c}) - SUM(CASE WHEN {empty} THEN 1 ELSE 0 END))"
+    f" * 1000000 // COUNT(*) AS BIGINT) AS complete_ppm"
+    f" FROM documents GROUP BY source"
+    for c, empty in _COMPLETENESS_COLS
+)
+
+
 # target compacted-file size; small enough that sf0.01 produces
 # multi-file groups, the planner's math is size-independent
 COMPACT_TARGET_BYTES = 128 * 1024
@@ -1343,6 +1400,7 @@ FROM {src}"""
 
 
 QUERIES = {
+    "dq_completeness": dq_completeness,
     "dq_rule_violations": dq_rule_violations,
     "dq_reconciliation": dq_reconciliation,
     "dq_benford": dq_benford,
@@ -1363,6 +1421,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dq_completeness": _DQ_COMPLETENESS_SQL,
     "dq_rule_violations": _rule_violations_sql(),
     "dq_reconciliation": _DQ_RECONCILIATION_SQL,
     "dq_benford": _benford_sql(),

@@ -79,6 +79,8 @@ DEFAULT_NAMES = [
     "q_repeat_purchase_interval",
     "q_percentile_bands",
     "q_ewma_hourly",
+    "emb_diversity_moment",
+    "dq_completeness",
 ]
 
 

@@ -160,6 +160,31 @@ def test_pagerank_invariants(spark):
         assert top["rank"] > floor
 
 
+def test_ppr_invariants(spark):
+    rows = graph.graph_ppr(spark, SF_DIR).collect()
+    assert rows, "knn graph should yield nodes at sf0.001"
+    assert len({r["vec_id"] for r in rows}) == len(rows), "one row per node"
+    seeds = [r for r in rows if r["is_seed"]]
+    assert len(seeds) == min(graph.PPR_SEEDS, len(rows))
+    # seeds are the lowest node ids (the deterministic seed contract)
+    seed_ids = sorted(r["vec_id"] for r in seeds)
+    assert seed_ids == sorted(r["vec_id"] for r in rows)[: len(seeds)]
+    # restart mass keeps total rank in ((1-d), 1]; only dangling leaks
+    total = sum(r["rank"] for r in rows)
+    d = graph.PAGERANK_DAMPING
+    assert (1.0 - d) - 1e-9 <= total <= 1.0 + 1e-9, total
+    # personalization: rank mass concentrates near the seed community —
+    # the mean seed rank must beat the mean non-seed rank
+    non = [r for r in rows if not r["is_seed"]]
+    if non:
+        assert sum(r["rank"] for r in seeds) / len(seeds) > sum(
+            r["rank"] for r in non
+        ) / len(non)
+    # every non-seed's rank comes only from walk mass (no teleport term)
+    for r in non:
+        assert r["rank"] >= 0.0
+
+
 def test_link_predict_pairs_are_novel_and_share_neighbors(spark):
     from blog_snapshotbackup_azuredatalake_spark.operators import graph
     from blog_snapshotbackup_azuredatalake_spark.operators.similarity import (

@@ -982,13 +982,16 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return ws.map(seg_len)
 
-    # no broadcast hint: seg is vocabulary-sized (could be 10⁹ rows at
-    # 100 TB) — AQE promotes the join to broadcast at runtime when the
-    # built side is actually small, and falls back to shuffle-hash on w
-    # when it isn't.
+    # merge hint, not a broadcast decision: seg is vocabulary-sized
+    # (could be 10⁹ rows at 100 TB) and toked's STATIC size estimate is
+    # the pre-explode scan size, so leaving the choice to the static
+    # planner risks broadcasting the exploded token stream (the
+    # text_cooccurrence crash class). SMJ on w is the safe default;
+    # AQE still upgrades to broadcast at runtime when seg is truly
+    # small.
     seg = words.select("w", _n_bpe("w").alias("n_bpe"))
     return (
-        toked.join(seg, "w")
+        toked.hint("merge").join(seg, "w")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("total_ws_tokens"),
@@ -1371,8 +1374,14 @@ def text_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.explode("sh").alias("gram"))
     )
     first = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    # merge hint: g's static size estimate is the checkpoint's
+    # COMPRESSED storage (explode expansion invisible), so the planner
+    # broadcast the 12.1 GiB exploded gram stream at sf30 — the
+    # text_cooccurrence crash class. Both sides are gram-scale; SMJ
+    # shuffles on gram and spills gracefully (AQE still upgrades to
+    # broadcast at runtime if a side is truly small).
     per_doc = (
-        g.join(first, "gram")
+        g.hint("merge").join(first, "gram")
         .groupBy("doc_id", "source")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -1480,8 +1489,10 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.explode("sh").alias("gram"))
     )
     dfreq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    # merge hint: same estimate-blindness crash class as
+    # text_gram_novelty / text_cooccurrence (see those comments)
     per_doc = (
-        g.join(dfreq, "gram")
+        g.hint("merge").join(dfreq, "gram")
         .groupBy("doc_id", "source")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -1567,41 +1578,35 @@ def text_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed co-occurrence counts — the matrix build under
     GloVe-family static embeddings and PMI keyword mining: unordered
     token pairs within a {COOC_WINDOW}-token window, corpus-aggregated,
-    top-{COOC_TOP_N}. The pair generation is an EQUI-join on
-    (doc_id, pos + off) with off exploded 1..{COOC_WINDOW} — cost
-    n·window, never the per-doc position cross-product a range-condition
-    join would plan (doc_len² per doc kills this at book-length docs);
-    map-side combine collapses each executor's pair counts before the
-    one vocabulary²-bounded shuffle. Final top-N is two-phase (per-w1
-    prune, then a tiny global window)."""
+    top-{COOC_TOP_N}. Pair generation is PER-DOC ARRAY LAMBDAS
+    (transform + slice over the token array) — no join at all: the
+    first cut was an equi-join of two exploded position streams, which
+    (a) crashed at sf10 because the planner's size estimate for an
+    exploded stream is the pre-explode scan size, so it broadcast a
+    12.1 GiB build side, and (b) once merge-hinted, was SORT-bound
+    (SMJ over n·window rows measured alpha ≈ 1.4 sf30→sf60). The array
+    form stays in whole-stage codegen, emits the same n·window pairs
+    with zero shuffle before the vocabulary²-bounded pair count, and
+    map-side combine collapses executor-local counts first. Final
+    top-N is two-phase (per-w1 prune, then a tiny global window)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    pos = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias(
-            "pos", "tok"
-        ),
-    ).filter(F.col("tok") != "")
-    offs = pos.select(
-        "doc_id",
-        "tok",
-        "pos",
-        F.explode(F.sequence(F.lit(1), F.lit(COOC_WINDOW))).alias("off"),
-    ).select("doc_id", "tok", (F.col("pos") + F.col("off")).alias("pos2"))
+    # slice() is 1-based: lambda index i is 0-based, so the window
+    # after token i starts at slice position i+2. Empty tokens pair
+    # with nothing but still occupy positions — identical to the
+    # oracle's filter-after-position semantics.
+    pair_arr = F.expr(
+        f"""flatten(transform(toks, (x, i) ->
+              transform(
+                filter(slice(toks, i + 2, {COOC_WINDOW}),
+                       y -> x != '' and y != ''),
+                y -> struct(least(x, y) as w1, greatest(x, y) as w2))))"""
+    )
     pairs = (
-        offs.join(
-            pos.select(
-                "doc_id",
-                F.col("pos").alias("pos2"),
-                F.col("tok").alias("tok2"),
-            ),
-            ["doc_id", "pos2"],
-        )
-        .select(
-            F.least(F.col("tok"), F.col("tok2")).alias("w1"),
-            F.greatest(F.col("tok"), F.col("tok2")).alias("w2"),
-        )
+        docs.select(F.split(F.lower(F.col("text")), " ").alias("toks"))
+        .select(F.explode(pair_arr).alias("p"))
+        .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_cooc"))
     )

@@ -300,6 +300,11 @@ def q16_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     line = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey"
     )
+    # kept as the single count_distinct agg after an A/B at sf10
+    # (warm min-of-2): pre-deduping (partkey, suppkey) with an extra
+    # distinct shuffle before the Expand measured 16.6 s vs 13.0 s
+    # for this direct form — the count_distinct Expand on slim rows
+    # is cheaper than a second full shuffle
     return (
         line.join(
             F.broadcast(bad_sup),
@@ -347,6 +352,11 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
         ).alias("late"),
     )
+    # window form kept after an A/B at sf10 (warm min-of-2): the
+    # "obvious" per-order hash-agg rewrite (two count_distincts + max
+    # + sum, multi-distinct Expand) measured 42.1 s where this window
+    # form runs 16.6 s — the Expand triples the 60 M-row stream
+    # through the shuffle, costing more than the per-order sort.
     w = Window.partitionBy("l_orderkey")
     sole_late = (
         flagged.withColumn(
@@ -1977,21 +1987,34 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    baskets = li.distinct()
-    # single-row order count rides in as a broadcast scalar — never a
-    # driver-side count(), which would run the basket scan as its own
-    # job and again on execute (the q_forecast_seasonal_naive lesson)
-    n_ord = baskets.select("l_orderkey").distinct().groupBy().agg(
-        F.count(F.lit(1)).alias("n_orders")
+    # ONE shuffle folds the fact scan to per-order sorted part-id
+    # arrays (collect_set dedups, so no separate distinct pass), then
+    # a checkpoint makes the order-sized relation the shared substrate
+    # for all three consumers. The prior form self-joined the 60 M-row
+    # (order, part) relation and recomputed scan+distinct once PER
+    # CONSUMER (4 fact scans). Warm min-of-2 A/B at sf10: 33.6 s old
+    # vs 31.4 s here — a wash on a page-cached single box, but the
+    # 4×→1× scan count is the term that dominates on a real cluster
+    # reading 100 TB of cold parquet. Pairs come from array lambdas
+    # over the ≤7-item baskets (≤21 pairs/order, u < v free from the
+    # sorted array), the cooccurrence rewrite's pattern.
+    orders_g = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .localCheckpoint(eager=True)
     )
-    part_cnt = baskets.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("cnt")
+    n_ord = orders_g.groupBy().agg(F.count(F.lit(1)).alias("n_orders"))
+    part_cnt = orders_g.select(
+        F.explode("parts").alias("l_partkey")
+    ).groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    pair_arr = F.expr(
+        """flatten(transform(parts, (x, i) ->
+             transform(slice(parts, i + 2, size(parts)),
+                       y -> struct(x as u, y as v))))"""
     )
-    a = baskets.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = baskets.select("l_orderkey", F.col("l_partkey").alias("v"))
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
+        orders_g.select(F.explode(pair_arr).alias("p"))
+        .select("p.u", "p.v")
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("n_both"))
         .filter(F.col("n_both") >= BASKET_MIN_SUPPORT)

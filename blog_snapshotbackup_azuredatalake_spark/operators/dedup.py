@@ -1608,8 +1608,16 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE doc_id * {PARA_POS_STRIDE}L + pos END"
         ).alias("pk"),
     )
+    # merge hint: paras is explode-derived, so its static size
+    # estimate is the pre-explode scan bytes — the planner broadcast
+    # the full paragraph stream (the text_cooccurrence crash class;
+    # here it stayed under the 8 GiB limit and showed up as alpha ≈ 3
+    # sf30→sf60 instead: isolated 27.5 s at sf60, hint-fixed 5.5 s
+    # with warm sf30 at 3.0 s — alpha ≈ 0.9, linear again). A
+    # localCheckpoint A/B lost: materializing the 72 M paragraph rows
+    # costs more than recomputing the narrow explode+md5 branch twice.
     canon = paras.groupBy("ph").agg(F.min("pk").alias("first_pk"))
-    marked = paras.join(canon, "ph").select(
+    marked = paras.hint("merge").join(canon, "ph").select(
         "source",
         "ptoks",
         (F.col("pk") != F.col("first_pk")).alias("removed"),

@@ -2318,21 +2318,29 @@ def emb_diversity_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sumsq = per_ld.groupBy("label").agg(
         F.sum(dec * dec).alias("ssq"),
     )
+    # qq sums ~2^28 per unit-norm vector; a BIGINT sum wraps past
+    # ~3.4e10 vectors per label — reachable at the 100 TB design point
+    # (~4e11 vectors), so it gets the same DECIMAL headroom as ssq.
+    qdec = F.col("q").cast("decimal(19,0)")
     norms = dims.groupBy("label").agg(
-        F.sum(F.col("q") * F.col("q")).alias("qq"),
+        F.sum(qdec * qdec).alias("qq"),
         (F.count(F.lit(1)) / F.lit(64)).cast("bigint").alias("n"),
     )
     j = sumsq.join(norms, "label")
     ssq_d = F.col("ssq").cast("string").cast("double")
-    qq_d = F.col("qq").cast("double")
+    qq_d = F.col("qq").cast("string").cast("double")
     dn = F.col("n").cast("double")
     q2 = F.lit(float(16384 * 16384))
     return j.select(
         "label",
         F.col("n").alias("n_vectors"),
-        ((ssq_d - qq_d) / (dn * (dn - F.lit(1.0)) * q2)).alias(
-            "avg_pairwise_cosine"
-        ),
+        # a single-vector label has no pairs: dn·(dn−1)=0 would emit
+        # 0/0 → NaN; degenerate labels emit NULL instead (the
+        # q_discount_elasticity convention).
+        F.when(
+            F.col("n") > 1,
+            (ssq_d - qq_d) / (dn * (dn - F.lit(1.0)) * q2),
+        ).alias("avg_pairwise_cosine"),
         (F.sqrt(ssq_d) / (dn * F.lit(16384.0))).alias("centroid_norm"),
     )
 
@@ -2350,14 +2358,17 @@ WITH dims AS (
          SUM(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))) AS ssq
   FROM per_ld GROUP BY 1
 ), norms AS (
-  SELECT label, CAST(SUM(q * q) AS BIGINT) AS qq,
+  SELECT label,
+         SUM(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0))) AS qq,
          CAST(COUNT(*) // 64 AS BIGINT) AS n
   FROM dims GROUP BY 1
 )
 SELECT label, n AS n_vectors,
-       (CAST(CAST(ssq AS VARCHAR) AS DOUBLE) - CAST(qq AS DOUBLE))
+       CASE WHEN n > 1 THEN
+         (CAST(CAST(ssq AS VARCHAR) AS DOUBLE)
+            - CAST(CAST(qq AS VARCHAR) AS DOUBLE))
          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * 268435456.0)
-         AS avg_pairwise_cosine,
+       END AS avg_pairwise_cosine,
        sqrt(CAST(CAST(ssq AS VARCHAR) AS DOUBLE))
          / (CAST(n AS DOUBLE) * 16384.0) AS centroid_norm
 FROM sumsq JOIN norms USING (label)

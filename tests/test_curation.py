@@ -255,3 +255,24 @@ def test_version_diff_branches_all_exercised_and_consistent(spark):
     # added docs are truncated copies; removals drop whole docs → the
     # corpus can only lose token mass overall under this mutation
     assert sum(r["token_delta"] for r in rows) < 0
+
+
+def test_emb_diversity_single_vector_label_is_null(spark, tmp_path):
+    """A label with exactly one vector has no pairs — the guard must
+    emit NULL (not 0/0 NaN), and a tight 3-identical-vector label must
+    report avg pairwise cosine ≈ 1 (moment identity sanity)."""
+    from blog_snapshotbackup_azuredatalake_spark.operators.curation import (
+        emb_diversity_moment,
+    )
+
+    unit = [1.0 / 8.0] * 64  # 64-dim unit vector (64 · (1/8)² = 1)
+    rows = [(0, unit, 1)] + [(i, unit, 2) for i in range(1, 4)]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    out = {r["label"]: r for r in
+           emb_diversity_moment(spark, str(tmp_path)).collect()}
+    assert out[1]["n_vectors"] == 1
+    assert out[1]["avg_pairwise_cosine"] is None
+    assert out[2]["n_vectors"] == 3
+    assert abs(out[2]["avg_pairwise_cosine"] - 1.0) < 1e-3

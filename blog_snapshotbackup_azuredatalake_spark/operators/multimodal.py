@@ -60,6 +60,18 @@ _OUT_SCHEMA = (
 )
 
 
+def _payload_repeat() -> int:
+    """Byte-scale knob for the synthetic payload: body bytes = 64 ×
+    SPARK_GRAFT_MM_PAYLOAD_REPEAT. Default 1 keeps DuckDB-oracle
+    parity (the oracle SQL hardcodes the 64-byte keystream); the scale
+    suite raises it to observe byte-bound behavior (KB-scale payloads)
+    instead of only row-bound behavior — closing the round-7 SCALING
+    caveat that 76-byte payloads prove plumbing, not byte scaling."""
+    import os
+
+    return max(1, int(os.environ.get("SPARK_GRAFT_MM_PAYLOAD_REPEAT", "1")))
+
+
 def synthesize_binary_column(docs: DataFrame) -> DataFrame:
     """Attach a deterministic fake image payload + metadata to each doc.
 
@@ -77,7 +89,8 @@ def synthesize_binary_column(docs: DataFrame) -> DataFrame:
         F.lpad(h.cast("string"), 4, "0"),
         F.rpad(fmt, 4, "."),
     )
-    body = F.substring(F.repeat(F.md5(F.col("text")), 2), 1, 64)
+    rep = _payload_repeat()
+    body = F.substring(F.repeat(F.md5(F.col("text")), 2 * rep), 1, 64 * rep)
     return docs.select(
         "doc_id",
         fmt.alias("meta_format"),

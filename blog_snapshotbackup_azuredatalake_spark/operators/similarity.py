@@ -952,18 +952,28 @@ def _pq_query_tables(q_rows: list, cb: dict, ks: list) -> list:
     return qtabs
 
 
-def _pq_encode_sql(cb: dict, ks: list) -> str:
+def _pq_encode_sql(cb: dict, ks: list, col: str = "embedding") -> str:
     """The whole PQ_M×PQ_K codebook-argmin expression emitted as ONE
     SQL string parsed in a single F.expr call. Building it through the
     Column API costs one Py4J round-trip per operator node (~8k trips
     ≈ 20 s of pure driver latency, flat at every SF); the string goes
     over the wire once. Same left-to-right double arithmetic, so encode
-    parity with the oracle and the driver-side tables holds."""
+    parity with the oracle and the driver-side tables holds.
+
+    The ~128 KB expression FAILS whole-stage codegen (janino method-
+    size) and runs interpreted — measured NOT worth fixing (round 7,
+    600 k vectors, warm min-of-2): this unrolled form 6.5 s vs a
+    nested higher-order-function loop (tiny expression tree, codebook
+    as array literal) 18.0 s and an Arrow/numpy pandas-UDF encode
+    18.9 s, all three bit-identical on 2 000 checked rows. The
+    interpreted unrolled tree evaluates constant-folded literals with
+    no per-element lambda dispatch and no Arrow transfer — keep it;
+    the codegen WARN on stderr is the cost."""
 
     def d2_sql(s: int, vals: list) -> str:
         terms = []
         for i, v in enumerate(vals):
-            x = f"cast(element_at(embedding, {s * PQ_SUBDIM + i + 1}) as double)"
+            x = f"cast(element_at({col}, {s * PQ_SUBDIM + i + 1}) as double)"
             c = f"cast('{float(v)!r}' as double)"
             terms.append(f"({x} - {c}) * ({x} - {c})")
         return " + ".join(terms)
@@ -1710,6 +1720,242 @@ WITH cent AS (
   JOIN probes p ON p.list_id = a.list_id
   JOIN qtab t ON t.q_id = p.q_id AND t.s = e.s AND t.j = e.code
   WHERE e.vec_id <> p.q_id
+  GROUP BY t.q_id, e.vec_id
+), shortlist AS (
+  SELECT q_id, vec_id, adc_fp FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY adc_fp, vec_id) AS srnk
+    FROM adc)
+  WHERE srnk <= {PQ_SHORTLIST}
+), reranked AS (
+  SELECT s.q_id, s.vec_id, CAST(s.adc_fp AS BIGINT) AS adc_fp,
+         {_SQL_L2SQ.format(a='q.embedding', b='b.embedding')} AS d2
+  FROM shortlist s
+  JOIN embeddings b ON b.vec_id = s.vec_id
+  JOIN embeddings q ON q.vec_id = s.q_id
+)
+SELECT q_id, vec_id, adc_fp, d2, CAST(rnk AS INT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY d2, vec_id) AS rnk
+      FROM reranked)
+WHERE rnk <= {TOP_K}
+"""
+
+
+def ann_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ with RESIDUAL encoding (faiss ``by_residual=true`` — its
+    actual default, and the variant the shared-codebook
+    `ann_topk_ivfpq` docstring leaves on the table): the PQ quantizes
+    ``v − c_list(v)`` instead of ``v``, so the codebook only has to
+    cover the residual ball around each centroid rather than the whole
+    embedding space — same code budget, finer effective resolution
+    (the classic IVFADC construction from Jégou et al.'s
+    product-quantization paper, public). The price is that ADC tables
+    become per-(query, probed-list) — ``||(q − c_l) − code||²`` —
+    |Q|·NPROBE tables instead of |Q|, still KBs, still broadcast DATA.
+
+    Plan shape matches ann_topk_ivfpq: ONE map-only corpus pass does
+    coarse assign + residual + PQ encode (centroids and the residual
+    codebook ride in as literals/driver tables; the corpus never
+    shuffles to get indexed), probed-list ADC scan, per-query
+    shortlist window, exact float re-rank of {PQ_SHORTLIST}
+    candidates. Residual seeds are the first {PQ_K} vectors'
+    engine-computed residuals (collected, so Spark literal == oracle
+    arithmetic bit-for-bit); fixed-point BIGINT ADC scores keep the
+    scan order-independent and engine-portable."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = sorted(
+        emb.filter(F.col("vec_id") < IVF_NLIST)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("c_emb"),
+        )
+        .collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    cents_lit = _cents_lit_of(cents)
+    cmap = {int(c["centroid_id"]): [float(x) for x in c["c_emb"]] for c in cents}
+    # centroid embeddings indexed by list_id for the residual subtract
+    cbyid = F.array(
+        *[
+            F.array(*[F.lit(v) for v in cmap[cid]])
+            for cid in sorted(cmap)
+        ]
+    )
+    resid = (
+        emb.withColumn("cents", cents_lit)
+        .select(
+            "vec_id",
+            "embedding",
+            F.array_min(_cent_scored(F.col("embedding")))[
+                "centroid_id"
+            ].alias("list_id"),
+        )
+        .withColumn("_cbc", cbyid)
+        .select(
+            "vec_id",
+            "list_id",
+            F.zip_with(
+                F.col("embedding"),
+                F.element_at(F.col("_cbc"), (F.col("list_id") + 1).cast("int")),
+                lambda x, y: x.cast("double") - y,
+            ).alias("resid"),
+        )
+    )
+    # residual codebook: the first PQ_K vectors' ENGINE-computed
+    # residuals (collect keeps Spark/oracle arithmetic identical)
+    seed = sorted(
+        resid.filter(F.col("vec_id") < PQ_K).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cbr = {int(r["vec_id"]): [float(x) for x in r["resid"]] for r in seed}
+    ksr = sorted(cbr)
+    coded = resid.select(
+        "vec_id",
+        "list_id",
+        F.expr(_pq_encode_sql(cbr, ksr, col="resid")).alias("codes"),
+    )
+    # driver-side probes + per-(q, list) residual ADC tables: queries
+    # and centroids are already driver-held; _pq_l2 is the same
+    # left-to-right fold both engines run
+    import math
+
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < N_QUERIES).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qtabs = []
+    for qr in q_rows:
+        qv = [float(x) for x in qr["embedding"]]
+        byc = sorted(
+            ((_pq_l2(qv, cmap[cid]), cid) for cid in sorted(cmap)),
+        )[:IVF_NPROBE]
+        for _, cid in byc:
+            qres = [a - b for a, b in zip(qv, cmap[cid])]
+            t = [
+                int(
+                    math.floor(
+                        _pq_l2(_pq_sub(qres, s), _pq_sub(cbr[k], s)) * PQ_FP
+                    )
+                )
+                for s in range(PQ_M)
+                for k in ksr
+            ]
+            qtabs.append((int(qr["vec_id"]), int(cid), t))
+    qdf = spark.createDataFrame(
+        qtabs, "q_id bigint, list_id bigint, t array<bigint>"
+    )
+    scored = (
+        coded.join(F.broadcast(qdf), "list_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.expr(
+                f"aggregate(transform(codes, (c, s) -> t[s * {len(ksr)} + c]),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("adc_fp"),
+        )
+    )
+    ws = Window.partitionBy("q_id").orderBy("adc_fp", "vec_id")
+    shortlist = (
+        scored.withColumn("srnk", F.row_number().over(ws))
+        .filter(F.col("srnk") <= PQ_SHORTLIST)
+        .select("q_id", "vec_id", "adc_fp")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    reranked = (
+        shortlist.join(emb, "vec_id")
+        .join(F.broadcast(queries), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            "adc_fp",
+            _l2sq(F.col("q_emb"), F.col("embedding")).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("d2", "vec_id")
+    return (
+        reranked.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "q_id", "vec_id", "adc_fp", "d2",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+_SQL_RESID = (
+    "list_transform(range(1, 65),"
+    " i -> CAST({v}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE))"
+)
+
+_IVFPQ_RESIDUAL_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id < {IVF_NLIST}
+), assigned AS (
+  SELECT vec_id, centroid_id AS list_id
+  FROM (SELECT e.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SQL_L2SQ.format(a="e.embedding", b="c.c_emb")},
+                          c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cent c)
+  WHERE rn = 1
+), resid AS (
+  SELECT e.vec_id, a.list_id,
+         {_SQL_RESID.format(v="e.embedding", c="c.c_emb")} AS r
+  FROM embeddings e
+  JOIN assigned a ON a.vec_id = e.vec_id
+  JOIN cent c ON c.centroid_id = a.list_id
+), sub AS (
+  SELECT vec_id, list_id, s,
+         r[s * {PQ_SUBDIM} + 1 : s * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sv
+  FROM resid, UNNEST(range(0, {PQ_M})) AS t(s)
+), cbi AS (
+  SELECT s, sv, ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS j
+  FROM sub WHERE vec_id < {PQ_K}
+), encoded AS (
+  SELECT vec_id, list_id, s, j AS code FROM (
+    SELECT v.vec_id, v.list_id, v.s, c.j,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id, v.s
+             ORDER BY {_SQL_L2SQ.format(a="v.sv", b="c.sv")}, c.j) AS rn
+    FROM sub v JOIN cbi c ON v.s = c.s)
+  WHERE rn = 1
+), probes AS (
+  SELECT q_id, list_id
+  FROM (SELECT q.vec_id AS q_id, c.centroid_id AS list_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_SQL_L2SQ.format(a="q.embedding", b="c.c_emb")},
+                          c.centroid_id) AS pr
+        FROM embeddings q CROSS JOIN cent c
+        WHERE q.vec_id < {N_QUERIES})
+  WHERE pr <= {IVF_NPROBE}
+), qres AS (
+  SELECT p.q_id, p.list_id,
+         {_SQL_RESID.format(v="q.embedding", c="c.c_emb")} AS r
+  FROM probes p
+  JOIN embeddings q ON q.vec_id = p.q_id
+  JOIN cent c ON c.centroid_id = p.list_id
+), qsub AS (
+  SELECT q_id, list_id, s,
+         r[s * {PQ_SUBDIM} + 1 : s * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sv
+  FROM qres, UNNEST(range(0, {PQ_M})) AS t(s)
+), qtab AS (
+  SELECT q.q_id, q.list_id, q.s, c.j,
+         CAST(floor({_SQL_L2SQ.format(a="q.sv", b="c.sv")} * {PQ_FP})
+              AS BIGINT) AS dfp
+  FROM qsub q JOIN cbi c ON q.s = c.s
+), adc AS (
+  SELECT t.q_id, e.vec_id, SUM(t.dfp) AS adc_fp
+  FROM encoded e
+  JOIN qtab t ON t.list_id = e.list_id AND t.s = e.s AND t.j = e.code
+  WHERE e.vec_id <> t.q_id
   GROUP BY t.q_id, e.vec_id
 ), shortlist AS (
   SELECT q_id, vec_id, adc_fp FROM (
@@ -2617,6 +2863,7 @@ QUERIES = {
     "emb_truncation_audit": emb_truncation_audit,
     "emb_pq_adc": emb_pq_adc,
     "ann_topk_ivfpq": ann_topk_ivfpq,
+    "ann_topk_ivfpq_residual": ann_topk_ivfpq_residual,
     "ann_index_balance": ann_index_balance,
     "ann_ivf_upsert": ann_ivf_upsert,
     "emb_pq_residual_audit": emb_pq_residual_audit,
@@ -2643,6 +2890,7 @@ ORACLES = {
     "emb_truncation_audit": _TRUNC_AUDIT_SQL,
     "emb_pq_adc": _PQ_ADC_SQL,
     "ann_topk_ivfpq": _IVFPQ_SQL,
+    "ann_topk_ivfpq_residual": _IVFPQ_RESIDUAL_SQL,
     "ann_index_balance": _INDEX_BALANCE_SQL,
     "ann_ivf_upsert": _IVF_UPSERT_SQL,
     "emb_pq_residual_audit": _PQ_RESIDUAL_SQL,

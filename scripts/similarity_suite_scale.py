@@ -38,6 +38,7 @@ ENTRIES = [
     "emb_pq_adc",
     "emb_pq_residual_audit",
     "ann_topk_ivfpq",
+    "ann_topk_ivfpq_residual",
     # graph / audit consumers
     "ann_knn_graph",
     "ann_recall_audit",

@@ -1517,9 +1517,14 @@ def emb_pq_residual_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     errs = err_arr.select(
         F.posexplode("errs").alias("p", "err_fp")
     ).select(F.col("p").cast("int").alias("s"), "err_fp")
+    # DECIMAL(38,0) accumulators (ADD-only, the q1 recipe): err_fp is
+    # up to ~2³⁰·d², so a BIGINT Σ survives ~1 M vectors but the
+    # ·2²⁰ share multiply overflowed int64 AT 1.2 M (found by the
+    # round-7 sf60 cold suite as an ANSI ARITHMETIC_OVERFLOW crash) —
+    # and at the 100 TB design point the Σ itself would too.
     per = errs.groupBy("s").agg(
         F.count(F.lit(1)).alias("n_vectors"),
-        F.sum("err_fp").alias("sum_err_fp"),
+        F.sum(F.col("err_fp").cast("decimal(38,0)")).alias("sum_err_fp"),
         F.max("err_fp").alias("max_err_fp"),
     )
     total = per.agg(F.sum("sum_err_fp").alias("tot"))
@@ -1530,8 +1535,13 @@ def emb_pq_residual_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_err_fp",
         # greatest(·,1): tot is 0 when every vector reconstructs
         # exactly (all-zero residuals) — Spark div would NULL, DuckDB
-        # // would raise; share is 0 there either way
-        F.expr(f"sum_err_fp * {BALANCE_FP}L div greatest(tot, 1L)")
+        # // would raise; share is 0 there either way. All-integral
+        # decimal arithmetic: div truncation == // floor on
+        # non-negative operands, engine-exact.
+        F.expr(
+            f"(sum_err_fp * {BALANCE_FP}) div"
+            " greatest(tot, cast(1 as decimal(38,0)))"
+        )
         .cast("bigint")
         .alias("err_share_fp"),
     )
@@ -1563,6 +1573,13 @@ SELECT CAST(s AS INT) AS s, n_vectors,
          AS err_share_fp
 FROM per CROSS JOIN total
 """
+# oracle note: DuckDB's SUM(BIGINT) already promotes to exact HUGEINT
+# (int128) and `//` on integers is exact floor division — the oracle
+# never had the int64 overflow, only Spark did. DECIMAL // in DuckDB
+# ROUNDS instead of truncating (measured off-by-one at sf0.01), so the
+# oracle stays on native integer arithmetic; Spark's decimal `div` is
+# BigDecimal divideToIntegralValue — exact truncation, which equals
+# floor on these non-negative operands.
 
 
 # ---------------------------------------------------------------------------
@@ -1801,6 +1818,12 @@ def ann_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda x, y: x.cast("double") - y,
             ).alias("resid"),
         )
+        # materialization barrier (§6 CollapseProject trap): without
+        # it the 64-element zip_with residual is re-inlined into every
+        # one of the encode expression's ~2 048 element_at references —
+        # the round-7 sf60 run measured 245 s vs 71 s for the
+        # shared-codebook variant before this checkpoint
+        .localCheckpoint(eager=False)
     )
     # residual codebook: the first PQ_K vectors' ENGINE-computed
     # residuals (collect keeps Spark/oracle arithmetic identical)

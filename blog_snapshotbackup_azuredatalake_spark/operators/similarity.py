@@ -1818,11 +1818,14 @@ def ann_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda x, y: x.cast("double") - y,
             ).alias("resid"),
         )
-        # materialization barrier (§6 CollapseProject trap): without
-        # it the 64-element zip_with residual is re-inlined into every
-        # one of the encode expression's ~2 048 element_at references —
-        # the round-7 sf60 run measured 245 s vs 71 s for the
-        # shared-codebook variant before this checkpoint
+        # materialization barrier: A/B MEASURED A WASH at sf30 (encode
+        # stage 24.3 s no-barrier vs 24.7 s with — the suspected
+        # CollapseProject re-inlining does NOT bite here; interpreted
+        # subexpression elimination binds `resid` once). Kept anyway:
+        # the checkpointed (vec_id, list_id, resid) relation is the
+        # index-build artifact a real pipeline persists, and it lets
+        # the residual-codebook seed collect and the encode share one
+        # corpus pass instead of two.
         .localCheckpoint(eager=False)
     )
     # residual codebook: the first PQ_K vectors' ENGINE-computed

@@ -21,7 +21,10 @@ sys.path.insert(
 )
 
 
+from _guard import assert_no_spark_jvm  # noqa: E402
+
 def main() -> None:
+    assert_no_spark_jvm()
     sf_dir = sys.argv[1]
     key = sys.argv[2]
     n_runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2

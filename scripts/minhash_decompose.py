@@ -30,7 +30,10 @@ sys.path.insert(
 )
 
 
+from _guard import assert_no_spark_jvm  # noqa: E402
+
 def main() -> None:
+    assert_no_spark_jvm()
     sf_dir = sys.argv[1]
     from pyspark import StorageLevel
 

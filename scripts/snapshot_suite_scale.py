@@ -63,7 +63,10 @@ ENTRIES = [
 ]
 
 
+from _guard import assert_no_spark_jvm  # noqa: E402
+
 def main() -> None:
+    assert_no_spark_jvm()
     sf_dir = sys.argv[1]
     entries = sys.argv[2].split(",") if len(sys.argv) > 2 else ENTRIES
     import __spark_entry__ as entrymod

@@ -34,7 +34,10 @@ ROCKSDB = (
 )
 
 
+from _guard import assert_no_spark_jvm  # noqa: E402
+
 def main() -> None:
+    assert_no_spark_jvm()
     sf_dir = sys.argv[1]
     provider = sys.argv[2] if len(sys.argv) > 2 else "rocksdb"
     entries = sys.argv[3].split(",") if len(sys.argv) > 3 else ENTRIES

@@ -43,7 +43,10 @@ ENTRIES = [
 ]
 
 
+from _guard import assert_no_spark_jvm  # noqa: E402
+
 def main() -> None:
+    assert_no_spark_jvm()
     sf_dir = sys.argv[1]
     import __spark_entry__ as entrymod
     from blog_snapshotbackup_azuredatalake_spark.session import get_session

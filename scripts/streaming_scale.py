@@ -54,11 +54,18 @@ def main() -> None:
             "spark.sql.streaming.stateStore.providerClass", ROCKSDB
         )
 
-    state = {}
+    # Listener events arrive asynchronously on the listener-bus thread,
+    # so a late progress event from entry N's query can land after entry
+    # N+1 starts (round-7 ADVICE). Key everything by query id and stamp
+    # each id with the entry epoch it STARTED under — the report then
+    # filters to the current epoch instead of trusting a cleared dict.
+    state = {}  # query id -> state-operator metrics (last progress wins)
+    epoch_of = {}  # query id -> entry epoch at onQueryStarted
+    epoch = [0]
 
     class Capture(StreamingQueryListener):
         def onQueryStarted(self, event):
-            pass
+            epoch_of[str(event.id)] = epoch[0]
 
         def onQueryProgress(self, event):
             p = event.progress
@@ -72,7 +79,7 @@ def main() -> None:
                     }
                 )
             if ops:
-                state[p.name or p.id] = ops
+                state[str(p.id)] = ops
 
         def onQueryTerminated(self, event):
             pass
@@ -84,10 +91,16 @@ def main() -> None:
     qs = entrymod.queries()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()  # warm JVM
     for name in entries:
-        state.clear()
+        epoch[0] += 1
         t0 = time.perf_counter()
         n = qs[name](spark, sf_dir).count()
         dt = round(time.perf_counter() - t0, 2)
+        time.sleep(0.5)  # drain the listener bus before reading
+        mine = [
+            ops
+            for qid, ops in state.items()
+            if epoch_of.get(qid) == epoch[0]
+        ]
         print(
             json.dumps(
                 {
@@ -96,7 +109,7 @@ def main() -> None:
                     "rows_out": n,
                     "provider": provider,
                     "sf_dir": sf_dir,
-                    "state": list(state.values()),
+                    "state": mine,
                 }
             ),
             flush=True,

@@ -24,6 +24,7 @@ or checkpoints a guarded variable fails the suite loudly instead of
 leaving a dead entry silently covering new code.
 """
 
+import ast
 import os
 import re
 
@@ -117,13 +118,24 @@ def _scan():
                 continue
             p = os.path.join(root, f)
             rel = os.path.relpath(p, BASE)
-            lines = open(p).read().split("\n")
-            func = None
+            src = open(p).read()
+            lines = src.split("\n")
+            # AST-scoped enclosing function (round-7 ADVICE): the old
+            # column-0 `def` regex attributed method bodies and
+            # post-function module code to the previous top-level def.
+            # Innermost function wins; module level maps to None.
+            func_of = {}
+            for node in ast.walk(ast.parse(src)):
+                if isinstance(
+                    node, (ast.FunctionDef, ast.AsyncFunctionDef)
+                ):
+                    for li in range(node.lineno, node.end_lineno + 1):
+                        prev = func_of.get(li)
+                        if prev is None or node.lineno > prev[0]:
+                            func_of[li] = (node.lineno, node.name)
             assigns = {}
             for i, ln in enumerate(lines):
-                fm = re.match(r"def (\w+)", ln)
-                if fm:
-                    func = fm.group(1)
+                func = (func_of.get(i + 1) or (0, None))[1]
                 m = re.match(r"\s*(\w+) = ", ln)
                 if m:
                     stmt = "\n".join(lines[i : i + 8])

@@ -45,8 +45,21 @@ def assert_no_spark_jvm(allow_tag: bool = False) -> bool:
     (only reachable with allow_tag / SPARK_GRAFT_GUARD=tag). On a dirty
     refusal, exits 3 so suite wrappers fail loudly rather than record a
     contaminated number.
+
+    A short grace poll distinguishes a DYING JVM from a concurrent one:
+    back-to-back fresh-session runs in a shell loop see the previous
+    python's JVM for a few seconds during teardown (observed live —
+    the first guarded baseline loop refused its own runs 2-4). A JVM
+    that is still there after ~20 s is genuinely concurrent.
     """
+    import time
+
+    grace = float(os.environ.get("SPARK_GRAFT_GUARD_GRACE", "20"))
     hits = _live_spark_jvms()
+    deadline = time.monotonic() + grace
+    while hits and time.monotonic() < deadline:
+        time.sleep(2)
+        hits = _live_spark_jvms()
     if not hits:
         return True
     mode = os.environ.get("SPARK_GRAFT_GUARD", "")

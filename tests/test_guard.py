@@ -16,6 +16,11 @@ sys.path.insert(0, SCRIPTS)
 import _guard  # noqa: E402
 
 
+@pytest.fixture(autouse=True)
+def _no_grace(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_GUARD_GRACE", "0")
+
+
 def test_clean_box_passes(monkeypatch):
     monkeypatch.setattr(_guard, "_live_spark_jvms", lambda: [])
     assert _guard.assert_no_spark_jvm() is True

@@ -81,6 +81,11 @@ DEFAULT_NAMES = [
     "q_ewma_hourly",
     "emb_diversity_moment",
     "dq_completeness",
+    # round-7/8 entries (residual IVFPQ; knn graph re-spotted after the
+    # round-8 norm-precompute + in-cell top-k rewrite)
+    "ann_topk_ivfpq_residual",
+    "ann_knn_graph",
+    "emb_label_knn_classify",
 ]
 
 

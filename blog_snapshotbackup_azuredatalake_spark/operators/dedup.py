@@ -1054,18 +1054,28 @@ def _sign_bucket(col: Column, dims: int) -> Column:
     )
 
 
-def _dot_cos(a: Column, b: Column) -> Column:
-    dot = F.aggregate(
+def _dot(a: Column, b: Column) -> Column:
+    """Left-to-right fold dot product — the numerator of _dot_cos,
+    exposed so pair-heavy plans can divide by PRECOMPUTED per-row norms
+    (same _norm expression, so the quotient is bit-identical) instead
+    of folding both norm arrays once per candidate pair."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda v: F.sqrt(  # noqa: E731
+
+
+def _norm(v: Column) -> Column:
+    return F.sqrt(
         F.aggregate(
             v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
         )
     )
-    return dot / (norm(a) * norm(b))
+
+
+def _dot_cos(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -62,14 +62,22 @@ _OUT_SCHEMA = (
 
 def _payload_repeat() -> int:
     """Byte-scale knob for the synthetic payload: body bytes = 64 ×
-    SPARK_GRAFT_MM_PAYLOAD_REPEAT. Default 1 keeps DuckDB-oracle
-    parity (the oracle SQL hardcodes the 64-byte keystream); the scale
-    suite raises it to observe byte-bound behavior (KB-scale payloads)
-    instead of only row-bound behavior — closing the round-7 SCALING
-    caveat that 76-byte payloads prove plumbing, not byte scaling."""
+    SPARK_GRAFT_MM_PAYLOAD_REPEAT; the scale suite raises it to observe
+    byte-bound behavior (KB-scale payloads) instead of only row-bound
+    behavior — closing the round-7 SCALING caveat that 76-byte payloads
+    prove plumbing, not byte scaling. Read ONCE at import into
+    MM_PAYLOAD_REPEAT, and the knob-dependent oracle SQL below is
+    GENERATED from the same constant (round-7 ADVICE: a stray env var
+    used to desync the plan from a hardcoded 64-byte oracle and fail as
+    an unexplained hash mismatch; now plan and oracle move in lockstep
+    at any repeat factor)."""
     import os
 
     return max(1, int(os.environ.get("SPARK_GRAFT_MM_PAYLOAD_REPEAT", "1")))
+
+
+MM_PAYLOAD_REPEAT = _payload_repeat()
+_BODY_BYTES = 64 * MM_PAYLOAD_REPEAT
 
 
 def synthesize_binary_column(docs: DataFrame) -> DataFrame:
@@ -89,7 +97,7 @@ def synthesize_binary_column(docs: DataFrame) -> DataFrame:
         F.lpad(h.cast("string"), 4, "0"),
         F.rpad(fmt, 4, "."),
     )
-    rep = _payload_repeat()
+    rep = MM_PAYLOAD_REPEAT
     body = F.substring(F.repeat(F.md5(F.col("text")), 2 * rep), 1, 64 * rep)
     return docs.select(
         "doc_id",
@@ -223,7 +231,7 @@ def mm_meta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MM_META_AUDIT_SQL = """
+_MM_META_AUDIT_SQL = f"""
 WITH synth AS (
   SELECT doc_id,
          ['png','jpeg','webp'][CAST(doc_id % 3 + 1 AS INT)] AS meta_format,
@@ -232,7 +240,8 @@ WITH synth AS (
          lpad(CAST((doc_id % 8 + 1) * 32 AS VARCHAR), 4, '0')
            || lpad(CAST((doc_id % 5 + 1) * 32 AS VARCHAR), 4, '0')
            || rpad(['png','jpeg','webp'][CAST(doc_id % 3 + 1 AS INT)], 4, '.')
-           || substr(repeat(md5(text), 2), 1, 64) AS payload
+           || substr(repeat(md5(text), {2 * MM_PAYLOAD_REPEAT}), 1,
+                     {_BODY_BYTES}) AS payload
   FROM documents
 ), parsed AS (
   SELECT doc_id, meta_format, meta_width, meta_height,
@@ -492,20 +501,21 @@ def mm_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows-only count. A real decoder swap (MM_REAL_DECODE) would retire
 # these oracles back to rows-only — that is the expected trade.
 
-_MM_DECODE_SQL = """
+_MM_DECODE_SQL = f"""
 WITH synth AS (
   SELECT doc_id,
          ['png','jpeg','webp'][CAST(doc_id % 3 + 1 AS INT)] AS fmt,
          CAST((doc_id % 8 + 1) * 32 AS INT) AS width,
          CAST((doc_id % 5 + 1) * 32 AS INT) AS height,
-         substr(repeat(md5(text), 2), 1, 64) AS body
+         substr(repeat(md5(text), {2 * MM_PAYLOAD_REPEAT}), 1,
+                {_BODY_BYTES}) AS body
   FROM documents
 )
 SELECT doc_id, fmt, width, height,
-       CAST(76 AS BIGINT) AS n_bytes,
-       CAST(list_sum(list_transform(range(1, 65),
+       CAST({12 + _BODY_BYTES} AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(range(1, {_BODY_BYTES + 1}),
                                     i -> unicode(substr(body, CAST(i AS INT), 1))))
-            AS DOUBLE) / 64.0 AS mean_byte,
+            AS DOUBLE) / {_BODY_BYTES}.0 AS mean_byte,
        CAST(floor(width / (GREATEST(width, height) / 32.0)) AS INT)
          AS thumb_width,
        CAST(floor(height / (GREATEST(width, height) / 32.0)) AS INT)
@@ -757,7 +767,7 @@ FROM cdc JOIN fixed USING (source)
 
 
 SHARD_BYTES = 16_384  # demo-scale shard target (prod: 256MB-1GB tars)
-_PAYLOAD_BYTES = 76  # 12-byte ASCII header + 64 keystream bytes
+_PAYLOAD_BYTES = 12 + _BODY_BYTES  # ASCII header + keystream body
 MM_PACK_BLOCKS = 16  # independent packing streams per source
 # shard_id = block * stride + within-block shard seq: globally unique,
 # and a manifest reader recovers (block, seq) by div/mod

@@ -787,45 +787,79 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     measurement (sf10→sf30, SCALING.md) showed the pattern space
     SATURATES so no amount of extra bits splits them — is sub-split by
     md5(vec_id) mod ceil(count/{KNN_BUCKET_CAP}). That bounds
-    candidate pairs to ≤ n·{KNN_BUCKET_CAP} AT ANY n by construction
-    (alpha ≤ 1.0 across every pattern-width step, no n²/2^d cliff
-    between steps), trading only recall WITHIN capped mega-buckets,
-    whose members are near-interchangeable as neighbors. A per-vector
-    rank window keeps only the top-{KNN_GRAPH_K} edges.
+    candidate pairs to ≤ n·{KNN_BUCKET_CAP} AT ANY n by construction,
+    trading only recall WITHIN capped mega-buckets, whose members are
+    near-interchangeable as neighbors. Round-8 instrumentation
+    (scripts/knn_width_probe.py, SCALING.md) measured the bound live:
+    at 600 k→1.2 M vectors the pattern space saturates at ~1.6–1.8 k
+    patterns, EVERY pattern is oversize at 1.2 M, and candidate pairs
+    grow 186.6 M→389.6 M — 2.09× for 2× n, pair-alpha 1.06. (The
+    round-7 "trigger the width step earlier" idea is REFUTED by the
+    same probe: one extra pattern bit removes only ~4% of pairs,
+    because the saturated mega-patterns, not expected occupancy, carry
+    the mass.)
+
+    The pair stage is VECTORIZED per cell (round 8): the capped cells
+    make every group <= {KNN_BUCKET_CAP} vectors, so the all-pairs
+    cosine + top-k inside a cell is a bounded dense-matrix problem --
+    groupBy(pat, sub).applyInPandas computes it with numpy instead of
+    expanding a candidate-pair RELATION. The round-8 stage probe
+    (SCALING.md) showed the old self-join's per-pair interpreted
+    higher-order-function cosine was ~80% of the build (72 s of 94
+    warm at 600 k vectors) and the 390 M-row pair sort the rest; both
+    hypothesized micro-fixes (per-row norm precompute, in-cell rank
+    window) measured a WASH because expression evaluation over the
+    pair relation itself was the floor. The UDF path never
+    materializes pairs engine-side: ONE corpus shuffle by (pat, sub)
+    -- explicitly repartitioned proportional to n so AQE's
+    map-size-based coalescing (blind to the ~325x in-cell pair
+    expansion) can't serialize the compute onto a handful of tasks --
+    then per-cell O(m^2 d) float64 arithmetic at numpy speed, emitting
+    only the {KNN_GRAPH_K} kept edges per vector.
+
+    ORACLE PARITY IS BIT-EXACT BY FOLD ORDER: the kernel accumulates
+    dot products and squared norms dimension-at-a-time (G += x_i*y_i,
+    s += x_i^2) -- the same left-to-right double fold as F.aggregate
+    and DuckDB's list_reduce -- then cos = dot/(|x|*|y|) with the
+    identical multiply-then-divide; verified value-hash-equal against
+    the unchanged SQL oracle at sf0.001/sf0.01/sf1. Ties break by
+    neighbor id; NaN cosines (zero-norm vectors) sort FIRST on the
+    descending key, matching Spark/DuckDB double ordering.
+
     Recall follows the LSH trade (same-bucket neighbors only; more
-    bits = finer buckets = lower recall per bucket) — the recall
+    bits = finer buckets = lower recall per bucket) -- the recall
     escalation is multi-probe or IVF blocking, both shipped for the
-    query-set case. Deterministic: ties broken by neighbor id; cosine
-    is the codegen double fold, bit-identical to the oracle's
-    list_reduce."""
+    query-set case."""
+    import math
+
     from blog_snapshotbackup_azuredatalake_spark.functions.hashing import (
         md5_int60,
     )
     from blog_snapshotbackup_azuredatalake_spark.functions.hints import (
         broadcast_if_bounded,
     )
+    from blog_snapshotbackup_azuredatalake_spark.session import (
+        ensure_package_on_workers,
+    )
 
+    ensure_package_on_workers(spark)
     base = load_table(spark, sf_dir, "embeddings")
     n = base.count()
     dims = _knn_graph_dims(n)
-    # occupancy-capped buckets: count per pattern (window), then split
-    # oversize patterns into ceil(count/cap) random sub-buckets keyed
-    # on md5(vec_id). The window's shuffle is by pattern — the same
-    # grouping the self-join consumes at (pattern, sub) granularity.
     patted = base.select(
         "vec_id",
         "embedding",
         _sign_bucket(F.col("embedding"), dims).alias("pat"),
     )
-    # Oversize-pattern counts via groupBy (map-side combine — skew-safe:
+    # Oversize-pattern counts via groupBy (map-side combine -- skew-safe:
     # a 10M-row mega-bucket partial-aggregates to one cell per map task,
     # no hot partition) instead of a window by `pat`, which would shuffle
     # AND sort the full embedding payload with every mega-bucket pinned
-    # to one task. Only patterns PAST the cap survive the filter — the
-    # skew set, small by nature (≤ n/cap worst case) — and ride a
+    # to one task. Only patterns PAST the cap survive the filter -- the
+    # skew set, small by nature (<= n/cap worst case) -- and ride a
     # GUARDED broadcast back; everything else defaults to sub 0. The
     # corpus payload therefore shuffles exactly once: by (pat, sub) for
-    # the self-join.
+    # the per-cell kernel.
     oversize = (
         patted.groupBy("pat")
         .agg(F.count(F.lit(1)).alias("bc"))
@@ -844,23 +878,77 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sub"),
         )
     )
-    pairs = (
-        emb.alias("x")
-        .join(emb.alias("y"), ["pat", "sub"])
-        .filter(F.col("x.vec_id") != F.col("y.vec_id"))
-        .select(
-            F.col("x.vec_id").alias("src"),
-            F.col("y.vec_id").alias("dst"),
-            _dot_cos(F.col("x.embedding"), F.col("y.embedding")).alias(
-                "cos"
-            ),
+    # explicit partition count proportional to n: the corpus shuffle is
+    # ~230 B/row, so AQE would coalesce it to a handful of
+    # map-size-right tasks -- each then owning MILLIONS of in-cell
+    # pairs (the same estimate-blind class as the explode-broadcast
+    # lint). ~20 k rows per task bounds per-task pair work at
+    # ~20 k * CAP.
+    nparts = max(
+        spark.sparkContext.defaultParallelism, math.ceil(n / 20_000)
+    )
+    return (
+        emb.repartition(nparts, "pat", "sub")
+        .groupBy("pat", "sub")
+        .applyInPandas(
+            _knn_cell_topk, "src bigint, rank int, dst bigint, cos double"
         )
     )
-    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= KNN_GRAPH_K)
-        .select("src", "rank", "dst", "cos")
+
+
+def _knn_cell_topk(pdf):
+    """Per-cell all-pairs cosine + top-K, fold-order exact.
+
+    m <= KNN_BUCKET_CAP rows in, <= m*KNN_GRAPH_K rows out. G and s
+    accumulate dimension-at-a-time so every dot/norm is the
+    LEFT-TO-RIGHT double fold the SQL oracle computes (np.dot/np.sum
+    would use pairwise summation and drift in the last ulp). NaN
+    cosines are mapped to sort-first on the descending key
+    (Spark/DuckDB NaN-is-greatest ordering)."""
+    import numpy as np
+    import pandas as pd
+
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    m = len(ids)
+    if m < 2:
+        return pd.DataFrame(
+            {
+                "src": np.array([], dtype=np.int64),
+                "rank": np.array([], dtype=np.int32),
+                "dst": np.array([], dtype=np.int64),
+                "cos": np.array([], dtype=np.float64),
+            }
+        )
+    X = np.empty((m, len(pdf["embedding"].iloc[0])), dtype=np.float64)
+    for r, e in enumerate(pdf["embedding"]):
+        X[r, :] = np.asarray(e, dtype=np.float64)
+    G = np.zeros((m, m), dtype=np.float64)
+    s = np.zeros(m, dtype=np.float64)
+    for i in range(X.shape[1]):
+        c = X[:, i]
+        G += c[:, None] * c[None, :]
+        s += c * c
+    nrm = np.sqrt(s)
+    C = G / (nrm[:, None] * nrm[None, :])
+    k = min(KNN_GRAPH_K, m - 1)
+    # descending-cos sort key with NaN first (engine ordering); self is
+    # excluded by +inf (sorts last, never inside the top k <= m-1)
+    key = np.where(np.isnan(C), -np.inf, -C)
+    np.fill_diagonal(key, np.inf)
+    src, rank, dst, cos = [], [], [], []
+    for r in range(m):
+        order = np.lexsort((ids, key[r]))[:k]
+        src.extend([int(ids[r])] * k)
+        rank.extend(range(1, k + 1))
+        dst.extend(ids[order])
+        cos.extend(C[r, order])
+    return pd.DataFrame(
+        {
+            "src": np.asarray(src, dtype=np.int64),
+            "rank": np.asarray(rank, dtype=np.int32),
+            "dst": np.asarray(dst, dtype=np.int64),
+            "cos": np.asarray(cos, dtype=np.float64),
+        }
     )
 
 
@@ -1792,6 +1880,15 @@ def ann_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents_lit = _cents_lit_of(cents)
     cmap = {int(c["centroid_id"]): [float(x) for x in c["c_emb"]] for c in cents}
+    # The positional element_at(_cbc, list_id + 1) below is only correct
+    # while centroid ids are exactly the dense vec_ids 0..IVF_NLIST-1
+    # (the oracle joins BY ID); enforce the assumption instead of
+    # leaving it implicit (round-7 ADVICE) so a future sparse seed set
+    # fails loudly here, not as a silent Spark/oracle desync.
+    assert sorted(cmap) == list(range(IVF_NLIST)), (
+        f"residual IVFPQ requires dense centroid ids 0..{IVF_NLIST - 1}; "
+        f"got {sorted(cmap)}"
+    )
     # centroid embeddings indexed by list_id for the residual subtract
     cbyid = F.array(
         *[
@@ -1818,29 +1915,32 @@ def ann_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda x, y: x.cast("double") - y,
             ).alias("resid"),
         )
-        # materialization barrier: A/B MEASURED A WASH at sf30 (encode
-        # stage 24.3 s no-barrier vs 24.7 s with — the suspected
-        # CollapseProject re-inlining does NOT bite here; interpreted
-        # subexpression elimination binds `resid` once). Kept anyway:
-        # the checkpointed (vec_id, list_id, resid) relation is the
-        # index-build artifact a real pipeline persists, and it lets
-        # the residual-codebook seed collect and the encode share one
-        # corpus pass instead of two.
-        .localCheckpoint(eager=False)
     )
     # residual codebook: the first PQ_K vectors' ENGINE-computed
-    # residuals (collect keeps Spark/oracle arithmetic identical)
+    # residuals (collect keeps Spark/oracle arithmetic identical; the
+    # vec_id < PQ_K filter pushes to the scan, so this is a 16-row pass)
     seed = sorted(
         resid.filter(F.col("vec_id") < PQ_K).collect(),
         key=lambda r: r["vec_id"],
     )
     cbr = {int(r["vec_id"]): [float(x) for x in r["resid"]] for r in seed}
     ksr = sorted(cbr)
+    # THE BARRIER BELONGS ON THE CODES, NOT THE RESIDUALS (round-8
+    # measured decomposition, SCALING.md): leaving the 128 KB encode
+    # projection under the interpreted broadcast-join re-evaluated it
+    # per JOIN-OUTPUT row (~NPROBE·|Q|/NLIST ≈ 5× per corpus row —
+    # scored stage 190.7 s at 1.2 M vectors), while the checkpointed
+    # coded index serves the same scan in 1.7 s. It is also the
+    # faithful faiss artifact: a real pipeline persists the PQ-coded
+    # inverted lists, not the float residuals. Round 7's wash A/B only
+    # tested the RESID barrier against re-inlining of the zip_with —
+    # the encode-under-join re-evaluation is a different (and the
+    # dominant) leak.
     coded = resid.select(
         "vec_id",
         "list_id",
         F.expr(_pq_encode_sql(cbr, ksr, col="resid")).alias("codes"),
-    )
+    ).localCheckpoint(eager=False)
     # driver-side probes + per-(q, list) residual ADC tables: queries
     # and centroids are already driver-held; _pq_l2 is the same
     # left-to-right fold both engines run

@@ -70,6 +70,12 @@ def main() -> None:
     # (o_custkey ↔ c_custkey) shift in lockstep.
     gmax = 0
     for t, keys in SHIFTS.items():
+        # a table-subset source dir (e.g. sf60de = documents+embeddings
+        # only) doesn't ship the full star; the stride only has to
+        # clear the keys of the tables actually being replicated, and
+        # FK-lockstep only matters among those same tables
+        if only is not None and t not in only:
+            continue
         row = (
             load_table(spark, src, t)
             .agg(*[F.max(k).alias(k) for k in keys])

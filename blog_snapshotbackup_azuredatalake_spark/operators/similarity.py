@@ -957,8 +957,10 @@ _SQL_BUCKET_K = (
     " x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '')"
 )
 
-_ANN_KNN_GRAPH_SQL = f"""
-WITH nd AS (
+# the capped-LSH graph as a reusable CTE chain — the graph entry and
+# the recall audit share it verbatim, so the two oracles can never
+# drift apart
+_KNN_GRAPH_CTES = f"""nd AS (
   SELECT GREATEST({KNN_GRAPH_DIMS},
                   CAST(CEIL(LOG2(GREATEST(COUNT(*), 1)
                                  / {KNN_TARGET_BUCKET}.0)) AS INT)) AS dims
@@ -979,13 +981,112 @@ pairs AS (
   SELECT a.vec_id AS src, b.vec_id AS dst, {_SQL_COS} AS cos
   FROM emb a JOIN emb b USING (pat, sub)
   WHERE a.vec_id <> b.vec_id
+),
+knn_graph AS (
+  SELECT src, CAST(rank AS INT) AS rank, dst, cos
+  FROM (SELECT src, dst, cos,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY cos DESC, dst) AS rank
+        FROM pairs)
+  WHERE rank <= {KNN_GRAPH_K}
+)"""
+
+_ANN_KNN_GRAPH_SQL = f"""
+WITH {_KNN_GRAPH_CTES}
+SELECT src, rank, dst, cos FROM knn_graph
+"""
+
+
+def ann_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the capped-LSH kNN graph: for the bounded
+    {N_QUERIES}-vector panel, how many of each vector's TRUE
+    top-{KNN_GRAPH_K} cosine neighbors (exact, whole-corpus
+    brute force — the ann_topk_bruteforce plan shape: corpus scan ×
+    broadcast panel) does the graph actually contain? This is the
+    permanent "recall pricing" for the blocked substrate the round-7
+    verdict asked about: the LSH trade (same-bucket candidates only +
+    the occupancy-cap sub-split) is priced per panel vector as
+    hits/{KNN_GRAPH_K}, and any future change to the blocking
+    (pattern width, cap, sub-split) re-prices automatically. Both
+    sides break cosine ties by ascending neighbor id over bit-identical
+    doubles, so the set intersection is engine-exact; queries whose
+    graph neighbors were all pruned report 0 hits via the left join
+    (a groupBy alone would silently drop them). New in round 8
+    (SURVEY §2C row): new entries keep the full gate set — driver
+    drive, sf1 spot, family pytest."""
+    from blog_snapshotbackup_azuredatalake_spark.operators.graph import (
+        knn_graph_cached,
+    )
+
+    graph = knn_graph_cached(spark, sf_dir).filter(
+        F.col("src") < N_QUERIES
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    panel = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(panel))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            _dot_cos(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    exact = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_GRAPH_K)
+        .select(F.col("q_id").alias("src"), F.col("vec_id").alias("dst"))
+    )
+    hits = (
+        exact.join(graph.select("src", "dst"), ["src", "dst"], "left_semi")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        panel.select(F.col("q_id").alias("src"))
+        .join(hits, "src", "left")
+        .select(
+            "src",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("int").alias("hits"),
+            (
+                F.coalesce(F.col("hits"), F.lit(0))
+                / F.lit(float(KNN_GRAPH_K))
+            ).alias("recall"),
+        )
+    )
+
+
+_ANN_KNN_RECALL_SQL = f"""
+WITH {_KNN_GRAPH_CTES},
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+),
+ex AS (
+  SELECT q_id AS src, vec_id AS dst
+  FROM (SELECT q_id, b.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q_id
+                 ORDER BY {_sql_cos("q_emb", "b.embedding")} DESC,
+                          b.vec_id) AS rn
+        FROM q JOIN embeddings b ON b.vec_id <> q_id)
+  WHERE rn <= {KNN_GRAPH_K}
+),
+hits AS (
+  SELECT ex.src, COUNT(*) AS hits
+  FROM ex JOIN knn_graph g ON g.src = ex.src AND g.dst = ex.dst
+  GROUP BY ex.src
 )
-SELECT src, CAST(rank AS INT) AS rank, dst, cos
-FROM (SELECT src, dst, cos,
-             ROW_NUMBER() OVER (PARTITION BY src
-                                ORDER BY cos DESC, dst) AS rank
-      FROM pairs)
-WHERE rank <= {KNN_GRAPH_K}
+SELECT q.q_id AS src, CAST(COALESCE(h.hits, 0) AS INT) AS hits,
+       COALESCE(h.hits, 0) / {KNN_GRAPH_K}.0 AS recall
+FROM q LEFT JOIN hits h ON h.src = q.q_id
 """
 
 
@@ -2995,6 +3096,7 @@ QUERIES = {
     "emb_pq_residual_audit": emb_pq_residual_audit,
     "ann_nprobe_curve": ann_nprobe_curve,
     "ann_knn_graph": _ann_knn_graph_cached,
+    "ann_knn_graph_recall": ann_knn_graph_recall,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
@@ -3022,6 +3124,7 @@ ORACLES = {
     "emb_pq_residual_audit": _PQ_RESIDUAL_SQL,
     "ann_nprobe_curve": _nprobe_curve_sql(),
     "ann_knn_graph": _ANN_KNN_GRAPH_SQL,
+    "ann_knn_graph_recall": _ANN_KNN_RECALL_SQL,
     "ann_topk_bruteforce": _ANN_BRUTE_SQL,
     "ann_topk_lsh": _ANN_LSH_SQL,
     "ann_topk_ivf": _ANN_IVF_SQL,

@@ -1011,9 +1011,23 @@ def ann_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides break cosine ties by ascending neighbor id over bit-identical
     doubles, so the set intersection is engine-exact; queries whose
     graph neighbors were all pruned report 0 hits via the left join
-    (a groupBy alone would silently drop them). New in round 8
-    (SURVEY §2C row): new entries keep the full gate set — driver
-    drive, sf1 spot, family pytest."""
+    (a groupBy alone would silently drop them).
+
+    Round 9 adds the TIE-AWARE column pair (dist_hits, dist_recall):
+    how many of the graph's kept neighbors are AT LEAST AS CLOSE as
+    the true {KNN_GRAPH_K}th neighbor (graph cos >= exact kth cos —
+    an exact double comparison, both sides computed by the same
+    left-to-right fold, not a tolerance). The round-9 saturated-cap
+    measurement (scripts/knn_recall_scale.py, SCALING.md) showed why
+    both numbers are needed: at 600 k / 1.2 M / 2.4 M vectors the
+    id-recall decays exactly as the md5 sub-split arithmetic predicts
+    (0.83 / 0.40 / 0.35 ~ mean 1/n_sub) while dist-recall stays 1.00
+    on every panel query — the loss is entirely WITHIN the cos-tie
+    set of near-identical mega-bucket members, so the substrate's
+    "cap trades which tied neighbor you keep, not how close" claim is
+    measured, not asserted. A future corpus where capped buckets are
+    NOT near-interchangeable would show up here as dist_recall < 1
+    before any consumer silently degrades."""
     from blog_snapshotbackup_azuredatalake_spark.operators.graph import (
         knn_graph_cached,
     )
@@ -1039,19 +1053,31 @@ def ann_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos").desc(), F.col("vec_id")
     )
-    exact = (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= KNN_GRAPH_K)
-        .select(F.col("q_id").alias("src"), F.col("vec_id").alias("dst"))
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    exact = ranked.filter(F.col("rnk") <= KNN_GRAPH_K).select(
+        F.col("q_id").alias("src"), F.col("vec_id").alias("dst")
+    )
+    # the exact kth-best cosine is the tie-aware bar: any graph
+    # neighbor at or above it is as close as a "true" neighbor
+    kth = ranked.filter(F.col("rnk") == KNN_GRAPH_K).select(
+        F.col("q_id").alias("src"), F.col("cos").alias("kth_cos")
     )
     hits = (
         exact.join(graph.select("src", "dst"), ["src", "dst"], "left_semi")
         .groupBy("src")
         .agg(F.count(F.lit(1)).alias("hits"))
     )
+    dhits = (
+        graph.select("src", "cos")
+        .join(kth, "src")
+        .filter(F.col("cos") >= F.col("kth_cos"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("dist_hits"))
+    )
     return (
         panel.select(F.col("q_id").alias("src"))
         .join(hits, "src", "left")
+        .join(dhits, "src", "left")
         .select(
             "src",
             F.coalesce(F.col("hits"), F.lit(0)).cast("int").alias("hits"),
@@ -1059,6 +1085,13 @@ def ann_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("hits"), F.lit(0))
                 / F.lit(float(KNN_GRAPH_K))
             ).alias("recall"),
+            F.coalesce(F.col("dist_hits"), F.lit(0))
+            .cast("int")
+            .alias("dist_hits"),
+            (
+                F.coalesce(F.col("dist_hits"), F.lit(0))
+                / F.lit(float(KNN_GRAPH_K))
+            ).alias("dist_recall"),
         )
     )
 
@@ -1069,24 +1102,37 @@ q AS (
   SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
   WHERE vec_id < {N_QUERIES}
 ),
-ex AS (
-  SELECT q_id AS src, vec_id AS dst
+rk AS (
+  SELECT q_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos DESC, vec_id) AS rn
   FROM (SELECT q_id, b.vec_id,
-               ROW_NUMBER() OVER (
-                 PARTITION BY q_id
-                 ORDER BY {_sql_cos("q_emb", "b.embedding")} DESC,
-                          b.vec_id) AS rn
+               {_sql_cos("q_emb", "b.embedding")} AS cos
         FROM q JOIN embeddings b ON b.vec_id <> q_id)
-  WHERE rn <= {KNN_GRAPH_K}
+),
+ex AS (
+  SELECT q_id AS src, vec_id AS dst FROM rk WHERE rn <= {KNN_GRAPH_K}
+),
+kth AS (
+  SELECT q_id AS src, cos AS kth_cos FROM rk WHERE rn = {KNN_GRAPH_K}
 ),
 hits AS (
   SELECT ex.src, COUNT(*) AS hits
   FROM ex JOIN knn_graph g ON g.src = ex.src AND g.dst = ex.dst
   GROUP BY ex.src
+),
+dhits AS (
+  SELECT g.src, COUNT(*) AS dist_hits
+  FROM knn_graph g JOIN kth ON kth.src = g.src
+  WHERE g.cos >= kth.kth_cos
+  GROUP BY g.src
 )
 SELECT q.q_id AS src, CAST(COALESCE(h.hits, 0) AS INT) AS hits,
-       COALESCE(h.hits, 0) / {KNN_GRAPH_K}.0 AS recall
+       COALESCE(h.hits, 0) / {KNN_GRAPH_K}.0 AS recall,
+       CAST(COALESCE(d.dist_hits, 0) AS INT) AS dist_hits,
+       COALESCE(d.dist_hits, 0) / {KNN_GRAPH_K}.0 AS dist_recall
 FROM q LEFT JOIN hits h ON h.src = q.q_id
+       LEFT JOIN dhits d ON d.src = q.q_id
 """
 
 

@@ -86,6 +86,8 @@ DEFAULT_NAMES = [
     "ann_topk_ivfpq_residual",
     "ann_knn_graph",
     "emb_label_knn_classify",
+    # round-9: recall entry extended with tie-aware dist_hits/dist_recall
+    "ann_knn_graph_recall",
 ]
 
 

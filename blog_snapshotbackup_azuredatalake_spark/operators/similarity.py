@@ -1856,13 +1856,28 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_rows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
     qtabs = _pq_query_tables(q_rows, cb, ks)
     # ONE corpus pass builds the whole index row: inverted-list id +
-    # PQ codes, both map-only literal-expression argmins
-    coded = emb.withColumn("cents", cents_lit).select(
-        "vec_id",
-        F.array_min(_cent_scored(F.col("embedding")))["centroid_id"].alias(
-            "list_id"
-        ),
-        F.expr(_pq_encode_sql(cb, ks)).alias("codes"),
+    # PQ codes, both map-only literal-expression argmins. The
+    # localCheckpoint is the derived-array-under-join barrier (the
+    # round-8 residual-IVFPQ trap class): without it the ~128 KB
+    # interpreted encode projection re-evaluates per JOIN-OUTPUT row
+    # of the probe join below (|Q|·NPROBE/NLIST ≈ 5 evals per corpus
+    # row here), which round 9 measured as the variant's super-linear
+    # wall-clock edge — fresh min-of-2 55.3/165.3 s at 2.4 M/4.8 M
+    # vectors (alpha 1.58, heap-pressure inflected: the warm second
+    # run came out SLOWER than the cold one) collapsing to
+    # 34.8/50.9 s (alpha 0.55) with the barrier (SCALING.md round 9).
+    # It is also semantically the faiss-faithful artifact: the
+    # PQ-coded index is MATERIALIZED once at build time, then scanned.
+    coded = (
+        emb.withColumn("cents", cents_lit)
+        .select(
+            "vec_id",
+            F.array_min(_cent_scored(F.col("embedding")))[
+                "centroid_id"
+            ].alias("list_id"),
+            F.expr(_pq_encode_sql(cb, ks)).alias("codes"),
+        )
+        .localCheckpoint(eager=False)
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")

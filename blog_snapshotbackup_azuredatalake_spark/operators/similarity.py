@@ -1255,9 +1255,17 @@ def emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb, ks = _pq_codebook(emb)
     q_rows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
     qtabs = _pq_query_tables(q_rows, cb, ks)
+    # derived-array-under-join barrier (round 9, same class as the two
+    # IVFPQ variants): without it the ~128 KB interpreted encode
+    # re-evaluates under the |Q|-way crossJoin fan-out — fresh min-of-N
+    # 37.8/35.6 s at 1.2 M/2.4 M vectors vs 18.9/32.8 s with the
+    # barrier. Both variants show large warm-run variance at 2.4 M
+    # (repeat runs to 110-150 s — heap churn from the 48 M-row ADC
+    # window sort), so min-of-N fresh decides per the house rule
+    # (SCALING.md round 9)
     encoded = emb.select(
         "vec_id", F.expr(_pq_encode_sql(cb, ks)).alias("codes")
-    )
+    ).localCheckpoint(eager=False)
     # the |Q|×(PQ_M·PQ_K) table set rides as broadcast DATA, not as ~10k
     # literal expression nodes — the one-row-per-query frame crossJoins
     # onto the coded scan (same shape as ann_topk_bruteforce's query

@@ -192,3 +192,189 @@ def test_allowlist_not_stale():
         "allowlist can't silently cover new code:\n"
         + "\n".join(str(k) for k in stale)
     )
+
+
+# ---------------------------------------------------------------------------
+# Derived-array-under-join lint (round-9 verdict item 3): the trap class
+# that cost 13.4x on ann_topk_ivfpq_residual (round 8) and 3.2x on
+# ann_topk_ivfpq at 4.8M vectors (round 9). Mechanism: a DERIVED ARRAY
+# column (giant literal encode expression, zip_with/transform
+# construction) consumed under a join re-evaluates its construction per
+# JOIN-OUTPUT row when the projection runs interpreted — the fix is a
+# localCheckpoint barrier that materializes the array once. A plain
+# scan column is safe (measured control, SCALING.md round 8); sites
+# where the A/B showed the join shape evaluates once per corpus row
+# are allowlisted WITH their measured numbers.
+# ---------------------------------------------------------------------------
+
+# (path-suffix, enclosing function, var-name): measured-safe rationale
+DERIVED_ARRAY_ALLOW = {
+    ("operators/similarity.py", "emb_quantize_sq8", "recon"):
+        "negative A/B sf30de: checkpointing rembedding 20.9->18.0s "
+        "(14%) — under this crossJoin the transform evaluates per "
+        "corpus row, not per output row (SCALING.md round 8)",
+}
+
+_DERIVED_MARKERS = ("encode_sql(",)
+_ARRAY_BUILDERS = ("zip_with(", "F.transform(")
+
+
+def _derived_array_assign(seg: str) -> bool:
+    """Does this assignment's source build a derived ARRAY column?
+
+    encode_sql( emitters always qualify (giant literal array
+    expressions — the measured disease). zip_with/F.transform qualify
+    only when aliased into a named column and NOT folded to a scalar
+    by F.aggregate in the same expression (fold consumers evaluate to
+    scalars; the trap needs a persisted array column)."""
+    if any(m in seg for m in _DERIVED_MARKERS):
+        return True
+    return (
+        any(m in seg for m in _ARRAY_BUILDERS)
+        and ".alias(" in seg
+        and "F.aggregate(" not in seg
+        and "aggregate(" not in seg
+    )
+
+
+def _scan_derived(sources=None):
+    """sources: optional {rel_path: src} override for synthetic repro
+    tests; default walks the package. Returns (violations, found)."""
+    violations = []
+    found = set()
+    if sources is None:
+        sources = {}
+        for root, _, files in os.walk(BASE):
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    sources[os.path.relpath(p, BASE)] = open(p).read()
+    for rel, src in sources.items():
+        lines = src.split("\n")
+        func_of = {}
+        tree = ast.parse(src)
+        for node in ast.walk(tree):
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                for li in range(node.lineno, node.end_lineno + 1):
+                    prev = func_of.get(li)
+                    if prev is None or node.lineno > prev[0]:
+                        func_of[li] = (node.lineno, node.name)
+        for node in ast.walk(tree):
+            if not (
+                isinstance(node, ast.Assign)
+                and len(node.targets) == 1
+                and isinstance(node.targets[0], ast.Name)
+            ):
+                continue
+            seg = ast.get_source_segment(src, node) or ""
+            if not _derived_array_assign(seg):
+                continue
+            name = node.targets[0].id
+            func = (func_of.get(node.lineno) or (0, None))[1]
+            found.add((rel, func, name))
+            if "localCheckpoint" in seg:
+                continue  # barrier in the defining statement
+            if (rel, func, name) in DERIVED_ARRAY_ALLOW:
+                continue
+            start = node.end_lineno  # 0-based index of the next line
+            for j, ln in enumerate(
+                lines[start : start + 60], start=start + 1
+            ):
+                if re.search(rf"\b{name}\.localCheckpoint", ln) or (
+                    re.search(rf"\b{name}\s*=\s*", ln)
+                    and f"{name}." not in ln.split("=", 1)[1]
+                ):
+                    break  # barrier applied, or name re-bound elsewhere
+                if re.search(
+                    rf"\b{name}\.(join|crossJoin)\(", ln
+                ) or re.search(rf"\.(join|crossJoin)\(\s*{name}\b", ln):
+                    violations.append(
+                        f"{rel}:{j}: derived-array relation '{name}' in "
+                        f"{func} consumed under a join without a "
+                        f"localCheckpoint barrier -> {ln.strip()[:80]}"
+                    )
+                    break
+    return violations, found
+
+
+_REPRO_TRAP = '''
+def ivfpq_like(spark, sf_dir):
+    coded = emb.select(
+        "vec_id",
+        F.expr(_pq_encode_sql(cb, ks)).alias("codes"),
+    )
+    scored = coded.join(F.broadcast(probes_t), "list_id")
+    return scored
+'''
+
+_REPRO_BARRIERED = '''
+def ivfpq_like(spark, sf_dir):
+    coded = emb.select(
+        "vec_id",
+        F.expr(_pq_encode_sql(cb, ks)).alias("codes"),
+    ).localCheckpoint(eager=False)
+    scored = coded.join(F.broadcast(probes_t), "list_id")
+    return scored
+'''
+
+_REPRO_ZIPWITH_TRAP = '''
+def residual_like(spark, sf_dir):
+    resid = emb.select(
+        "vec_id",
+        F.zip_with("embedding", "cent", lambda a, b: a - b).alias("r"),
+    )
+    out = resid.crossJoin(F.broadcast(panel))
+    return out
+'''
+
+_REPRO_FOLDED_SCALAR = '''
+def dot_like(spark, sf_dir):
+    scored = emb.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with("a", "b", lambda x, y: x * y), zero, add
+        ).alias("dot"),
+    )
+    out = scored.crossJoin(F.broadcast(panel))
+    return out
+'''
+
+
+def test_derived_array_lint_red_on_synthetic_repro():
+    """The lint must catch the exact shape that cost 13.4x (residual
+    IVFPQ, round 8) and 3.2x (shared IVFPQ at 4.8M vectors, round 9)."""
+    v, _ = _scan_derived({"repro.py": _REPRO_TRAP})
+    assert len(v) == 1 and "coded" in v[0], v
+    v, _ = _scan_derived({"repro.py": _REPRO_ZIPWITH_TRAP})
+    assert len(v) == 1 and "resid" in v[0], v
+
+
+def test_derived_array_lint_green_on_barrier_and_scalar_fold():
+    v, _ = _scan_derived({"repro.py": _REPRO_BARRIERED})
+    assert not v, v
+    # zip_with folded to a scalar by F.aggregate is NOT a derived
+    # array column — must not be flagged
+    v, found = _scan_derived({"repro.py": _REPRO_FOLDED_SCALAR})
+    assert not v and not found, (v, found)
+
+
+def test_no_unbarriered_derived_array_joins():
+    v, _ = _scan_derived()
+    assert not v, (
+        "derived ARRAY column consumed under a join without a "
+        "localCheckpoint barrier — the construction re-evaluates per "
+        "join-output row when the projection runs interpreted "
+        "(measured 13.4x on ann_topk_ivfpq_residual r8, 3.2x on "
+        "ann_topk_ivfpq at 4.8M vectors r9); checkpoint the relation "
+        "or allowlist with a measured negative A/B:\n" + "\n".join(v)
+    )
+
+
+def test_derived_array_allowlist_not_stale():
+    _, found = _scan_derived()
+    stale = [k for k in DERIVED_ARRAY_ALLOW if k not in found]
+    assert not stale, (
+        "DERIVED_ARRAY_ALLOW entries no longer match any live "
+        "derived-array assignment — delete or re-key:\n"
+        + "\n".join(str(k) for k in stale)
+    )

@@ -1436,6 +1436,101 @@ FROM planned
 """
 
 
+EPOCH_MAX = 8  # epochs tabulated per source in the ROI table
+EPOCH_FP = 1 << 20  # fixed-point scale for effective-token columns
+
+
+def corpus_epoch_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-epoch ROI table: the planning surface for
+    data-constrained training (Muennighoff et al., "Scaling
+    Data-Constrained Language Models" — repeating data has rapidly
+    diminishing value; their fitted R* decays roughly geometrically).
+    For every (source, epochs e ≤ {EPOCH_MAX}) this tabulates the
+    EFFECTIVE token count under a binary-exact geometric reuse
+    discount δ = 1/2 (a proxy chosen so every engine computes it
+    exactly with integer shifts, stated as such — the paper's fit is
+    a calibration away): eff(e) = n_tokens · Σ_{{i<e}} δ^i
+    = n_tokens · (2^e − 1) / 2^(e−1), plus the marginal value of the
+    e-th epoch (δ^(e−1), an exact power of two) and the fraction of
+    the 2·n_tokens asymptotic value captured (1 − 2^−e). A training
+    planner joins this against its token budget to pick per-source
+    epoch counts — `corpus_token_budget_plan` answers "what repeat
+    factor does the α = 0.5 mix imply"; THIS table answers "what is
+    each marginal epoch still worth".
+
+    Plan shape at 100 TB: one map-side-combined groupBy(source) over
+    the corpus (token counts — the same whitespace convention as the
+    budget plan), then a constant ×{EPOCH_MAX} generator fan-out on a
+    source-cardinality relation. No joins against the corpus, no
+    driver arithmetic; every hashed column is either an exact BIGINT
+    (fixed-point effective tokens, integer shifts both engines) or a
+    double derived from one exact power-of-two ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select(
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias(
+                "n_tok"
+            ),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("n_tokens"))
+    )
+    epochs = per_src.select(
+        "source",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(1), F.lit(EPOCH_MAX))).alias("epoch"),
+    )
+    eff_fp = F.expr(
+        f"CAST(n_tokens * (shiftleft(CAST(1 AS BIGINT), epoch) - 1)"
+        f" * {EPOCH_FP} DIV shiftleft(CAST(1 AS BIGINT), epoch - 1)"
+        " AS BIGINT)"
+    )
+    return epochs.select(
+        "source",
+        "n_tokens",
+        "epoch",
+        eff_fp.alias("eff_tokens_fp"),
+        (eff_fp.cast("double") / F.lit(float(EPOCH_FP))).alias(
+            "eff_tokens"
+        ),
+        F.expr(
+            "CAST(1.0 AS DOUBLE)"
+            " / shiftleft(CAST(1 AS BIGINT), epoch - 1)"
+        ).alias("marginal_value"),
+        F.expr(
+            "CAST(1.0 AS DOUBLE)"
+            " - CAST(1.0 AS DOUBLE) / shiftleft(CAST(1 AS BIGINT), epoch)"
+        ).alias("value_captured_frac"),
+    )
+
+
+_EPOCH_ROI_SQL = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), epochs AS (
+  SELECT source, n_tokens, CAST(e AS INT) AS epoch
+  FROM per_src, UNNEST(range(1, {EPOCH_MAX + 1})) AS t(e)
+)
+SELECT source, n_tokens, epoch,
+       CAST(n_tokens * ((CAST(1 AS BIGINT) << epoch) - 1) * {EPOCH_FP}
+            // (CAST(1 AS BIGINT) << (epoch - 1)) AS BIGINT)
+         AS eff_tokens_fp,
+       CAST(CAST(n_tokens * ((CAST(1 AS BIGINT) << epoch) - 1)
+                 * {EPOCH_FP}
+                 // (CAST(1 AS BIGINT) << (epoch - 1)) AS BIGINT)
+            AS DOUBLE) / {EPOCH_FP} AS eff_tokens,
+       CAST(1.0 AS DOUBLE) / (CAST(1 AS BIGINT) << (epoch - 1))
+         AS marginal_value,
+       CAST(1.0 AS DOUBLE)
+         - CAST(1.0 AS DOUBLE) / (CAST(1 AS BIGINT) << epoch)
+         AS value_captured_frac
+FROM epochs
+"""
+
+
 OUT_MFP = 1 << 30  # fixed-point scale for the moment sums
 OUT_SFP = 1 << 20  # fixed-point scale for the per-dim z² terms
 OUT_TAU = 2.0  # mean squared z-score above this ⇒ outlier
@@ -2381,6 +2476,7 @@ QUERIES = {
     "corpus_near_dup_inflation": corpus_near_dup_inflation,
     "corpus_version_diff": corpus_version_diff,
     "corpus_token_budget_plan": corpus_token_budget_plan,
+    "corpus_epoch_roi": corpus_epoch_roi,
     "emb_label_drift": emb_label_drift,
     "emb_outlier_zscore": emb_outlier_zscore,
     "corpus_decontaminate_semantic": corpus_decontaminate_semantic,
@@ -2409,6 +2505,7 @@ ORACLES = {
     "corpus_near_dup_inflation": _near_dup_inflation_sql(),
     "corpus_version_diff": _VERSION_DIFF_SQL,
     "corpus_token_budget_plan": _TOKEN_BUDGET_SQL,
+    "corpus_epoch_roi": _EPOCH_ROI_SQL,
     "emb_outlier_zscore": _EMB_OUTLIER_SQL,
     "corpus_decontaminate_semantic": _decontaminate_semantic_sql(),
     "corpus_shard_shuffle": _SHARD_SHUFFLE_SQL,

@@ -2274,6 +2274,94 @@ WHERE rnk <= {TOP_K}
 """
 
 
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the production IVF+PQ path vs the exact
+    answer — the query-set counterpart of ann_knn_graph_recall
+    (round 9), closing the PQ family's pricing: cost curves live in
+    SCALING.md (linear through 4.8 M vectors once the coded-index
+    barrier landed), and THIS entry makes the quality side
+    oracle-gated data that re-prices automatically if NLIST/NPROBE/
+    PQ_M or the shortlist ever change. The exact side ranks by the
+    same metric the IVFPQ refine step uses (L2, ties by neighbor id),
+    NOT cosine — recall against a different metric would
+    under-report. Losses decompose into the two knobs the plan
+    exposes: coarse pruning (true neighbor outside the {IVF_NPROBE}
+    probed lists) and quantized shortlisting (inside a probed list
+    but ADC-ranked below the {PQ_SHORTLIST}-candidate shortlist).
+    Same recall-report shape as ann_recall_audit (q_id, k, n_hit,
+    recall); the exact pass is |corpus| × {N_QUERIES} map-only work
+    against the broadcast panel — the audit costs one brute-force
+    scan at any SF, by design."""
+    approx = ann_topk_ivfpq(spark, sf_dir).select(
+        "q_id", "vec_id", F.lit(1).alias("hit")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            _l2sq(F.col("q_emb"), F.col("embedding")).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("d2", "vec_id")
+    exact = (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "vec_id")
+    )
+    return (
+        exact.join(approx, ["q_id", "vec_id"], "left_outer")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)).cast("bigint")).alias(
+                "n_hit"
+            ),
+        )
+        .select(
+            "q_id",
+            "k",
+            "n_hit",
+            (
+                F.col("n_hit").cast("double") / F.col("k").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
+_IVFPQ_RECALL_SQL = f"""
+WITH ap AS ({_IVFPQ_SQL}),
+exq AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+),
+ex AS (
+  SELECT q_id, vec_id
+  FROM (SELECT q_id, b.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q_id
+                 ORDER BY {_SQL_L2SQ.format(a="q_emb", b="b.embedding")},
+                          b.vec_id) AS rn
+        FROM exq JOIN embeddings b ON b.vec_id <> q_id)
+  WHERE rn <= {TOP_K}
+)
+SELECT ex.q_id, COUNT(*) AS k,
+       CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM ex LEFT JOIN ap ON ap.q_id = ex.q_id AND ap.vec_id = ex.vec_id
+GROUP BY ex.q_id
+"""
+
+
 TRUNC_DIMS = 32
 
 
@@ -3160,6 +3248,7 @@ QUERIES = {
     "emb_pq_adc": emb_pq_adc,
     "ann_topk_ivfpq": ann_topk_ivfpq,
     "ann_topk_ivfpq_residual": ann_topk_ivfpq_residual,
+    "ann_ivfpq_recall": ann_ivfpq_recall,
     "ann_index_balance": ann_index_balance,
     "ann_ivf_upsert": ann_ivf_upsert,
     "emb_pq_residual_audit": emb_pq_residual_audit,
@@ -3188,6 +3277,7 @@ ORACLES = {
     "emb_pq_adc": _PQ_ADC_SQL,
     "ann_topk_ivfpq": _IVFPQ_SQL,
     "ann_topk_ivfpq_residual": _IVFPQ_RESIDUAL_SQL,
+    "ann_ivfpq_recall": _IVFPQ_RECALL_SQL,
     "ann_index_balance": _INDEX_BALANCE_SQL,
     "ann_ivf_upsert": _IVF_UPSERT_SQL,
     "emb_pq_residual_audit": _PQ_RESIDUAL_SQL,

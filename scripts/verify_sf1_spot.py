@@ -88,6 +88,9 @@ DEFAULT_NAMES = [
     "emb_label_knn_classify",
     # round-9: recall entry extended with tie-aware dist_hits/dist_recall
     "ann_knn_graph_recall",
+    # round-9 new entries
+    "ann_ivfpq_recall",
+    "corpus_epoch_roi",
 ]
 
 

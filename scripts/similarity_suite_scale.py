@@ -39,6 +39,7 @@ ENTRIES = [
     "emb_pq_residual_audit",
     "ann_topk_ivfpq",
     "ann_topk_ivfpq_residual",
+    "ann_ivfpq_recall",
     # graph / audit consumers
     "ann_knn_graph",
     "ann_recall_audit",

@@ -199,11 +199,37 @@ def diag_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ann_topk_ivf", "coarse_assign_is_map_only",
          "array_min" in pivf and "SortMergeJoin" not in pivf)
     )
+    # the coded index sits behind a localCheckpoint since round 9 (the
+    # derived-array-under-join barrier), so the encode no longer
+    # appears in the entry's downstream plan — audit the two halves:
+    # the ADC scan must stay broadcast (no shuffled cartesian), and
+    # the encode projection itself (rebuilt un-checkpointed) must be
+    # a map-only literal argmin (no Exchange of any kind)
     ppq = plan_of(emb_pq_adc(spark, sf_dir))
     checks.append(
-        ("emb_pq_adc", "literal_codebook_no_shuffled_cartesian",
-         "array_min" in ppq and "CartesianProduct" not in ppq
-         and "SortMergeJoin" not in ppq)
+        ("emb_pq_adc", "adc_scan_no_shuffled_cartesian",
+         "CartesianProduct" not in ppq and "SortMergeJoin" not in ppq)
+    )
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from blog_snapshotbackup_azuredatalake_spark.operators.similarity import (
+        _pq_codebook,
+        _pq_encode_sql,
+    )
+    from blog_snapshotbackup_azuredatalake_spark.sources.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cb, ks = _pq_codebook(emb)
+    penc = plan_of(
+        emb.select("vec_id", F.expr(_pq_encode_sql(cb, ks)).alias("codes"))
+    )
+    checks.append(
+        ("emb_pq_adc", "literal_codebook_encode_map_only",
+         "array_min" in penc and "Exchange" not in penc)
     )
     plm = plan_of(text_ngram_lm(spark, sf_dir))
     checks.append(

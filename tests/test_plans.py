@@ -180,14 +180,31 @@ def test_q9_part_filter_before_join(spark):
 def test_pq_encode_is_map_only_scan_is_integer(spark):
     from blog_snapshotbackup_azuredatalake_spark.operators import similarity
 
+    from pyspark.sql import functions as F
+
     plan = _plan(similarity.emb_pq_adc(spark, SF_DIR))
     # codebook argmin rides as a literal (array_min over bound structs):
     # encoding must never join or shuffle the corpus. The ADC tables
     # crossJoin as a broadcast one-row-per-query frame (the intended
     # every-query-scores-every-row scan), never a shuffled cartesian.
-    assert "array_min" in plan
+    # Since round 9 the coded index is materialized behind a
+    # localCheckpoint (derived-array-under-join barrier), so the encode
+    # is audited on its own un-checkpointed projection: a map-only
+    # literal argmin with no Exchange of any kind.
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+    emb = similarity.load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cb, ks = similarity._pq_codebook(emb)
+    eplan = _plan(
+        emb.select(
+            "vec_id",
+            F.expr(similarity._pq_encode_sql(cb, ks)).alias("codes"),
+        )
+    )
+    assert "array_min" in eplan
+    assert "Exchange" not in eplan
 
 
 def test_ngram_lm_model_broadcasts_onto_token_stream(spark):

@@ -1436,6 +1436,300 @@ FROM planned
 """
 
 
+PARETO_BANDS = 20  # equal-width quality bands in the cutoff ROI table
+PARETO_QFP = 1 << 20  # fixed-point scale for quality scores
+
+
+def corpus_quality_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-cutoff ROI curve: the table a filtering decision reads
+    BEFORE picking a threshold — for each of {PARETO_BANDS}
+    equal-width quality bands (band {PARETO_BANDS - 1} = best), how
+    many docs/tokens the band holds, the cumulative tokens KEPT if the
+    cutoff is set at the band's floor (everything at or above it), the
+    fraction of the corpus that keeps, and the band's quality range.
+    C4/Gopher-style pipelines publish exactly this tradeoff ("dropping
+    the bottom 30% costs X% of tokens"); `corpus_filter_funnel` prices
+    a FIXED rule chain — this prices EVERY cutoff at once. Scores
+    reuse text.with_quality_stats verbatim (already hash-verified
+    engine-identical), so the curve composes with the quality gate it
+    would configure.
+
+    Banding is deliberately equal-width, NOT ntile deciles: an exact
+    global ntile needs a single-partition total-order sort of the
+    corpus (fine for dimension tables — see q_balance_deciles'
+    boundary note — fatal for a 100 TB documents scan). Here the band
+    id is pure integer arithmetic on the fixed-point score against a
+    broadcast 1-row (min, max) aggregate — map-only over the corpus,
+    then a ≤{PARETO_BANDS}-row aggregate; the running totals are
+    windows over those {PARETO_BANDS} rows, never the corpus. All
+    hashed doubles derive from exact BIGINTs (band means from summed
+    fixed-point scores; band min/max are order-independent over
+    bit-identical doubles)."""
+    from blog_snapshotbackup_azuredatalake_spark.operators.text import (
+        with_quality_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = with_quality_stats(docs.select("doc_id", "text")).select(
+        "doc_id",
+        "n_tokens",
+        "quality_score",
+        F.floor(F.col("quality_score") * PARETO_QFP)
+        .cast("bigint")
+        .alias("q_fp"),
+    )
+    rng = scored.agg(
+        F.min("q_fp").alias("mn_fp"), F.max("q_fp").alias("mx_fp")
+    )
+    banded = scored.crossJoin(F.broadcast(rng)).select(
+        "n_tokens",
+        "quality_score",
+        "q_fp",
+        F.expr(
+            f"CAST(least((q_fp - mn_fp) * {PARETO_BANDS}"
+            f" DIV (mx_fp - mn_fp + 1), {PARETO_BANDS - 1}) AS INT)"
+        ).alias("band"),
+        F.expr(
+            f"mn_fp + (mx_fp - mn_fp + 1) * ((q_fp - mn_fp)"
+            f" * {PARETO_BANDS} DIV (mx_fp - mn_fp + 1))"
+            f" DIV {PARETO_BANDS}"
+        ).alias("band_lo_fp"),
+    )
+    per_band = banded.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("q_fp").alias("sum_q_fp"),
+        F.min("band_lo_fp").alias("band_lo_fp"),
+        F.min("quality_score").alias("min_quality"),
+        F.max("quality_score").alias("max_quality"),
+    )
+    wc = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy()
+    return per_band.select(
+        "band",
+        "n_docs",
+        "n_tokens",
+        (F.col("band_lo_fp").cast("double") / F.lit(float(PARETO_QFP)))
+        .alias("band_floor"),
+        F.sum("n_tokens").over(wc).alias("cum_tokens_kept"),
+        (
+            F.sum("n_tokens").over(wc).cast("double")
+            / F.sum("n_tokens").over(wt).cast("double")
+        ).alias("token_frac_kept"),
+        (
+            F.col("sum_q_fp").cast("double")
+            / F.col("n_docs").cast("double")
+            / F.lit(float(PARETO_QFP))
+        ).alias("mean_quality"),
+        "min_quality",
+        "max_quality",
+    )
+
+
+_QUALITY_PARETO_SQL_TMPL = """
+WITH {qctes},
+scored AS (
+  SELECT doc_id, n_tokens, quality_score,
+         CAST(floor(quality_score * {qfp}) AS BIGINT) AS q_fp
+  FROM qscored
+),
+rng AS (
+  SELECT MIN(q_fp) AS mn_fp, MAX(q_fp) AS mx_fp FROM scored
+),
+banded AS (
+  SELECT n_tokens, quality_score, q_fp,
+         CAST(LEAST((q_fp - mn_fp) * {bands} // (mx_fp - mn_fp + 1),
+                    {bands} - 1) AS INT) AS band,
+         mn_fp + (mx_fp - mn_fp + 1)
+           * ((q_fp - mn_fp) * {bands} // (mx_fp - mn_fp + 1))
+           // {bands} AS band_lo_fp
+  FROM scored CROSS JOIN rng
+),
+per_band AS (
+  SELECT band, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(SUM(q_fp) AS BIGINT) AS sum_q_fp,
+         CAST(MIN(band_lo_fp) AS BIGINT) AS band_lo_fp,
+         MIN(quality_score) AS min_quality,
+         MAX(quality_score) AS max_quality
+  FROM banded GROUP BY band
+)
+SELECT band, n_docs, n_tokens,
+       CAST(band_lo_fp AS DOUBLE) / {qfp} AS band_floor,
+       CAST(SUM(n_tokens) OVER (ORDER BY band DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens_kept,
+       CAST(SUM(n_tokens) OVER (ORDER BY band DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS DOUBLE)
+         / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS token_frac_kept,
+       CAST(sum_q_fp AS DOUBLE) / CAST(n_docs AS DOUBLE) / {qfp}
+         AS mean_quality,
+       min_quality, max_quality
+FROM per_band
+"""
+
+
+def _quality_pareto_sql() -> str:
+    from blog_snapshotbackup_azuredatalake_spark.operators.text import (
+        sql_quality_ctes,
+    )
+
+    return _QUALITY_PARETO_SQL_TMPL.format(
+        qctes=sql_quality_ctes("(SELECT doc_id, text FROM documents)"),
+        qfp=PARETO_QFP,
+        bands=PARETO_BANDS,
+    )
+
+
+ANNEAL_PCT = 10  # final-phase share of the training budget, percent
+
+
+def corpus_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase training-mix schedule with a quality-weighted anneal
+    tail — the "midtraining" pattern public model reports describe
+    (e.g. MiniCPM / Llama-3 style decay-phase upsampling of
+    high-quality sources): the MAIN phase ({100 - ANNEAL_PCT}% of a
+    1×-corpus token budget) allocates by the house α = 0.5
+    temperature rule (sqrt-flattened token shares, exactly
+    corpus_mix_temperature), while the ANNEAL phase (the last
+    {ANNEAL_PCT}%) re-weights sources by their MEAN QUALITY SCORE
+    (text.with_quality_stats, fixed-point mean per source) so the
+    budget tail concentrates on the cleanest sources. Output is one
+    row per (source, phase) with the phase weight, allocated tokens,
+    and the per-source repeat factor the allocation implies — the
+    anneal rows answer "which sources does the tail actually
+    upsample, and do they over-repeat" (the same {BUDGET_FP}
+    fixed-point repeat convention as corpus_token_budget_plan).
+
+    One corpus pass (per-source token + quality-sum aggregate), then
+    source-cardinality arithmetic: weights are integer (sqrt
+    floor-quantized / BIGINT mean-quality fixed point, floored at 1
+    so a degenerate all-negative-quality source still draws), and
+    every allocation is floor(double-of-exact-ints) — the pattern the
+    budget-plan oracle already hash-verifies."""
+    from blog_snapshotbackup_azuredatalake_spark.operators.text import (
+        with_quality_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = with_quality_stats(docs.select("doc_id", "source", "text"))
+    per_src = scored.select(
+        "source",
+        "n_tokens",
+        F.floor(F.col("quality_score") * PARETO_QFP)
+        .cast("bigint")
+        .alias("q_fp"),
+    ).groupBy("source").agg(
+        F.sum("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("q_fp").alias("sum_q_fp"),
+    )
+    base = per_src.select(
+        "*",
+        F.sum("n_tokens").over(Window.partitionBy()).alias("tok_total"),
+    )
+    main_w = (
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * MIX_SCALE)
+        .cast("bigint")
+    )
+    ann_w = F.greatest(
+        F.expr("sum_q_fp DIV n_docs"), F.lit(1).cast("bigint")
+    )
+    phased = base.select(
+        "source", "n_tokens", "tok_total",
+        F.lit("main").alias("phase"), main_w.alias("weight"),
+    ).unionByName(
+        base.select(
+            "source", "n_tokens", "tok_total",
+            F.lit("anneal").alias("phase"), ann_w.alias("weight"),
+        )
+    )
+    wp = Window.partitionBy("phase")
+    ann_budget = F.expr(f"tok_total * {ANNEAL_PCT} DIV 100")
+    budget = F.when(F.col("phase") == "anneal", ann_budget).otherwise(
+        F.col("tok_total") - ann_budget
+    )
+    alloc = F.floor(
+        F.col("weight").cast("double")
+        / F.sum("weight").over(wp).cast("double")
+        * budget.cast("double")
+    ).cast("bigint")
+    return phased.select(
+        "source",
+        "phase",
+        "n_tokens",
+        "weight",
+        alloc.alias("alloc_tokens"),
+    ).select(
+        "*",
+        F.expr(f"CAST(alloc_tokens * {BUDGET_FP} DIV n_tokens AS BIGINT)")
+        .alias("repeat_fp"),
+    )
+
+
+_ANNEAL_SQL_TMPL = """
+WITH {qctes},
+per_src AS (
+  SELECT source,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_docs,
+         CAST(SUM(CAST(floor(quality_score * {qfp}) AS BIGINT))
+              AS BIGINT) AS sum_q_fp
+  FROM qscored GROUP BY source
+),
+base AS (
+  SELECT *, CAST(SUM(n_tokens) OVER () AS BIGINT) AS tok_total
+  FROM per_src
+),
+phased AS (
+  SELECT source, n_tokens, tok_total, 'main' AS phase,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * {mix_scale})
+              AS BIGINT) AS weight
+  FROM base
+  UNION ALL
+  SELECT source, n_tokens, tok_total, 'anneal' AS phase,
+         GREATEST(sum_q_fp // n_docs, 1) AS weight
+  FROM base
+),
+alloced AS (
+  SELECT source, phase, n_tokens, weight,
+         CAST(floor(CAST(weight AS DOUBLE)
+                    / CAST(SUM(weight) OVER (PARTITION BY phase)
+                           AS DOUBLE)
+                    * CAST(CASE WHEN phase = 'anneal'
+                                THEN tok_total * {pct} // 100
+                                ELSE tok_total
+                                     - tok_total * {pct} // 100
+                           END AS DOUBLE))
+              AS BIGINT) AS alloc_tokens
+  FROM phased
+)
+SELECT source, phase, n_tokens, weight, alloc_tokens,
+       CAST(alloc_tokens * {bfp} // n_tokens AS BIGINT) AS repeat_fp
+FROM alloced
+"""
+
+
+def _anneal_sql() -> str:
+    from blog_snapshotbackup_azuredatalake_spark.operators.text import (
+        sql_quality_ctes,
+    )
+
+    return _ANNEAL_SQL_TMPL.format(
+        qctes=sql_quality_ctes(
+            "(SELECT doc_id, source, text FROM documents)"
+        ),
+        qfp=PARETO_QFP,
+        mix_scale=MIX_SCALE,
+        pct=ANNEAL_PCT,
+        bfp=BUDGET_FP,
+    )
+
+
 EPOCH_MAX = 8  # epochs tabulated per source in the ROI table
 EPOCH_FP = 1 << 20  # fixed-point scale for effective-token columns
 
@@ -2477,6 +2771,8 @@ QUERIES = {
     "corpus_version_diff": corpus_version_diff,
     "corpus_token_budget_plan": corpus_token_budget_plan,
     "corpus_epoch_roi": corpus_epoch_roi,
+    "corpus_quality_pareto": corpus_quality_pareto,
+    "corpus_anneal_schedule": corpus_anneal_schedule,
     "emb_label_drift": emb_label_drift,
     "emb_outlier_zscore": emb_outlier_zscore,
     "corpus_decontaminate_semantic": corpus_decontaminate_semantic,
@@ -2506,6 +2802,8 @@ ORACLES = {
     "corpus_version_diff": _VERSION_DIFF_SQL,
     "corpus_token_budget_plan": _TOKEN_BUDGET_SQL,
     "corpus_epoch_roi": _EPOCH_ROI_SQL,
+    "corpus_quality_pareto": _quality_pareto_sql(),
+    "corpus_anneal_schedule": _anneal_sql(),
     "emb_outlier_zscore": _EMB_OUTLIER_SQL,
     "corpus_decontaminate_semantic": _decontaminate_semantic_sql(),
     "corpus_shard_shuffle": _SHARD_SHUFFLE_SQL,

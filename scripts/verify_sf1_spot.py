@@ -91,6 +91,8 @@ DEFAULT_NAMES = [
     # round-9 new entries
     "ann_ivfpq_recall",
     "corpus_epoch_roi",
+    "corpus_quality_pareto",
+    "corpus_anneal_schedule",
 ]
 
 

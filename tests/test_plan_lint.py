@@ -237,11 +237,18 @@ def _derived_array_assign(seg: str) -> bool:
     )
 
 
+_SCAN_DERIVED_CACHE = []
+
+
 def _scan_derived(sources=None):
     """sources: optional {rel_path: src} override for synthetic repro
-    tests; default walks the package. Returns (violations, found)."""
+    tests; default walks the package (cached — two tests share the
+    ~30 s AST sweep). Returns (violations, found)."""
+    if sources is None and _SCAN_DERIVED_CACHE:
+        return _SCAN_DERIVED_CACHE[0]
     violations = []
     found = set()
+    cache_it = sources is None
     if sources is None:
         sources = {}
         for root, _, files in os.walk(BASE):
@@ -266,7 +273,11 @@ def _scan_derived(sources=None):
                 and isinstance(node.targets[0], ast.Name)
             ):
                 continue
-            seg = ast.get_source_segment(src, node) or ""
+            # full-line slice instead of ast.get_source_segment:
+            # the latter re-splits the source per node (the two
+            # repo-wide tests measured ~30 s each); line-bounded
+            # text is a superset that serves the marker match
+            seg = "\n".join(lines[node.lineno - 1 : node.end_lineno])
             if not _derived_array_assign(seg):
                 continue
             name = node.targets[0].id
@@ -294,7 +305,10 @@ def _scan_derived(sources=None):
                         f"localCheckpoint barrier -> {ln.strip()[:80]}"
                     )
                     break
-    return violations, found
+    result = (violations, found)
+    if cache_it:
+        _SCAN_DERIVED_CACHE.append(result)
+    return result
 
 
 _REPRO_TRAP = '''

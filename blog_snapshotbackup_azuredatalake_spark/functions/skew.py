@@ -14,7 +14,9 @@ changes query RESULTS, so it needs no oracle portability.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import os
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -45,6 +47,128 @@ def salted_join(
         "_salt", F.explode_outer(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     )
     return salted_facts.join(replicated, [key, "_salt"], how).drop("_salt")
+
+
+# Salt width for two-phase top-k rank windows (round 10). A row_number
+# window partitioned by a CONSTANT-cardinality key (the 20-query ANN
+# panel, a handful of corpus sources) over a data-sized relation bounds
+# the sort's parallelism at that cardinality no matter how large the
+# corpus or the cluster — measured as 97–150 s warm-run swings at 2.4 M
+# vectors from heap churn on a 48 M-row 20-partition ADC sort
+# (SCALING.md round 9). Scale-adaptive by env (a cluster run raises it
+# with the executor count); the default keeps |parts|·TOPK_SALT ≫ any
+# local core count while phase 2 stays trivially small.
+TOPK_SALT = int(os.environ.get("SPARK_GRAFT_TOPK_SALT", "64"))
+
+
+def two_phase_rank(
+    df: DataFrame,
+    order_cols,
+    k: int,
+    part_cols=("q_id",),
+    salt_col: str = "vec_id",
+    rank_name: str = "rnk",
+) -> DataFrame:
+    """Salted two-phase top-k rank window — exact, not approximate.
+
+    Phase 1 ranks within (part_cols..., pmod(xxhash64(salt_col),
+    TOPK_SALT)) — |parts|·TOPK_SALT cells, each sorting ~1/TOPK_SALT of
+    the rows — and keeps the top k per cell; phase 2 re-ranks the
+    |parts|·TOPK_SALT·k survivors with the original window and filters
+    to rank ≤ k.
+
+    Equivalence: ``order_cols`` must end in a tiebreak column unique
+    within a partition (every call site uses vec_id / doc_id / tok), so
+    the order is total. Any row in the overall top-k of its partition
+    under that total order is a fortiori in the top-k of its salt
+    cell, so phase 1 never drops a winner, and phase 2 applies the
+    identical deterministic order — same rows, same rank values, same
+    oracle hash (the salting machinery above applied to a rank window;
+    round-9 verdict item 1)."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(TOPK_SALT))
+    )
+    w1 = Window.partitionBy(*part_cols, "_salt").orderBy(*order_cols)
+    survivors = (
+        salted.withColumn("_cell_rnk", F.row_number().over(w1))
+        .filter(F.col("_cell_rnk") <= k)
+        .drop("_cell_rnk", "_salt")
+    )
+    w2 = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    return survivors.withColumn(
+        rank_name, F.row_number().over(w2)
+    ).filter(F.col(rank_name) <= k)
+
+
+def two_phase_rank_dual(
+    df: DataFrame,
+    order_a,
+    order_b,
+    k: int,
+    part_cols=("q_id",),
+    salt_col: str = "vec_id",
+    in_a: str = "in_a",
+    in_b: str = "in_b",
+) -> DataFrame:
+    """Two exact top-k picks by DIFFERENT orders over the same
+    data-sized relation, sharing ONE salted exchange (round 10).
+
+    The ANN audit entries (truncation / binary-Hamming / SQ8 overlap)
+    ran two row_number windows partitioned by q_id over the full
+    scored relation: one exchange, but two corpus-sized sorts whose
+    parallelism is bounded at |Q| = 20 tasks by contract. Here phase 1
+    computes BOTH cell ranks within (part_cols..., salt) — still one
+    exchange, now |parts|·TOPK_SALT small sorts per order — and keeps
+    only rows in EITHER cell top-k. Phase 2 recovers each order's
+    exact global rank as a running count of its qualifying rows over
+    the tiny union (≤ 2·k·TOPK_SALT rows per partition), so both final
+    picks live on one relation with no plan duplication.
+
+    Returns the union rows with boolean columns ``in_a`` / ``in_b``:
+    true ⟺ the row is in the true global top-k under that order.
+    Exactness argument as two_phase_rank: orders must end in a
+    within-partition-unique tiebreak, every global top-k row is in its
+    cell top-k, and ranking among qualifying rows equals the global
+    rank because the global top-k only contains qualifying rows."""
+    # the salt MUST be a materialized column, not an inline expression:
+    # two windows partitioned by separate instances of the same
+    # expression plan as two different partition keys — i.e. TWO full
+    # exchanges of the corpus-sized input (measured in the round-10
+    # plan capture); one shared attribute → one exchange, two sorts
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(TOPK_SALT))
+    )
+    w1a = Window.partitionBy(*part_cols, "_salt").orderBy(*order_a)
+    w1b = Window.partitionBy(*part_cols, "_salt").orderBy(*order_b)
+    pre = (
+        salted.withColumn("_ca", F.row_number().over(w1a))
+        .withColumn("_cb", F.row_number().over(w1b))
+        .filter((F.col("_ca") <= k) | (F.col("_cb") <= k))
+        .drop("_salt")
+    )
+    w2a = (
+        Window.partitionBy(*part_cols)
+        .orderBy(*order_a)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w2b = (
+        Window.partitionBy(*part_cols)
+        .orderBy(*order_b)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pre.withColumn(
+            "_ga",
+            F.sum(F.when(F.col("_ca") <= k, 1).otherwise(0)).over(w2a),
+        )
+        .withColumn(
+            "_gb",
+            F.sum(F.when(F.col("_cb") <= k, 1).otherwise(0)).over(w2b),
+        )
+        .withColumn(in_a, (F.col("_ca") <= k) & (F.col("_ga") <= k))
+        .withColumn(in_b, (F.col("_cb") <= k) & (F.col("_gb") <= k))
+        .drop("_ca", "_cb", "_ga", "_gb")
+    )
 
 
 def two_phase_agg(

@@ -1033,11 +1033,16 @@ def corpus_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output certifies the kept set per source: counts plus an
     order-insensitive xor checksum of the kept doc hashes.
 
-    Scale: one shuffle on source for the rank window. A 100 TB source
-    would dominate its partition, so the escalation (same trick as
-    ``doc_pack``'s sharded windows) is a two-phase cap: per-(source,
-    shard) top-{QUOTA_N} first — bounded partitions — then the global
-    top-{QUOTA_N} of the ≤ {QUOTA_N}·shards survivors."""
+    Scale (round 10): the old single-pass form ranked EVERY doc per
+    source (the rank fed aggregate CASE conditions, so Spark's
+    rank-limit pushdown could not fire — no WindowGroupLimit in the
+    before plan) and aggregated the full ranking in |sources| sort
+    tasks. Restructured: the per-source doc COUNT rides a
+    map-side-combined groupBy, and the kept set is a plain
+    rank ≤ {QUOTA_N} window that Spark 4.1 now CAN plan with a
+    map-side partial WindowGroupLimit (each task ships only its local
+    top-{QUOTA_N} per source). Identical kept set, counts and xor
+    checksum — same oracle hash."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -1045,15 +1050,21 @@ def corpus_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         _hash60(F.col("doc_id").cast("string")).alias("h"),
     )
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     w = Window.partitionBy("source").orderBy("h", "doc_id")
-    ranked = docs.withColumn("rk", F.row_number().over(w))
-    return ranked.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum((F.col("rk") <= QUOTA_N).cast("bigint")).alias("n_kept"),
-        F.sum((F.col("rk") > QUOTA_N).cast("bigint")).alias("n_dropped"),
-        F.expr(f"bit_xor(CASE WHEN rk <= {QUOTA_N} THEN h END)").alias(
-            "xor_kept"
-        ),
+    kept = docs.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= QUOTA_N
+    )
+    kept_agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr("bit_xor(h)").alias("xor_kept"),
+    )
+    return counts.join(kept_agg, "source").select(
+        "source",
+        "n_docs",
+        "n_kept",
+        (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+        "xor_kept",
     )
 
 
@@ -1775,10 +1786,18 @@ def corpus_epoch_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.explode(F.sequence(F.lit(1), F.lit(EPOCH_MAX))).alias("epoch"),
     )
+    # 2^(epoch-1) divides EPOCH_FP = 2^20 exactly (epoch ≤ EPOCH_MAX
+    # = 8 ≤ 21), so the ·EPOCH_FP ÷ 2^(epoch-1) pair folds into one
+    # power-of-two factor 2^(21-epoch): bit-identical results with
+    # ~128× more integer headroom. The unfolded form computed
+    # n_tokens·(2^epoch−1)·2^20 BEFORE dividing, which wraps int64 for
+    # sources above ~3.4e10 tokens at epoch 8 — Spark (non-ANSI) wraps
+    # silently while the DuckDB oracle errors, an engine divergence at
+    # exactly the 100 TB scale this table is for (round-10 ADVICE fix;
+    # oracle SQL folded in lockstep).
     eff_fp = F.expr(
-        f"CAST(n_tokens * (shiftleft(CAST(1 AS BIGINT), epoch) - 1)"
-        f" * {EPOCH_FP} DIV shiftleft(CAST(1 AS BIGINT), epoch - 1)"
-        " AS BIGINT)"
+        "CAST(n_tokens * (shiftleft(CAST(1 AS BIGINT), epoch) - 1)"
+        " * shiftleft(CAST(1 AS BIGINT), 21 - epoch) AS BIGINT)"
     )
     return epochs.select(
         "source",
@@ -1809,12 +1828,11 @@ WITH per_src AS (
   FROM per_src, UNNEST(range(1, {EPOCH_MAX + 1})) AS t(e)
 )
 SELECT source, n_tokens, epoch,
-       CAST(n_tokens * ((CAST(1 AS BIGINT) << epoch) - 1) * {EPOCH_FP}
-            // (CAST(1 AS BIGINT) << (epoch - 1)) AS BIGINT)
+       CAST(n_tokens * ((CAST(1 AS BIGINT) << epoch) - 1)
+            * (CAST(1 AS BIGINT) << (21 - epoch)) AS BIGINT)
          AS eff_tokens_fp,
        CAST(CAST(n_tokens * ((CAST(1 AS BIGINT) << epoch) - 1)
-                 * {EPOCH_FP}
-                 // (CAST(1 AS BIGINT) << (epoch - 1)) AS BIGINT)
+                 * (CAST(1 AS BIGINT) << (21 - epoch)) AS BIGINT)
             AS DOUBLE) / {EPOCH_FP} AS eff_tokens,
        CAST(1.0 AS DOUBLE) / (CAST(1 AS BIGINT) << (epoch - 1))
          AS marginal_value,
@@ -2226,6 +2244,8 @@ def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_ratio_fp", F.expr("score_fp div n_grams").cast("bigint")
         )
     )
+    # round 10: single window kept — Spark 4.1's WindowGroupLimit does
+    # the map-side top-k per source before the exchange
     per_src = Window.partitionBy("source").orderBy(
         F.desc("avg_ratio_fp"), F.asc("doc_id")
     )

@@ -675,6 +675,8 @@ def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = scored.withColumn("prnk", F.row_number().over(per_a)).filter(
         F.col("prnk") <= LINK_TOP_N
     )
+    # round 10: single global window kept — planned as
+    # TakeOrderedAndProject by Spark 4.1's rank-limit pushdown
     w = Window.orderBy(F.desc("cn"), F.desc("jaccard_fp"),
                        F.asc("a"), F.asc("b"))
     return (

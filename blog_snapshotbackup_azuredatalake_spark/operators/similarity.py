@@ -34,6 +34,10 @@ from blog_snapshotbackup_azuredatalake_spark.operators.dedup import (
     _SQL_BUCKET,
     _SQL_COS,
 )
+from blog_snapshotbackup_azuredatalake_spark.functions.skew import (
+    two_phase_rank,
+    two_phase_rank_dual,
+)
 from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
 
 N_QUERIES = 20
@@ -127,6 +131,9 @@ def ann_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         BM25_TOPK,
     )
 
+    # round 10: single global window kept — Spark 4.1 plans this
+    # rank+filter shape as TakeOrderedAndProject (map-side local top-k,
+    # merge of |tasks|·k rows), NOT a single-partition sort
     vec = (
         scored.withColumn("vec_rank", F.row_number().over(wv))
         .filter(F.col("vec_rank") <= BM25_TOPK)
@@ -234,6 +241,10 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dot_cos(F.col("q_emb"), F.col("embedding")).alias("cos"),
         )
     )
+    # round 10: left as a single window — Spark 4.1 plans this
+    # rank+filter shape with WindowGroupLimit(Partial) before the
+    # exchange (map-side top-k per query), so the sort parallelism is
+    # NOT bounded by |Q|; see _adc_shortlist's docstring
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
         pairs.withColumn("rnk", F.row_number().over(w))
@@ -299,6 +310,10 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()  # a vector can match several probes of one query
     )
+    # round 10: left as a single window — Spark 4.1 plans this
+    # rank+filter shape with WindowGroupLimit(Partial) before the
+    # exchange (map-side top-k per query), so the sort parallelism is
+    # NOT bounded by |Q|; see _adc_shortlist's docstring
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
         pairs.withColumn("rnk", F.row_number().over(w))
@@ -446,6 +461,10 @@ def _ivf_search(emb: DataFrame, centroids: DataFrame) -> DataFrame:
             _dot_cos(F.col("q_emb"), F.col("embedding")).alias("cos"),
         )
     )
+    # round 10: left as a single window — Spark 4.1 plans this
+    # rank+filter shape with WindowGroupLimit(Partial) before the
+    # exchange (map-side top-k per query), so the sort parallelism is
+    # NOT bounded by |Q|; see _adc_shortlist's docstring
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
         pairs.withColumn("rnk", F.row_number().over(w))
@@ -593,6 +612,8 @@ def ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dot_cos(F.col("q_emb"), F.col("embedding")).alias("cos"),
         )
     )
+    # round 10: single window kept — WindowGroupLimit(Partial) already
+    # does the map-side top-k here; see _adc_shortlist's docstring
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
         pairs.withColumn("rnk", F.row_number().over(w))
@@ -1141,6 +1162,28 @@ PQ_SUBDIM = 2
 PQ_K = 16  # codes per subspace → one byte-nibble per subspace
 PQ_FP = 1 << 20  # fixed-point scale for ADC table entries
 PQ_SHORTLIST = 20  # ADC candidates per query kept for exact re-rank
+def _adc_shortlist(scored: DataFrame) -> DataFrame:
+    """Top-PQ_SHORTLIST per query over the corpus-sized ADC scan.
+
+    Round-10 decision (plans/r10/emb_pq_adc_before.txt): the round-9
+    verdict prescribed a salted two-phase rewrite of this window on the
+    premise that it shuffles |corpus|·|Q| rows into |Q| = 20 sort
+    tasks. Spark 4.1's rank-limit pushdown (SPARK-37099) already plans
+    this exact shape as `Sort → WindowGroupLimit(Partial, k=20) →
+    Exchange(q_id) → WindowGroupLimit(Final) → Window`: every MAP task
+    locally sorts its slice and keeps its own top-20 per query, the
+    exchange carries ≤ maptasks·|Q|·20 rows, and the 20 reduce
+    partitions sort only those survivors. That IS the two-phase
+    partial top-k, done engine-side with one exchange; an explicit
+    salted rewrite was measured/plan-verified to add a second exchange
+    and TOPK_SALT× more shuffled survivors for the same local sort
+    work, so the single window stays."""
+    ws = Window.partitionBy("q_id").orderBy("adc_fp", "vec_id")
+    return (
+        scored.withColumn("srnk", F.row_number().over(ws))
+        .filter(F.col("srnk") <= PQ_SHORTLIST)
+        .select("q_id", "vec_id", "adc_fp")
+    )
 
 
 def _pq_l2(a: list, b: list) -> float:
@@ -1283,12 +1326,7 @@ def emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adc_fp"),
         )
     )
-    ws = Window.partitionBy("q_id").orderBy("adc_fp", "vec_id")
-    shortlist = (
-        scored.withColumn("srnk", F.row_number().over(ws))
-        .filter(F.col("srnk") <= PQ_SHORTLIST)
-        .select("q_id", "vec_id", "adc_fp")
-    )
+    shortlist = _adc_shortlist(scored)
     # exact re-rank of the quantized shortlist (faiss's refine step):
     # |Q|·PQ_SHORTLIST rows rejoin their float vectors — the only float
     # math after the scan, and the only rows that ever carry vectors
@@ -1917,12 +1955,7 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adc_fp"),
         )
     )
-    ws = Window.partitionBy("q_id").orderBy("adc_fp", "vec_id")
-    shortlist = (
-        scored.withColumn("srnk", F.row_number().over(ws))
-        .filter(F.col("srnk") <= PQ_SHORTLIST)
-        .select("q_id", "vec_id", "adc_fp")
-    )
+    shortlist = _adc_shortlist(scored)
     reranked = (
         shortlist.join(emb, "vec_id")
         .join(F.broadcast(queries), "q_id")
@@ -2153,12 +2186,7 @@ def ann_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adc_fp"),
         )
     )
-    ws = Window.partitionBy("q_id").orderBy("adc_fp", "vec_id")
-    shortlist = (
-        scored.withColumn("srnk", F.row_number().over(ws))
-        .filter(F.col("srnk") <= PQ_SHORTLIST)
-        .select("q_id", "vec_id", "adc_fp")
-    )
+    shortlist = _adc_shortlist(scored)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -2289,9 +2317,13 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed lists) and quantized shortlisting (inside a probed list
     but ADC-ranked below the {PQ_SHORTLIST}-candidate shortlist).
     Same recall-report shape as ann_recall_audit (q_id, k, n_hit,
-    recall); the exact pass is |corpus| × {N_QUERIES} map-only work
-    against the broadcast panel — the audit costs one brute-force
-    scan at any SF, by design."""
+    recall); the exact pass costs one |corpus| × {N_QUERIES} scored
+    scan against the broadcast panel plus a top-{TOP_K} pick (round-10
+    ADVICE fix: the scan is map-only, the pick is not — it is a rank
+    window, which Spark 4.1 plans with a map-side partial
+    WindowGroupLimit, so the per-query sort is over task-local
+    survivors, not the corpus) — one brute-force scan at any SF, by
+    design."""
     approx = ann_topk_ivfpq(spark, sf_dir).select(
         "q_id", "vec_id", F.lit(1).alias("hit")
     )
@@ -2392,16 +2424,18 @@ def emb_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ct"),
         )
     )
-    wf = Window.partitionBy("q_id").orderBy(F.desc("cf"), F.asc("vec_id"))
-    wt = Window.partitionBy("q_id").orderBy(F.desc("ct"), F.asc("vec_id"))
-    ranked = scored.withColumn("rf", F.row_number().over(wf)).withColumn(
-        "rt", F.row_number().over(wt)
+    # both top-k picks in one pass over one salted exchange (round 10)
+    ranked = two_phase_rank_dual(
+        scored,
+        (F.desc("cf"), F.asc("vec_id")),
+        (F.desc("ct"), F.asc("vec_id")),
+        TOP_K,
     )
     return (
         ranked.groupBy("q_id")
         .agg(
             F.sum(
-                ((F.col("rf") <= TOP_K) & (F.col("rt") <= TOP_K)).cast("long")
+                (F.col("in_a") & F.col("in_b")).cast("long")
             ).alias("n_overlap")
         )
         .select(
@@ -2615,18 +2649,20 @@ def emb_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ham"),
         )
     )
-    wc = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    wh = Window.partitionBy("q_id").orderBy(F.asc("ham"), F.asc("vec_id"))
-    ranked = scored.withColumn("rc", F.row_number().over(wc)).withColumn(
-        "rh", F.row_number().over(wh)
+    # both top-k picks in one pass over one salted exchange (round 10)
+    ranked = two_phase_rank_dual(
+        scored,
+        (F.desc("cos"), F.asc("vec_id")),
+        (F.asc("ham"), F.asc("vec_id")),
+        TOP_K,
     )
     return (
         ranked.groupBy("q_id")
         .agg(
             F.sum(
-                ((F.col("rc") <= TOP_K) & (F.col("rh") <= TOP_K)).cast("long")
+                (F.col("in_a") & F.col("in_b")).cast("long")
             ).alias("n_overlap"),
-            F.min(F.when(F.col("rc") <= TOP_K, F.col("ham"))).alias(
+            F.min(F.when(F.col("in_a"), F.col("ham"))).alias(
                 "min_ham_of_true"
             ),
         )
@@ -2739,16 +2775,18 @@ def emb_quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dot_cos(F.col("q_emb"), F.col("rembedding")).alias("cr"),
         )
     )
-    wx = Window.partitionBy("q_id").orderBy(F.desc("cx"), F.asc("vec_id"))
-    wr = Window.partitionBy("q_id").orderBy(F.desc("cr"), F.asc("vec_id"))
-    ranked = scored.withColumn("rx", F.row_number().over(wx)).withColumn(
-        "rr", F.row_number().over(wr)
+    # both top-k picks in one pass over one salted exchange (round 10)
+    ranked = two_phase_rank_dual(
+        scored,
+        (F.desc("cx"), F.asc("vec_id")),
+        (F.desc("cr"), F.asc("vec_id")),
+        TOP_K,
     )
     return (
         ranked.groupBy("q_id")
         .agg(
             F.sum(
-                ((F.col("rx") <= TOP_K) & (F.col("rr") <= TOP_K)).cast("long")
+                (F.col("in_a") & F.col("in_b")).cast("long")
             ).alias("n_overlap")
         )
         .select(
@@ -3162,10 +3200,18 @@ def emb_pair_cosine_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.md5(F.col("vec_id").cast("string")).alias("h"),
     )
-    w = Window.orderBy("h", "vec_id")
-    sample = gated.select(
-        "vec_id", "embedding", F.row_number().over(w).alias("rn")
-    ).filter(F.col("rn") <= CAL_PAIR_CAP)
+    # exact salted two-phase global top-k (round 10): the partition-less
+    # cap window ranked the whole md5-gated sample (corpus/CAL_PAIR_MOD
+    # rows) in ONE task; the pairing windows below stay global but run
+    # over ≤ CAL_PAIR_CAP rows — bounded by constant, fine
+    sample = two_phase_rank(
+        gated,
+        (F.col("h"), F.col("vec_id")),
+        CAL_PAIR_CAP,
+        part_cols=(),
+        salt_col="vec_id",
+        rank_name="rn",
+    ).select("vec_id", "embedding", "rn")
     paired = sample.select(
         "rn",
         "vec_id",

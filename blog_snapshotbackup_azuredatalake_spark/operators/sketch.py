@@ -341,6 +341,8 @@ def cms_rank_heavy_hitters(cells: DataFrame, ev: DataFrame) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # round 10: single global window kept — planned as
+    # TakeOrderedAndProject by Spark 4.1's rank-limit pushdown
     w = Window.orderBy(F.desc("n_cms"), F.asc("user_id"))
     return (
         est.withColumn("rank", F.row_number().over(w))

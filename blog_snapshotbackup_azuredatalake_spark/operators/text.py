@@ -19,6 +19,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from blog_snapshotbackup_azuredatalake_spark.functions.skew import (
+    two_phase_rank,
+)
 from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
 
 # Deterministic per-language marker-word sets (disjoint vocab slices).
@@ -469,8 +472,6 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary before the shuffle, so the wire carries vocab-sized
     partials, not one row per token occurrence; the final top-k window
     runs over the aggregated vocabulary only."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -480,6 +481,12 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("tf"),
         F.count_distinct("doc_id").alias("df"),
     )
+    # round 10: single global window kept — Spark 4.1 plans this
+    # rank+filter shape as TakeOrderedAndProject (map-side local top-k
+    # per task, merge of |tasks|·k rows), NOT a single-partition sort
+    # (plans/r10/text_vocab_topk_before.txt)
+    from pyspark.sql import Window
+
     w = Window.orderBy(F.desc("tf"), F.asc("tok"))
     return (
         agg.withColumn("rank", F.row_number().over(w))
@@ -518,13 +525,15 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass joins the BROADCAST vocab (map-side, no shuffle of the token
     stream) and aggregates per source. OOV rate is a double division of
     exact bigints — bit-stable in both engines."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "source",
         F.explode_outer(F.split(F.lower(F.col("text")), " ")).alias("tok"),
     ).filter(F.col("tok") != "")
+    # round 10: single global window kept — planned as
+    # TakeOrderedAndProject by Spark 4.1's rank-limit pushdown
+    from pyspark.sql import Window
+
     w = Window.orderBy(F.desc("tf"), F.asc("tok"))
     vocab = (
         toks.groupBy("tok")
@@ -595,7 +604,6 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-portable between Spark and DuckDB (SURVEY.md §4). Every double
     op is written in the same parenthesized order in both engines, so
     IEEE-754 correctly-rounded +,-,*,/ make the scores bit-identical."""
-    from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     # bind the token array once (two-step select, SURVEY.md §6 trap
@@ -632,6 +640,10 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             (tf * F.lit(_BM25_K1 + 1.0))
             / (tf + F.lit(_BM25_K1) * norm)
         )
+    # round 10: single global window kept — planned as
+    # TakeOrderedAndProject by Spark 4.1's rank-limit pushdown
+    from pyspark.sql import Window
+
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scored.select("doc_id", score.alias("score"))
@@ -693,7 +705,6 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined back on term (both sides vocab-sized after aggregation); the
     rank window runs over |sources|·|vocab| rows — nothing downstream
     of the explode scales with corpus size."""
-    from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -725,6 +736,11 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tf").cast("double") * idf).alias("tfidf"),
         )
     )
+    # round 10: single window kept — Spark 4.1's WindowGroupLimit does
+    # the map-side top-k per source before the exchange, so the sort
+    # parallelism is not bounded by |sources|
+    from pyspark.sql import Window
+
     w = Window.partitionBy("source").orderBy(
         F.desc("tfidf"), F.asc("tok")
     )
@@ -1616,6 +1632,8 @@ def text_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = pairs.withColumn("prnk", F.row_number().over(per_w1)).filter(
         F.col("prnk") <= COOC_TOP_N
     )
+    # round 10: single global window kept — planned as
+    # TakeOrderedAndProject by Spark 4.1's rank-limit pushdown
     w = Window.orderBy(F.desc("n_cooc"), F.asc("w1"), F.asc("w2"))
     return (
         pruned.withColumn("rank", F.row_number().over(w))
@@ -1752,18 +1770,34 @@ def text_zipf_topmass(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials (the text_vocab_topk shape), the rank window and the tier
     sums run over the aggregated vocabulary only — the corpus is
     touched once, nothing vocabulary-squared exists."""
-    from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode_outer(F.split(F.lower(F.col("text")), " ")).alias("tok"),
     ).filter(F.col("tok") != "")
     agg = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
-    w = Window.orderBy(F.desc("tf"), F.asc("tok"))
-    ranked = agg.withColumn("rank", F.row_number().over(w))
+    # Round 10: the rank window was partition-LESS — the whole
+    # vocabulary sorted in ONE task — and the tier crossJoin then
+    # aggregated |vocab|·|tiers| rows. Only the top max(ZIPF_TIERS)
+    # tokens can ever contribute to a tier sum, so: vocab totals ride a
+    # map-side-combined 1-row aggregate, the head comes from the exact
+    # salted two-phase top-k, and the tier fan-out touches
+    # max(ZIPF_TIERS)·|tiers| rows. Identical output columns.
+    totals = agg.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("tf").alias("total_tokens"),
+    )
+    top = two_phase_rank(
+        agg,
+        (F.desc("tf"), F.asc("tok")),
+        max(ZIPF_TIERS),
+        part_cols=(),
+        salt_col="tok",
+        rank_name="rank",
+    )
     tiers = ", ".join(str(t) for t in ZIPF_TIERS)
     return (
-        ranked.crossJoin(
+        top.crossJoin(
             spark.range(1).select(
                 F.explode(F.expr(f"array({tiers})")).alias("tier")
             )
@@ -1777,9 +1811,8 @@ def text_zipf_topmass(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(0)
                 )
             ).alias("tier_mass"),
-            F.count(F.lit(1)).alias("vocab_size"),
-            F.sum("tf").alias("total_tokens"),
         )
+        .crossJoin(F.broadcast(totals))
         .select(
             F.col("tier").cast("int").alias("tier"),
             "tier_tokens",

@@ -316,6 +316,9 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_partkey", "p_name")
         .agg(F.sum(_rev()).alias("rev_dec"))
     )
+    # round 10: single window kept — Spark 4.1's WindowGroupLimit does
+    # the map-side top-k per brand before the exchange (rank() is a
+    # supported rank-like function for the pushdown)
     w = Window.partitionBy("p_brand").orderBy(
         F.col("rev_dec").desc(), F.col("p_partkey")
     )

@@ -9,7 +9,7 @@ of identical expressions on both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
@@ -23,26 +23,41 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategy — key cardinality, mean and max per-key count, and the
     share held by the TOP_HEAVY heaviest keys. Two aggregations, the
     second over one row per distinct key."""
+    from pyspark.sql import Window
+
     line = load_table(spark, sf_dir, "lineitem")
     per_key = line.groupBy("l_suppkey").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("l_suppkey"))
-    ranked = per_key.withColumn("rnk", F.row_number().over(w))
-    return ranked.agg(
+    # Round 10: the old form ranked EVERY distinct key in a
+    # partition-less window (the rank fed aggregate CASE conditions,
+    # so the rank-limit pushdown could not fire — a one-task sort of
+    # the whole key set). Restructured: the distribution totals ride a
+    # map-side-combined 1-row aggregate, and the top-{TOP_HEAVY} sum
+    # is a plain rank ≤ k pick that Spark 4.1 now plans as
+    # TakeOrderedAndProject (map-side local top-k per task).
+    totals = per_key.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("cnt").alias("n_rows"),
         F.max("cnt").alias("max_cnt"),
-        (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("avg_cnt"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("l_suppkey"))
+    topsum = (
+        per_key.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_HEAVY)
+        .agg(F.sum("cnt").alias("top_cnt"))
+    )
+    return totals.crossJoin(F.broadcast(topsum)).select(
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        (F.col("n_rows").cast("double") / F.col("n_keys")).alias("avg_cnt"),
         (
-            F.sum(F.when(F.col("rnk") <= TOP_HEAVY, F.col("cnt")).otherwise(
-                F.lit(0)
-            )).cast("double")
-            / F.sum("cnt").cast("double")
+            F.col("top_cnt").cast("double") / F.col("n_rows").cast("double")
         ).alias("top5_share"),
         (
-            F.max("cnt").cast("double")
-            / (F.sum("cnt").cast("double") / F.count(F.lit(1)))
+            F.col("max_cnt").cast("double")
+            / (F.col("n_rows").cast("double") / F.col("n_keys"))
         ).alias("skew_factor"),
     )
 

@@ -8,8 +8,12 @@ with the same noop-write timing loop bench.py uses. If a driver bench
 then lands far above these floors on untouched code, the gap is
 attributable to environment on sight.
 
-    python scripts/bench_floors.py [sf_dir] [top_n]
-    # default: /root/testdata/sf0.1, top 10 of bench_timings.json
+    python scripts/bench_floors.py [sf_dir] [top_n] [prefixes]
+    # default: /root/testdata/sf0.1, top 10 of bench_timings.json,
+    # plus EVERY entry matching the comma-separated family prefixes
+    # (default "stream_" — round-9 verdict item 2: the streaming family
+    # drifted 1.5-2.5x in the r9 driver bench and the floors table
+    # could not attribute it because it only covered the batch top-10)
 
 Prints one JSON line per entry and a final markdown table ready for
 SCALING.md's round section.
@@ -37,6 +41,15 @@ def main() -> None:
         for k, v in sorted(last.items(), key=lambda kv: -kv[1])
         if v > 0
     ][:top_n]
+    prefixes = (
+        sys.argv[3].split(",") if len(sys.argv) > 3 else ["stream_"]
+    )
+    heavies += [
+        k
+        for k in sorted(last)
+        if any(k.startswith(p) for p in prefixes if p)
+        and k not in heavies
+    ]
 
     import __spark_entry__ as entrymod
     from blog_snapshotbackup_azuredatalake_spark.session import get_session

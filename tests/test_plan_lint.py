@@ -287,15 +287,50 @@ def _scan_derived(sources=None):
                 continue  # barrier in the defining statement
             if (rel, func, name) in DERIVED_ARRAY_ALLOW:
                 continue
-            start = node.end_lineno  # 0-based index of the next line
-            for j, ln in enumerate(
-                lines[start : start + 60], start=start + 1
+            # Re-bind / barrier detection via the AST, not a line regex
+            # (round-10 ADVICE fix): the old `\bname\.localCheckpoint`
+            # line match accepted a bare discarded
+            # `name.localCheckpoint()` — which barriers NOTHING in
+            # PySpark — and the old `\bname\s*=\s*` re-bind match also
+            # fired on comparisons (`name == x`) and keyword args
+            # (`f(name=1)`), silently ending the scan before a real
+            # unbarriered join. Now: only a genuine Assign whose single
+            # target is `name`, in the same enclosing function, counts.
+            # An assignment `name = name.localCheckpoint(...)` is the
+            # barrier; an assignment whose RHS never references `name`
+            # re-binds it (scan stops — later joins are on a different
+            # relation); a self-referencing rebind without a barrier
+            # (`name = name.filter(...)`) keeps the scan going, as
+            # before.
+            stop = None
+            for rb in sorted(
+                (
+                    n
+                    for n in ast.walk(tree)
+                    if isinstance(n, ast.Assign)
+                    and len(n.targets) == 1
+                    and isinstance(n.targets[0], ast.Name)
+                    and n.targets[0].id == name
+                    and n.lineno > node.end_lineno
+                    and (func_of.get(n.lineno) or (0, None))[1] == func
+                ),
+                key=lambda n: n.lineno,
             ):
-                if re.search(rf"\b{name}\.localCheckpoint", ln) or (
-                    re.search(rf"\b{name}\s*=\s*", ln)
-                    and f"{name}." not in ln.split("=", 1)[1]
+                rb_src = "\n".join(lines[rb.lineno - 1 : rb.end_lineno])
+                if re.search(rf"\b{name}\.localCheckpoint", rb_src):
+                    stop = rb.lineno  # barrier in assignment form
+                    break
+                if not any(
+                    isinstance(sub, ast.Name) and sub.id == name
+                    for sub in ast.walk(rb.value)
                 ):
-                    break  # barrier applied, or name re-bound elsewhere
+                    stop = rb.lineno  # re-bound to an unrelated value
+                    break
+            start = node.end_lineno  # 0-based index of the next line
+            end = start + 60
+            if stop is not None:
+                end = min(end, stop - 1)
+            for j, ln in enumerate(lines[start:end], start=start + 1):
                 if re.search(
                     rf"\b{name}\.(join|crossJoin)\(", ln
                 ) or re.search(rf"\.(join|crossJoin)\(\s*{name}\b", ln):
@@ -370,6 +405,41 @@ def test_derived_array_lint_green_on_barrier_and_scalar_fold():
     # array column — must not be flagged
     v, found = _scan_derived({"repro.py": _REPRO_FOLDED_SCALAR})
     assert not v and not found, (v, found)
+
+
+_REPRO_DISCARDED_CHECKPOINT = '''
+def discarded_like(spark, sf_dir):
+    coded = emb.select(
+        "vec_id",
+        F.expr(_pq_encode_sql(cb, ks)).alias("codes"),
+    )
+    coded.localCheckpoint(eager=False)
+    scored = coded.join(F.broadcast(probes_t), "list_id")
+    return scored
+'''
+
+_REPRO_COMPARISON_NOT_REBIND = '''
+def comparison_like(spark, sf_dir):
+    coded = emb.select(
+        "vec_id",
+        F.expr(_pq_encode_sql(cb, ks)).alias("codes"),
+    )
+    flag = coded == other
+    out = helper(coded=1)
+    scored = coded.join(F.broadcast(probes_t), "list_id")
+    return scored
+'''
+
+
+def test_derived_array_lint_red_on_false_negative_shapes():
+    """Round-10 ADVICE repros: a bare DISCARDED localCheckpoint() call
+    barriers nothing (PySpark returns a new DataFrame), and `==` /
+    kwarg lines are not re-binds — neither may end the scan before the
+    real unbarriered join."""
+    v, _ = _scan_derived({"repro.py": _REPRO_DISCARDED_CHECKPOINT})
+    assert len(v) == 1 and "coded" in v[0], v
+    v, _ = _scan_derived({"repro.py": _REPRO_COMPARISON_NOT_REBIND})
+    assert len(v) == 1 and "coded" in v[0], v
 
 
 def test_no_unbarriered_derived_array_joins():

@@ -35,7 +35,6 @@ from blog_snapshotbackup_azuredatalake_spark.operators.dedup import (
     _SQL_COS,
 )
 from blog_snapshotbackup_azuredatalake_spark.functions.skew import (
-    two_phase_rank,
     two_phase_rank_dual,
 )
 from blog_snapshotbackup_azuredatalake_spark.sources.catalog import load_table
@@ -2775,18 +2774,25 @@ def emb_quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dot_cos(F.col("q_emb"), F.col("rembedding")).alias("cr"),
         )
     )
-    # both top-k picks in one pass over one salted exchange (round 10)
-    ranked = two_phase_rank_dual(
-        scored,
-        (F.desc("cx"), F.asc("vec_id")),
-        (F.desc("cr"), F.asc("vec_id")),
-        TOP_K,
+    # round 10: the two_phase_rank_dual rewrite its siblings took
+    # (emb_truncation_audit 2.85×, emb_binary_hamming 4.0× at sf60de)
+    # was measured SLOWER here in two independent fresh-session
+    # min-of-N pairs at sf60de (31.8 s plain vs 52.5 s dual; first
+    # pair 54.3 vs 89.7 — ~1.6× both times), so per the
+    # measurement-decides rule the original two-window form stays.
+    # Mechanism not fully attributed (this entry's scored relation is
+    # the one that carries the in-plan SQ8 reconstruction transform —
+    # the round-8 allowlisted derived array); round-11 candidate.
+    wx = Window.partitionBy("q_id").orderBy(F.desc("cx"), F.asc("vec_id"))
+    wr = Window.partitionBy("q_id").orderBy(F.desc("cr"), F.asc("vec_id"))
+    ranked = scored.withColumn("rx", F.row_number().over(wx)).withColumn(
+        "rr", F.row_number().over(wr)
     )
     return (
         ranked.groupBy("q_id")
         .agg(
             F.sum(
-                (F.col("in_a") & F.col("in_b")).cast("long")
+                ((F.col("rx") <= TOP_K) & (F.col("rr") <= TOP_K)).cast("long")
             ).alias("n_overlap")
         )
         .select(
@@ -3200,18 +3206,32 @@ def emb_pair_cosine_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.md5(F.col("vec_id").cast("string")).alias("h"),
     )
-    # exact salted two-phase global top-k (round 10): the partition-less
-    # cap window ranked the whole md5-gated sample (corpus/CAL_PAIR_MOD
-    # rows) in ONE task; the pairing windows below stay global but run
-    # over ≤ CAL_PAIR_CAP rows — bounded by constant, fine
-    sample = two_phase_rank(
-        gated,
-        (F.col("h"), F.col("vec_id")),
-        CAL_PAIR_CAP,
-        part_cols=(),
-        salt_col="vec_id",
-        rank_name="rn",
-    ).select("vec_id", "embedding", "rn")
+    # round 10: the partition-less cap window ranked the whole
+    # md5-gated sample — corpus/CAL_PAIR_MOD rows CARRYING THE
+    # EMBEDDING ARRAYS — in ONE task (k = 1024 > the rank-limit
+    # pushdown threshold, so no WindowGroupLimit). Restructured as
+    # orderBy+limit on the NARROW (vec_id, h) projection — planned as
+    # TakeOrderedAndProject: each map task keeps its local top-1024,
+    # no full exchange, and no array ever enters a sort — then the
+    # ≤ CAL_PAIR_CAP picked ids broadcast-join their embeddings back.
+    # (A salted two_phase_rank here was measured SLOWER at sf60de,
+    # 2.4 → 7.4 s: it shipped the arrays through two exchanges.)
+    # The pairing windows below stay global but run over
+    # ≤ CAL_PAIR_CAP rows — bounded by constant, fine.
+    picked = (
+        gated.select("vec_id", "h")
+        .orderBy("h", "vec_id")
+        .limit(CAL_PAIR_CAP)
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy("h", "vec_id"))
+        )
+        .select("vec_id", "rn")
+    )
+    sample = (
+        F.broadcast(picked)
+        .join(vecs, "vec_id")
+        .select("vec_id", "embedding", "rn")
+    )
     paired = sample.select(
         "rn",
         "vec_id",

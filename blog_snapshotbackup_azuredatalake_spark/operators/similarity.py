@@ -307,7 +307,15 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             _dot_cos(F.col("q_emb"), F.col("embedding")).alias("cos"),
         )
-        .distinct()  # a vector can match several probes of one query
+        # round 10: the `.distinct()` here was a NO-OP paying a full
+        # corpus-sized Exchange + hash aggregate (guide §2.4: distinct
+        # on data that is already unique). A (q_id, vec_id) pair can
+        # never repeat: a corpus vector has exactly ONE bucket string,
+        # and a query's 1 + LSH_DIMS probe buckets are pairwise
+        # DISTINCT (each flip toggles a different character), so at
+        # most one probe row of a query joins any vector
+        # (tests/test_lsh_probe_uniqueness.py pins the invariant; the
+        # oracle keeps its DISTINCT — identity on dup-free input).
     )
     # round 10: left as a single window — Spark 4.1 plans this
     # rank+filter shape with WindowGroupLimit(Partial) before the
@@ -1074,12 +1082,28 @@ def ann_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos").desc(), F.col("vec_id")
     )
     ranked = scored.withColumn("rnk", F.row_number().over(w))
-    exact = ranked.filter(F.col("rnk") <= KNN_GRAPH_K).select(
+    # round 10: `ranked` used to feed TWO filters (rnk <= K for the
+    # exact set, rnk == K for the tie bar), and each DataFrame
+    # reference plans its OWN subtree — the committed before-plan
+    # (plans/r10/ann_knn_graph_recall_before.txt) shows the whole
+    # corpus-sized BroadcastNestedLoopJoin + cosine + window chain
+    # TWICE (no ReusedExchange fires across the differing filters), so
+    # the dominant brute-force scan ran twice. Filter to the top-K
+    # survivors ONCE — WindowGroupLimit(Partial) still applies — and
+    # barrier the <= |panel|·K-row result; both consumers then read
+    # the tiny materialized relation: one corpus pass instead of two
+    # (guide §1.2: remove unnecessary passes).
+    topk = (
+        ranked.filter(F.col("rnk") <= KNN_GRAPH_K)
+        .select("q_id", "vec_id", "cos", "rnk")
+        .localCheckpoint(eager=False)
+    )
+    exact = topk.select(
         F.col("q_id").alias("src"), F.col("vec_id").alias("dst")
     )
     # the exact kth-best cosine is the tie-aware bar: any graph
     # neighbor at or above it is as close as a "true" neighbor
-    kth = ranked.filter(F.col("rnk") == KNN_GRAPH_K).select(
+    kth = topk.filter(F.col("rnk") == KNN_GRAPH_K).select(
         F.col("q_id").alias("src"), F.col("cos").alias("kth_cos")
     )
     hits = (
@@ -1561,6 +1585,20 @@ def ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", "vec_id", F.lit(1).alias("hit")
     )
     hits = topk.join(exact, ["q_id", "vec_id"], "left_outer")
+    # round 10 NEGATIVE A/B, kept as-was by measurement: n_candidates
+    # below re-references the corpus-sized `cands`, which plans as its
+    # own full subtree — but Catalyst's COLUMN PRUNING already strips
+    # the cosine from that counting copy (the committed before-plan's
+    # count-side Project carries only the centroid-argmin assign, no
+    # zip_with fold), so the "duplicated pass" costs one assign-only
+    # scan, not a second cosine pass. A restructure that derived the
+    # counts from 16-row list occupancies (occupancy minus one iff the
+    # query's own vector lives in the probed list — same values, no
+    # pair relation) measured SLOWER in three independent fresh-session
+    # sf60de pairs (old/new warm min: 6.6/12.6, 7.3/8.2, 48.3/59.5 s):
+    # it swapped the pruned scan for extra broadcast stages and an
+    # exchange. Lesson recorded in OPTIMIZATION_r10.md — check what
+    # pruning already removed before deduplicating a subtree.
     return (
         hits.groupBy("nprobe")
         .agg(
@@ -2959,7 +2997,12 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             _dot_cos(F.col("q_emb"), F.col("embedding")).alias("cos"),
         )
-        .distinct()
+        # round 10: `.distinct()` removed — same no-op-dedup argument
+        # as ann_topk_lsh (one bucket per vector, pairwise-distinct
+        # probe buckets per query ⇒ no (q_id, vec_id) dup can exist;
+        # tests/test_lsh_probe_uniqueness.py). The entry is now
+        # map-only end to end: broadcast probe join + filter, ZERO
+        # exchanges of the corpus-sized scored relation (guide §2.4).
         .filter(F.col("cos") >= RANGE_TAU)
     )
 

@@ -1,9 +1,13 @@
 """Vector math over ``array<float>`` columns — JVM built-ins only.
 
-``F.zip_with`` + ``F.aggregate`` keep the dot product inside whole-stage
-codegen; no Python round-trip per row. Accumulate in double regardless of
-the array element type so Spark and DuckDB (list_dot_product promotes to
-double) agree bit-for-bit on float32 inputs.
+``F.zip_with`` + ``F.aggregate`` avoid any Python round-trip per row,
+but note they are CodegenFallback in Spark 4.x (interpreted lambda
+evaluation, NOT whole-stage codegen) — which is exactly why pair-heavy
+scorers hoist row-constant norms out of the per-pair expression
+(`_dot_cos_pre` in operators/dedup.py, round 10). Accumulate in double
+regardless of the array element type so Spark and DuckDB
+(list_dot_product promotes to double) agree bit-for-bit on float32
+inputs.
 """
 
 from __future__ import annotations

@@ -157,6 +157,17 @@ def emb_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle's ROW_NUMBER ORDER BY cos DESC, centroid_id. No crossJoin,
     # no per-vector groupBy: the corpus meets its ONLY shuffle at the
     # k-row stats aggregation.
+    # round 10 NEGATIVE A/B, kept as-was by measurement: the norm hoist
+    # that won 1.5–3.5× on the pair-join scorers (`_dot_cos_pre`)
+    # REGRESSED here (sf60de min-of-3: 1.56 → 2.39 s, consistent across
+    # runs). Mechanism: inside this centroid-literal lambda the
+    # centroid norm is a fold over a FOLDABLE literal — ConstantFolding
+    # already evaluates it at plan time — and a hoisted row-norm column
+    # is referenced once textually, so CollapseProject inlines the fold
+    # back into the lambda; the "hoist" adds plan surface without
+    # removing runtime folds. Same negative result shape as
+    # ann_nprobe_curve's counting-subtree revert: read what the
+    # optimizer already folded before hoisting it by hand.
     cents = sorted(
         emb.filter(F.col("vec_id") < N_CENTROIDS)
         .select(F.col("vec_id").alias("centroid_id"), "embedding")
@@ -241,6 +252,9 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect(),
         key=lambda r: r["centroid_id"],
     )
+    # norm hoist NOT applied — same centroid-literal negative A/B as
+    # emb_centroid_assign (ConstantFolding already pre-folds the
+    # literal's norm; see that entry's comment)
     cents_lit = F.array(
         *[
             F.struct(
@@ -393,6 +407,9 @@ def emb_silhouette_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect(),
         key=lambda r: r["centroid_id"],
     )
+    # norm hoist NOT applied — measured a wash here (sf60de 1.93 →
+    # 1.89 s) for the same centroid-literal reason as
+    # emb_centroid_assign's regression (see that entry's comment)
     cents_lit = F.array(
         *[
             F.struct(
@@ -1278,21 +1295,30 @@ def corpus_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame
     left-associative reduction DuckDB's list_reduce performs, so the
     comparison against {SEM_TAU} and the floor-quantized aggregate are
     bit-identical to the oracle."""
+    from blog_snapshotbackup_azuredatalake_spark.operators.dedup import (
+        _dot_cos_pre,
+        _norm,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     bench = emb.filter(
         (F.col("vec_id") % SEM_BENCH_MOD == 0)
         & (F.col("vec_id") < SEM_BENCH_MAX_ID)
     ).select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        # per-row norms hoisted below the pair join (round 10,
+        # `_dot_cos_pre`): this scorer folded 3 interpreted HOFs per
+        # (corpus row × bench vec) pair; both norms now fold once per
+        # row, leaving only the dot per pair
+        _norm(F.col("embedding")).alias("b_nrm"),
     )
     corpus = emb.filter(
         (F.col("vec_id") % SEM_BENCH_MOD != 0)
         | (F.col("vec_id") >= SEM_BENCH_MAX_ID)
+    ).select(
+        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
-    from blog_snapshotbackup_azuredatalake_spark.operators.dedup import (
-        _dot_cos,
-    )
-
     # guarded hint: the bench set is eval-suite-sized in deployment
     # but demo-derived here — past the bound the hint drops (the
     # real escalation at that size is the LSH prefilter above)
@@ -1302,7 +1328,12 @@ def corpus_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(
             "vec_id",
             "label",
-            _dot_cos(F.col("embedding"), F.col("b_emb")).alias("cos"),
+            _dot_cos_pre(
+                F.col("embedding"),
+                F.col("b_emb"),
+                F.col("nrm"),
+                F.col("b_nrm"),
+            ).alias("cos"),
         )
         .groupBy("vec_id", "label")
         .agg(F.max("cos").alias("max_cos"))

@@ -1078,6 +1078,24 @@ def _dot_cos(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _dot_cos_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``_dot_cos`` with PRE-COMPUTED norms: na/nb must be the ``_norm``
+    of a/b materialized as columns on each join side, so the quotient
+    divides the SAME doubles — bit-identical cosines. Why it exists
+    (round 10): in a pair scorer (corpus × broadcast query panel) the
+    inline form re-folds both norms once per PAIR; zip_with/aggregate
+    are CodegenFallback (interpreted, boxed per element), so 2/3 of the
+    per-pair fold work is recomputing row-constant values. Hoisting the
+    norms below the join evaluates them once per ROW: sf60de A/B
+    (scripts/cosine_hoist_probe.py, 1.2 M vectors) measured the
+    bruteforce shape 3.71 → 2.29 s min AND collapsed the warm-run
+    spread (3.7–13.1 → 2.3–3.1 s — less per-pair garbage). The probe
+    also rejected the unrolled-element_at dot (15.0 s, 4× WORSE: the
+    64-term chain blows past codegen limits into a worse interpreter),
+    so the lambda fold stays for the dot itself."""
+    return _dot(a, b) / (na * nb)
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via canonical bucket anchors (the SemDeDup
     shape, Abbas et al. 2023): block on the sign pattern of the first

@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 
 from blog_snapshotbackup_azuredatalake_spark.operators.dedup import (
     _dot_cos,
+    _dot_cos_pre,
+    _norm,
     _sign_bucket,
     _sql_cos,
     _SQL_BUCKET,
@@ -102,11 +104,18 @@ def ann_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
         )
     )
+    # PARTIAL norm hoist (round 10): q_nrm was re-folded per matched
+    # corpus row; it now rides the tiny probe side. The corpus norm
+    # stays inline — ONE query probes IVF_NPROBE/IVF_NLIST lists, so
+    # most corpus rows never match and a corpus-side norm column would
+    # cost more rows than it saves (the ann_topk_lsh selective-join
+    # argument).
     probes = (
         emb.filter(F.col("vec_id") == HYBRID_QUERY_ID)
         .withColumn("cents", cents_lit)
         .select(
             F.col("embedding").alias("q_emb"),
+            _norm(F.col("embedding")).alias("q_nrm"),
             F.explode(
                 F.slice(
                     F.array_sort(_cent_scored(F.col("embedding"))),
@@ -115,14 +124,19 @@ def ann_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("pr"),
         )
-        .select("q_emb", F.col("pr.centroid_id").alias("list_id"))
+        .select("q_emb", "q_nrm", F.col("pr.centroid_id").alias("list_id"))
     )
     scored = (
         assigned.join(F.broadcast(probes), "list_id")
         .filter(F.col("vec_id") != HYBRID_QUERY_ID)
         .select(
             "vec_id",
-            _dot_cos(F.col("q_emb"), F.col("embedding")).alias("cos"),
+            _dot_cos_pre(
+                F.col("q_emb"),
+                F.col("embedding"),
+                F.col("q_nrm"),
+                _norm(F.col("embedding")),
+            ).alias("cos"),
         )
     )
     wv = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -226,10 +240,18 @@ FROM fused QUALIFY rank <= {HYBRID_TOPK}
 
 
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k cosine neighbors for the first N_QUERIES vectors."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    """Exact top-k cosine neighbors for the first N_QUERIES vectors.
+    Norms are hoisted to per-row columns on both sides of the pair
+    join (round 10, `_dot_cos_pre`): same folds, same quotient —
+    bit-identical — but evaluated once per row instead of once per
+    pair (sf60de 3.71 → 2.29 s, warm spread collapsed)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     pairs = (
         emb.crossJoin(F.broadcast(queries))
@@ -237,7 +259,12 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            _dot_cos(F.col("q_emb"), F.col("embedding")).alias("cos"),
+            _dot_cos_pre(
+                F.col("q_emb"),
+                F.col("embedding"),
+                F.col("q_nrm"),
+                F.col("nrm"),
+            ).alias("cos"),
         )
     )
     # round 10: left as a single window — Spark 4.1 plans this
@@ -275,6 +302,14 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-bucket probing measured only 0.03–0.08 recall@5, multi-probe
     recovers most of it for a 7× blowup of the TINY query side only;
     the corpus is still touched once per matching bucket)."""
+    # PARTIAL norm hoist (round 10): only the broadcast query side's
+    # norm is precomputed. The bucket join is SELECTIVE — most corpus
+    # rows match no probe bucket — so a corpus-side norm column would
+    # fold once per corpus ROW while saving only per matched PAIR: the
+    # full hoist measured a regression here (sf60de 1.44 → 2.00 s min)
+    # where its crossJoin siblings gained 1.5–3.5×. The corpus norm
+    # stays inline (evaluated on matched pairs only); q_nrm rides the
+    # tiny probe side for free.
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",
@@ -284,6 +319,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         "bucket",
+        _norm(F.col("embedding")).alias("q_nrm"),
     )
     flip = F.expr(
         "CASE WHEN i = 0 THEN bucket ELSE concat(substring(bucket, 1, i - 1),"
@@ -294,10 +330,11 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_q.select(
             "q_id",
             "q_emb",
+            "q_nrm",
             "bucket",
             F.explode_outer(F.sequence(F.lit(0), F.lit(LSH_DIMS))).alias("i"),
         )
-        .select("q_id", "q_emb", flip.alias("bucket"))
+        .select("q_id", "q_emb", "q_nrm", flip.alias("bucket"))
     )
     pairs = (
         emb.join(F.broadcast(queries), "bucket")
@@ -305,7 +342,12 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            _dot_cos(F.col("q_emb"), F.col("embedding")).alias("cos"),
+            _dot_cos_pre(
+                F.col("q_emb"),
+                F.col("embedding"),
+                F.col("q_nrm"),
+                _norm(F.col("embedding")),
+            ).alias("cos"),
         )
         # round 10: the `.distinct()` here was a NO-OP paying a full
         # corpus-sized Exchange + hash aggregate (guide §2.4: distinct
@@ -437,27 +479,38 @@ def _ivf_search(emb: DataFrame, centroids: DataFrame) -> DataFrame:
             "vec_id",
             "embedding",
             F.array_min(scored(F.col("embedding"))).alias("best"),
+            # per-row norm hoisted below the probe join (round 10,
+            # `_dot_cos_pre`): folded once per row, not once per pair
+            _norm(F.col("embedding")).alias("nrm"),
         )
         .select(
-            "vec_id", F.col("best.centroid_id").alias("list_id"), "embedding"
+            "vec_id",
+            F.col("best.centroid_id").alias("list_id"),
+            "embedding",
+            "nrm",
         )
     )
     # probe selection is map-only too: sort the same struct array
     # (lexicographic ≡ ORDER BY d2, centroid_id) and explode the first
     # nprobe entries — no crossJoin, no window
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_nrm"),
     )
     probes = (
         queries.withColumn("cents", cents_lit)
         .select(
             "q_id",
             "q_emb",
+            "q_nrm",
             F.explode(
                 F.slice(F.array_sort(scored(F.col("q_emb"))), 1, IVF_NPROBE)
             ).alias("pr"),
         )
-        .select("q_id", "q_emb", F.col("pr.centroid_id").alias("list_id"))
+        .select(
+            "q_id", "q_emb", "q_nrm", F.col("pr.centroid_id").alias("list_id")
+        )
     )
     pairs = (
         assigned.join(F.broadcast(probes), "list_id")
@@ -465,7 +518,12 @@ def _ivf_search(emb: DataFrame, centroids: DataFrame) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            _dot_cos(F.col("q_emb"), F.col("embedding")).alias("cos"),
+            _dot_cos_pre(
+                F.col("q_emb"),
+                F.col("embedding"),
+                F.col("q_nrm"),
+                F.col("nrm"),
+            ).alias("cos"),
         )
     )
     # round 10: left as a single window — Spark 4.1 plans this
@@ -584,29 +642,38 @@ def ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             "label",
             F.array_min(scored(F.col("embedding"))).alias("best"),
+            # per-row norm hoisted below the probe join (round 10,
+            # `_dot_cos_pre`): folded once per row, not once per pair
+            _norm(F.col("embedding")).alias("nrm"),
         )
         .select(
             "vec_id",
             "embedding",
             "label",
             F.col("best.centroid_id").alias("list_id"),
+            "nrm",
         )
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_nrm"),
     )
     probes = (
         queries.withColumn("cents", cents_lit)
         .select(
             "q_id",
             "q_emb",
+            "q_nrm",
             F.explode(
                 F.slice(
                     F.array_sort(scored(F.col("q_emb"))), 1, FILTER_NPROBE
                 )
             ).alias("pr"),
         )
-        .select("q_id", "q_emb", F.col("pr.centroid_id").alias("list_id"))
+        .select(
+            "q_id", "q_emb", "q_nrm", F.col("pr.centroid_id").alias("list_id")
+        )
     )
     pairs = (
         assigned.filter(F.col("label") == FILTER_LABEL)
@@ -616,7 +683,12 @@ def ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             "vec_id",
             "label",
-            _dot_cos(F.col("q_emb"), F.col("embedding")).alias("cos"),
+            _dot_cos_pre(
+                F.col("q_emb"),
+                F.col("embedding"),
+                F.col("q_nrm"),
+                F.col("nrm"),
+            ).alias("cos"),
         )
     )
     # round 10: single window kept — WindowGroupLimit(Partial) already
@@ -1064,10 +1136,16 @@ def ann_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src") < N_QUERIES
     )
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
+        "vec_id",
+        "embedding",
+        # per-row norm hoisted below the pair join (round 10,
+        # `_dot_cos_pre`): folded once per row, not once per pair
+        _norm(F.col("embedding")).alias("nrm"),
     )
     panel = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     scored = (
         emb.crossJoin(F.broadcast(panel))
@@ -1075,7 +1153,12 @@ def ann_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            _dot_cos(F.col("q_emb"), F.col("embedding")).alias("cos"),
+            _dot_cos_pre(
+                F.col("q_emb"),
+                F.col("embedding"),
+                F.col("q_nrm"),
+                F.col("nrm"),
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(
@@ -1539,15 +1622,21 @@ def ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(_cent_scored(F.col("embedding")))["centroid_id"].alias(
             "list_id"
         ),
+        # per-row norm hoisted below the probe join (round 10,
+        # `_dot_cos_pre`): folded once per row, not once per pair
+        _norm(F.col("embedding")).alias("nrm"),
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_nrm"),
     )
     probes = (
         queries.withColumn("cents", cents_lit)
         .select(
             "q_id",
             "q_emb",
+            "q_nrm",
             F.posexplode(
                 F.slice(
                     F.array_sort(_cent_scored(F.col("q_emb"))), 1, max_probe
@@ -1557,6 +1646,7 @@ def ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "q_emb",
+            "q_nrm",
             (F.col("p0") + 1).cast("int").alias("p"),  # 1-based probe rank
             F.col("pr.centroid_id").alias("list_id"),
         )
@@ -1568,7 +1658,12 @@ def ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             "vec_id",
             "p",
-            _dot_cos(F.col("q_emb"), F.col("embedding")).alias("cos"),
+            _dot_cos_pre(
+                F.col("q_emb"),
+                F.col("embedding"),
+                F.col("q_nrm"),
+                F.col("nrm"),
+            ).alias("cos"),
         )
     )
     grid = spark.createDataFrame(
@@ -2444,9 +2539,25 @@ def emb_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     same scored pairs). Offline-audit cost profile — the same |Q|·N
     scan as the brute-force baseline, run once per candidate dim, not
     per search."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # both the full-dim and the truncated norms — AND the truncated
+    # slice itself — are hoisted to per-row columns below the pair join
+    # (round 10, `_dot_cos_pre`): same folds over the same (sliced)
+    # arrays — bit-identical — evaluated/allocated once per row instead
+    # of once per pair; this entry folded FOUR norms and cut TWO array
+    # slices per pair inline
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.slice(F.col("embedding"), 1, TRUNC_DIMS).alias("temb"),
+        _norm(F.col("embedding")).alias("nrm"),
+        _norm(F.slice(F.col("embedding"), 1, TRUNC_DIMS)).alias("tnrm"),
+    )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("temb").alias("qt_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("tnrm").alias("q_tnrm"),
     )
     scored = (
         emb.crossJoin(F.broadcast(queries))
@@ -2454,10 +2565,17 @@ def emb_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            _dot_cos(F.col("q_emb"), F.col("embedding")).alias("cf"),
-            _dot_cos(
-                F.slice(F.col("q_emb"), 1, TRUNC_DIMS),
-                F.slice(F.col("embedding"), 1, TRUNC_DIMS),
+            _dot_cos_pre(
+                F.col("q_emb"),
+                F.col("embedding"),
+                F.col("q_nrm"),
+                F.col("nrm"),
+            ).alias("cf"),
+            _dot_cos_pre(
+                F.col("qt_emb"),
+                F.col("temb"),
+                F.col("q_tnrm"),
+                F.col("tnrm"),
             ).alias("ct"),
         )
     )
@@ -2667,12 +2785,16 @@ def emb_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.expr(_pack_bits_expr("embedding", 0)).alias("b_lo"),
         F.expr(_pack_bits_expr("embedding", _HAM_HALF)).alias("b_hi"),
+        # per-row norm hoisted below the pair join (round 10,
+        # `_dot_cos_pre`): folded once per row, not once per pair
+        _norm(F.col("embedding")).alias("nrm"),
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("b_lo").alias("q_lo"),
         F.col("b_hi").alias("q_hi"),
+        F.col("nrm").alias("q_nrm"),
     )
     scored = (
         emb.crossJoin(F.broadcast(queries))
@@ -2680,7 +2802,12 @@ def emb_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            _dot_cos(F.col("q_emb"), F.col("embedding")).alias("cos"),
+            _dot_cos_pre(
+                F.col("q_emb"),
+                F.col("embedding"),
+                F.col("q_nrm"),
+                F.col("nrm"),
+            ).alias("cos"),
             F.expr(
                 "bit_count(b_lo ^ q_lo) + bit_count(b_hi ^ q_hi)"
             ).alias("ham"),
@@ -2799,8 +2926,24 @@ def emb_quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1), F.lit(len(stats))), _recon
         ).alias("rembedding"),
     )
+    # per-row norms (exact AND reconstructed) hoisted below the pair
+    # join (round 10, `_dot_cos_pre`): this entry folded FOUR norms per
+    # pair inline — including a norm over the derived rembedding, whose
+    # reconstruction transform the fold re-walked per pair — so the
+    # hoist removes 2/3 of its interpreted per-pair work. Separate
+    # select above `recon` so r_nrm references the named rembedding
+    # column rather than inlining the transform a second time.
+    recon = recon.select(
+        "vec_id",
+        "embedding",
+        "rembedding",
+        _norm(F.col("embedding")).alias("e_nrm"),
+        _norm(F.col("rembedding")).alias("r_nrm"),
+    )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_nrm"),
     )
     scored = (
         recon.crossJoin(F.broadcast(queries))
@@ -2808,8 +2951,18 @@ def emb_quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            _dot_cos(F.col("q_emb"), F.col("embedding")).alias("cx"),
-            _dot_cos(F.col("q_emb"), F.col("rembedding")).alias("cr"),
+            _dot_cos_pre(
+                F.col("q_emb"),
+                F.col("embedding"),
+                F.col("q_nrm"),
+                F.col("e_nrm"),
+            ).alias("cx"),
+            _dot_cos_pre(
+                F.col("q_emb"),
+                F.col("rembedding"),
+                F.col("q_nrm"),
+                F.col("r_nrm"),
+            ).alias("cr"),
         )
     )
     # round 10: the two_phase_rank_dual rewrite its siblings took
@@ -2818,9 +2971,10 @@ def emb_quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min-of-N pairs at sf60de (31.8 s plain vs 52.5 s dual; first
     # pair 54.3 vs 89.7 — ~1.6× both times), so per the
     # measurement-decides rule the original two-window form stays.
-    # Mechanism not fully attributed (this entry's scored relation is
-    # the one that carries the in-plan SQ8 reconstruction transform —
-    # the round-8 allowlisted derived array); round-11 candidate.
+    # Mechanism attributed by the norm-hoist A/B (this round, below):
+    # the per-pair cost was dominated by the four interpreted norm
+    # folds — one over the derived rembedding — which the dual rewrite
+    # never touched while adding its exchange.
     wx = Window.partitionBy("q_id").orderBy(F.desc("cx"), F.asc("vec_id"))
     wr = Window.partitionBy("q_id").orderBy(F.desc("cr"), F.asc("vec_id"))
     ranked = scored.withColumn("rx", F.row_number().over(wx)).withColumn(
@@ -2968,6 +3122,10 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate is a τ-close vector that disagrees on ≥2 hyperplane
     signs — rarer the higher the cosine, because similar vectors agree
     on most signs (the LSH guarantee)."""
+    # PARTIAL norm hoist — same selective-bucket-join argument as
+    # ann_topk_lsh (the full corpus-side hoist regressed there; see
+    # that entry's comment): q_nrm rides the probe side, the corpus
+    # norm stays inline on matched pairs only.
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",
@@ -2977,6 +3135,7 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         "bucket",
+        _norm(F.col("embedding")).alias("q_nrm"),
     )
     flip = F.expr(
         "CASE WHEN i = 0 THEN bucket ELSE concat(substring(bucket, 1, i - 1),"
@@ -2986,16 +3145,22 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = base_q.select(
         "q_id",
         "q_emb",
+        "q_nrm",
         "bucket",
         F.explode_outer(F.sequence(F.lit(0), F.lit(LSH_DIMS))).alias("i"),
-    ).select("q_id", "q_emb", flip.alias("bucket"))
+    ).select("q_id", "q_emb", "q_nrm", flip.alias("bucket"))
     return (
         emb.join(F.broadcast(queries), "bucket")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             "vec_id",
-            _dot_cos(F.col("q_emb"), F.col("embedding")).alias("cos"),
+            _dot_cos_pre(
+                F.col("q_emb"),
+                F.col("embedding"),
+                F.col("q_nrm"),
+                _norm(F.col("embedding")),
+            ).alias("cos"),
         )
         # round 10: `.distinct()` removed — same no-op-dedup argument
         # as ann_topk_lsh (one bucket per vector, pairwise-distinct
@@ -3045,9 +3210,17 @@ def _mmr_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     side + rank window — the ann_topk_bruteforce plan). Factored out so
     the test can replay the greedy loop in pure Python on the SAME
     Spark-computed relevance values."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        # per-row norm hoisted below the pair join (round 10,
+        # `_dot_cos_pre`): folded once per row, not once per pair
+        _norm(F.col("embedding")).alias("nrm"),
+    )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     pairs = (
         emb.crossJoin(F.broadcast(queries))
@@ -3057,7 +3230,12 @@ def _mmr_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_emb",
             "vec_id",
             "embedding",
-            _dot_cos(F.col("q_emb"), F.col("embedding")).alias("rel"),
+            _dot_cos_pre(
+                F.col("q_emb"),
+                F.col("embedding"),
+                F.col("q_nrm"),
+                F.col("nrm"),
+            ).alias("rel"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("rel").desc(), F.col("vec_id"))
@@ -3147,11 +3325,19 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     swaps to the IVF shortlist exactly as ann_recall_audit composes
     it; the contract (per-query top-k with label exclusion) is
     unchanged."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        "label",
+        # per-row norm hoisted below the pair join (round 10,
+        # `_dot_cos_pre`): folded once per row, not once per pair
+        _norm(F.col("embedding")).alias("nrm"),
+    )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("label").alias("q_label"),
+        F.col("nrm").alias("q_nrm"),
     )
     pairs = (
         emb.crossJoin(F.broadcast(queries))
@@ -3161,22 +3347,42 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_label",
             "vec_id",
             "label",
-            _dot_cos(F.col("q_emb"), F.col("embedding")).alias("cos"),
+            _dot_cos_pre(
+                F.col("q_emb"),
+                F.col("embedding"),
+                F.col("q_nrm"),
+                F.col("nrm"),
+            ).alias("cos"),
         )
     )
-    pos = (
-        pairs.filter(F.col("label") == F.col("q_label"))
-        .groupBy("q_id")
-        .agg(F.max("cos").alias("cos_pos"))
-    )
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("cos").desc(), F.col("vec_id")
-    )
-    negs = (
-        pairs.filter(F.col("label") != F.col("q_label"))
-        .withColumn("rnk", F.row_number().over(w))
+    # round 10: `pairs` used to feed the negatives window AND a
+    # separate positives max-aggregate, and each DataFrame reference
+    # plans its OWN subtree — the committed before-plan
+    # (plans/r10/emb_hard_negatives_before.txt) shows the corpus-sized
+    # BroadcastNestedLoopJoin + cosine chain TWICE (the
+    # ann_knn_graph_recall disease). One window partitioned by
+    # (q_id, is_pos) ranks positives and negatives in the same pass —
+    # rank-1 positive cos IS max(cos) over positives (same desc order,
+    # ties only tie on cos) — with the rank-limit filter keeping
+    # WindowGroupLimit(Partial) in play; the ≤ |Q|·2·K survivors are
+    # checkpoint-barriered so deriving both sides plans the brute
+    # chain once (guide §1.2).
+    w2 = Window.partitionBy(
+        "q_id", F.col("label") == F.col("q_label")
+    ).orderBy(F.col("cos").desc(), F.col("vec_id"))
+    survivors = (
+        pairs.withColumn("rnk", F.row_number().over(w2))
         .filter(F.col("rnk") <= HARD_NEG_K)
+        .select("q_id", "q_label", "vec_id", "label", "cos", "rnk")
+        .localCheckpoint(eager=False)
     )
+    pos = (
+        survivors.filter(
+            (F.col("label") == F.col("q_label")) & (F.col("rnk") == 1)
+        )
+        .select("q_id", F.col("cos").alias("cos_pos"))
+    )
+    negs = survivors.filter(F.col("label") != F.col("q_label"))
     return negs.join(pos, "q_id", "left").select(
         "q_id",
         F.col("vec_id").alias("neg_id"),

@@ -1126,8 +1126,17 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchors = emb.groupBy("bucket").agg(
         F.min("vec_id").alias("anchor_id"),
         F.min_by("embedding", "vec_id").alias("anchor_emb"),
+    ).withColumn("a_nrm", _norm(F.col("anchor_emb")))
+    # anchor norm hoisted to the ≤ 2^{dims}-row broadcast side
+    # (round 10, `_dot_cos_pre`): every corpus row re-folded it; the
+    # row's own norm stays inline — one pair per row, so inline IS
+    # once-per-row
+    cos = _dot_cos_pre(
+        F.col("embedding"),
+        F.col("anchor_emb"),
+        _norm(F.col("embedding")),
+        F.col("a_nrm"),
     )
-    cos = _dot_cos(F.col("embedding"), F.col("anchor_emb"))
     return (
         emb.join(F.broadcast(anchors), "bucket")
         .select("vec_id", "anchor_id", cos.alias("cos"))

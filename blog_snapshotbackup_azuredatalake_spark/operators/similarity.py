@@ -18,8 +18,11 @@ Three plans for top-k cosine neighbors:
   trade, and unlike the sign-LSH it degrades gracefully (more probes →
   more recall) without re-bucketing.
 
-Dot products run as zip_with/aggregate double folds inside codegen —
-bit-identical to the DuckDB oracle's list_reduce fold (verified).
+Dot products run as zip_with/aggregate double folds — bit-identical to
+the DuckDB oracle's list_reduce fold (verified). These higher-order
+functions are CodegenFallback (interpreted), which is why every pair
+scorer hoists row-constant norms out of the per-pair expression
+(`_dot_cos_pre`, round 10).
 """
 
 from __future__ import annotations
